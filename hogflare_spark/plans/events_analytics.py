@@ -1,0 +1,210 @@
+"""Event-analytics plans over the `events` stream table.
+
+These are the product-analytics queries a PostHog-style engine answers
+over its events sink (the reference lands events in Iceberg and leaves
+querying to SQL engines — /root/reference/README.md:237-256). Shapes:
+daily actives, JSON property extraction, sessionization (gap-based),
+funnels, retention. All pure built-in expressions; sessionization uses
+one window over (user_id, ts) — at 100 TB that is a single shuffle
+partitioned by user and nothing else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hogflare_spark.plans import query
+from hogflare_spark.sources.readers import load_table
+
+
+# --------------------------------------------------------------------------
+# daily actives + volume per event type.
+# --------------------------------------------------------------------------
+@query(
+    "ev_daily_event_stats",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS dau,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+)
+def ev_daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("dau"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON property extraction: the `props` column is a JSON bag exactly like
+# the reference's `properties` (kept as string per SURVEY §1.3); extract
+# a typed field and aggregate on it. get_json_object pushes nothing to
+# Python — it's a JVM-side JSON path.
+# --------------------------------------------------------------------------
+@query(
+    "ev_json_prop_buckets",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    ORDER BY k_bucket
+    """,
+)
+def ev_json_prop_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.where(k.isNotNull())
+        .groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("k_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# gap-based sessionization: a new session starts after >30 min idle.
+# lag + conditional cumulative sum over one user-partitioned window.
+# --------------------------------------------------------------------------
+@query(
+    "ev_sessionization",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session,
+             event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT user_id,
+           count(DISTINCT session_seq) AS n_sessions,
+           count(*) AS n_events,
+           round(count(*) * 1.0 / count(DISTINCT session_seq), 4) AS events_per_session
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") <= 1800, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    sessions = marked.withColumn("session_seq", F.sum("new_session").over(wsum))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_seq").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.count(F.lit(1)) / F.countDistinct("session_seq"), 4).alias(
+                "events_per_session"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# two-step funnel: signup → purchase (first purchase strictly after first
+# signup). Expressed as one conditional aggregation per user — a single
+# shuffle on user_id, no self-join.
+# --------------------------------------------------------------------------
+@query(
+    "ev_funnel_signup_purchase",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END)   AS first_signup,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (WHERE first_signup IS NOT NULL)  AS n_signed_up,
+           count(*) FILTER (WHERE first_signup IS NOT NULL AND first_purchase > first_signup)
+             AS n_converted
+    FROM per_user
+    """,
+)
+def ev_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("first_signup").isNotNull(), 1)).alias("n_signed_up"),
+        F.count(
+            F.when(
+                F.col("first_signup").isNotNull()
+                & (F.col("first_purchase") > F.col("first_signup")),
+                1,
+            )
+        ).alias("n_converted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# weekly retention triangle: cohort = first-seen week; count users active
+# k weeks later. Two aggs + one join on user_id.
+# --------------------------------------------------------------------------
+@query(
+    "ev_weekly_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events
+    )
+    SELECT cohort_week,
+           CAST(datediff('week', cohort_week, active_week) AS BIGINT) AS week_offset,
+           count(*) AS n_active
+    FROM firsts JOIN activity USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def ev_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )

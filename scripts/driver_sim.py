@@ -1,0 +1,84 @@
+"""Simulate the driver's t2 correctness gate: import __spark_entry__ the way
+the driver does, run entry() smoke + every queries() entry vs oracle_sql()
+via DuckDB at sf0.01, print a CORRECTNESS-style JSON summary."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    import duckdb
+
+    import __spark_entry__ as e
+    from hogflare_spark.session import get_spark
+
+    spark = get_spark(app_name="driver-sim", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    entry_df = e.entry(spark)
+    entry_rows = entry_df.collect()
+    print(f"entry: {len(entry_rows)} rows, schema={entry_df.columns}", file=sys.stderr)
+
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    results = {}
+    for name, fn in sorted(qs.items()):
+        try:
+            sdf = fn(spark, SF_DIR)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+            if name not in oracles:
+                results[name] = {"mode": "rows_only", "rows": len(srows), "ok": True}
+                continue
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            ok_schema = sorted(scols) == sorted(dcols)
+            ok_count = len(srows) == len(drows)
+
+            def norm(rows, cols):
+                order = sorted(range(len(cols)), key=lambda i: cols[i])
+                out = []
+                for row in rows:
+                    vals = []
+                    for i in order:
+                        v = row[i]
+                        if isinstance(v, float):
+                            v = round(v, 6)
+                        vals.append(str(v))
+                    out.append(tuple(vals))
+                return sorted(out)
+
+            ok_values = ok_schema and ok_count and norm(srows, scols) == norm(drows, dcols)
+            results[name] = {
+                "mode": "oracle",
+                "rows": len(srows),
+                "schema_match": ok_schema,
+                "count_match": ok_count,
+                "values_match": ok_values,
+                "ok": ok_schema and ok_count and ok_values,
+            }
+        except Exception as ex:  # noqa: BLE001
+            results[name] = {"ok": False, "error": str(ex)[:200]}
+
+    n_ok = sum(1 for r in results.values() if r["ok"])
+    print(json.dumps({"sf_dir": SF_DIR, "passed": n_ok, "total": len(results),
+                      "queries": results}, indent=1))
+    spark.stop()
+    sys.exit(0 if n_ok == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()
