@@ -1,0 +1,244 @@
+"""Distributed group-state fold: ingest commands → per-event hydration +
+groups table.
+
+Reference semantics (/root/reference/src/groups.rs:16-41, src/lib.rs):
+
+- GroupRecord.apply_update: last-write-wins per property key, version+1,
+  create on first touch (groups.rs:36-41)
+- capture/engage/batch events: apply `$group_set` updates first, then
+  hydrate the *current* state of every `$groups` entry (lib.rs:423-460) —
+  within one event, updates precede reads
+- groupidentify: apply update when `properties` is an object (even empty),
+  else read-only snapshot; the event echoes that group's key slot and
+  properties (lib.rs:869-920, 760-801)
+- hydration emits `{group_type: {props}}` only for groups whose record
+  exists; empty result → NULL (lib.rs:1393-1411)
+
+Spark shape: one narrow projection explodes commands into group ops, one
+shuffle keyed by (group_type, group_key), `applyInPandas` replays the LWW
+fold per key in (request_seq, item_index, sub) order — per-key serial
+processing, exactly the reference's Durable-Object-per-group model
+(groups.rs:183-235). Hydration results join back to events on the seq
+pair. At 100 TB the op stream is a small projection of events and the
+state per key is one property bag.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from hogflare_spark.operators.person_store import synthetic_time
+
+_GROUP_OPS = StructType(
+    [
+        StructField("request_seq", LongType(), False),
+        StructField("item_index", LongType(), False),
+        StructField("sub", LongType(), False),
+        StructField("kind", StringType(), False),  # update | lookup | gi_update | gi_lookup
+        StructField("group_type", StringType(), False),
+        StructField("group_key", StringType(), False),
+        StructField("props", StringType(), True),  # JSON
+        StructField("timestamp", StringType(), True),
+    ]
+)
+
+_FOLD_OUT = StructType(
+    [
+        StructField("row_type", StringType(), False),  # result | group
+        StructField("request_seq", LongType(), True),
+        StructField("item_index", LongType(), True),
+        StructField("group_type", StringType(), True),
+        StructField("group_key", StringType(), True),
+        StructField("props", StringType(), True),  # JSON (present ⇒ non-null)
+        StructField("present", BooleanType(), True),
+        StructField("echo", BooleanType(), True),  # groupidentify echo row
+        StructField("created_at", TimestampType(), True),
+        StructField("version", LongType(), True),
+    ]
+)
+
+
+def derive_group_ops(commands: DataFrame) -> DataFrame:
+    """Command rows → group-op rows via one mapInPandas projection."""
+
+    def _run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                seq, item = int(r.request_seq), int(r.item_index)
+                ts = r.timestamp
+                if r.group_identify:
+                    gi = json.loads(r.group_identify)
+                    rows.append(
+                        {
+                            "request_seq": seq,
+                            "item_index": item,
+                            "sub": 0,
+                            "kind": "gi_update" if gi["properties"] is not None else "gi_lookup",
+                            "group_type": gi["group_type"],
+                            "group_key": gi["group_key"],
+                            "props": json.dumps(gi["properties"], separators=(",", ":"))
+                            if gi["properties"] is not None
+                            else None,
+                            "timestamp": ts,
+                        }
+                    )
+                    continue
+                sub = 0
+                if r.group_updates:
+                    for upd in json.loads(r.group_updates):
+                        rows.append(
+                            {
+                                "request_seq": seq,
+                                "item_index": item,
+                                "sub": sub,
+                                "kind": "update",
+                                "group_type": upd["group_type"],
+                                "group_key": upd["group_key"],
+                                "props": json.dumps(
+                                    upd["properties"], separators=(",", ":")
+                                ),
+                                "timestamp": ts,
+                            }
+                        )
+                        sub += 1
+                if r.groups:
+                    groups = json.loads(r.groups)
+                    for j, (gtype, gkey) in enumerate(groups.items()):
+                        if not isinstance(gkey, str):
+                            continue
+                        rows.append(
+                            {
+                                "request_seq": seq,
+                                "item_index": item,
+                                "sub": 1000 + j,
+                                "kind": "lookup",
+                                "group_type": gtype,
+                                "group_key": gkey,
+                                "props": None,
+                                "timestamp": ts,
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in _GROUP_OPS.fields])
+
+    return commands.select(
+        "request_seq", "item_index", "timestamp", "groups", "group_updates", "group_identify"
+    ).mapInPandas(_run, _GROUP_OPS)
+
+
+def _parse_ts(value: str | None, fallback_seq: int) -> datetime:
+    if value:
+        try:
+            ts = datetime.fromisoformat(value.replace("Z", "+00:00"))
+            if ts.tzinfo is None:
+                from datetime import timezone
+
+                ts = ts.replace(tzinfo=timezone.utc)
+            return ts
+        except ValueError:
+            pass
+    return synthetic_time(fallback_seq)
+
+
+def fold_group_state(commands: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Returns (results, groups_table).
+
+    results: one row per (event, group_type) the event touches for output —
+    hydration reads (echo=False) and groupidentify echoes (echo=True),
+    with `props` = the group's property bag at that point, `present` =
+    record existed.
+    groups_table: final state per GROUP_SCHEMA.
+    """
+    ops = derive_group_ops(commands)
+
+    def _replay(key: tuple, pdf: Any) -> Any:
+        import pandas as pd
+
+        pdf = pdf.sort_values(["request_seq", "item_index", "sub"], kind="mergesort")
+        group_type, group_key = key
+        record = None  # (created_at, version, props dict)
+        out = []
+        for row in pdf.itertuples(index=False):
+            seq_linear = (
+                int(row.request_seq) * 1_000_000
+                + int(row.item_index) * 100
+                + min(int(row.sub), 99)
+            )
+            if row.kind in ("update", "gi_update"):
+                if record is None:
+                    record = {
+                        "created_at": _parse_ts(row.timestamp, seq_linear),
+                        "version": 0,
+                        "props": {},
+                    }
+                record["version"] += 1
+                record["props"].update(json.loads(row.props))
+            if row.kind in ("lookup", "gi_lookup", "gi_update"):
+                out.append(
+                    {
+                        "row_type": "result",
+                        "request_seq": int(row.request_seq),
+                        "item_index": int(row.item_index),
+                        "group_type": group_type,
+                        "group_key": group_key,
+                        "props": json.dumps(record["props"], separators=(",", ":"))
+                        if record is not None
+                        else None,
+                        "present": record is not None,
+                        "echo": row.kind.startswith("gi_"),
+                        "created_at": None,
+                        "version": None,
+                    }
+                )
+        if record is not None:
+            out.append(
+                {
+                    "row_type": "group",
+                    "request_seq": None,
+                    "item_index": None,
+                    "group_type": group_type,
+                    "group_key": group_key,
+                    "props": json.dumps(
+                        {
+                            k: json.dumps(v, separators=(",", ":"))
+                            for k, v in record["props"].items()
+                        },
+                        separators=(",", ":"),
+                    ),
+                    "present": True,
+                    "echo": False,
+                    "created_at": record["created_at"],
+                    "version": record["version"],
+                }
+            )
+        return pd.DataFrame(out, columns=[f.name for f in _FOLD_OUT.fields])
+
+    folded = ops.groupBy("group_type", "group_key").applyInPandas(_replay, _FOLD_OUT)
+    folded = folded.cache()
+
+    results = folded.where(F.col("row_type") == "result").select(
+        "request_seq", "item_index", "group_type", "group_key", "props", "present", "echo"
+    )
+    groups_table = folded.where(F.col("row_type") == "group").select(
+        "group_type",
+        "group_key",
+        "created_at",
+        "version",
+        F.from_json("props", "map<string,string>").alias("properties"),
+    )
+    return results, groups_table

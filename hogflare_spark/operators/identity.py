@@ -1,0 +1,91 @@
+"""Identity resolution: connected components over alias edges.
+
+The reference's redirect map (/root/reference/src/persons.rs:220-249) is a
+union-find whose pointers are written serially per alias op. In batch Spark
+the equivalent co-partitioning structure is the connected component of the
+alias graph: every distinct_id in a component shares one person timeline,
+so shuffling all of a component's ops to one partition group reproduces the
+reference's per-key serialization (SURVEY.md §7.4.2 — CC is used only to
+co-partition; merge precedence is replayed in op order inside the fold).
+
+Algorithm: min-label propagation with pointer jumping (path halving) —
+O(log diameter) rounds, each round two shuffles. This is the standard
+large-scale CC shape (cf. the GraphFrames/Pregel formulation) and survives
+100 TB inputs: the edge set is ~#alias-ops, tiny next to the event stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Edges (undirected) → (id, component); component = min id (lexicographic).
+
+    Singleton nodes should be passed as self-loops (src == dst) if they must
+    appear in the output.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    # undirected: both directions, deduped
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    sym = sym.repartition("src").cache()
+
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .cache()
+    )
+
+    for _ in range(max_iter):
+        # neighbor min: for each node, min of its own label and neighbors'
+        msgs = (
+            sym.join(labels, sym.dst == labels.id)
+            .select(sym.src.alias("id"), F.col("comp"))
+        )
+        new_labels = (
+            labels.select("id", "comp")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp := comp(comp) — halves pointer chains each round
+        jumped = (
+            new_labels.alias("a")
+            .join(
+                new_labels.select(
+                    F.col("id").alias("jid"), F.col("comp").alias("jcomp")
+                ).alias("b"),
+                F.col("a.comp") == F.col("b.jid"),
+                "left",
+            )
+            .select(
+                F.col("a.id").alias("id"),
+                F.least(
+                    F.col("a.comp"), F.coalesce(F.col("b.jcomp"), F.col("a.comp"))
+                ).alias("comp"),
+            )
+            .cache()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    return labels.select("id", "comp")

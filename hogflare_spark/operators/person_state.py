@@ -1,0 +1,276 @@
+"""Distributed person-state fold: ingest commands → per-event snapshots +
+persons table.
+
+Spark shape (SURVEY.md §7 M3):
+
+1. derive person ops (alias / update / ensure) from the command rows —
+   pure expressions, one narrow projection;
+2. connected components over alias edges (identity.py) → co-partitioning
+   key; ops for unrelated distinct_ids stay in singleton components, so
+   the shuffle is effectively a groupBy(distinct_id) with identity
+   clusters coalesced;
+3. `applyInPandas` per component replays the MemoryPersonStore kernel
+   (person_store.py) in (request_seq, item_index, sub) order, emitting
+   post-update snapshots per event (U12 — the event carries the person
+   state as of *after* its own update, lib.rs:462-470) plus final person
+   records and id-allocation events;
+4. global sequential person ids materialize post-hoc as a rank over
+   allocation order (U10 — a distributed engine must not serialize on a
+   counter; SURVEY.md §7.4.3 documents the parity condition).
+
+At 100 TB: stage 1 is map-only; stage 2 shuffles only alias edges
+(~#persons, not #events); stage 3 is one shuffle of person-op rows keyed
+by component — the same data movement a shuffled streaming state op would
+do; stage 4 is a window over #persons rows. Event rows themselves never
+shuffle — snapshots join back to events on (request_seq, item_index).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from datetime import datetime
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from hogflare_spark.operators.person_store import (
+    PersonStoreReplay,
+    snapshot_fields,
+    synthetic_time,
+)
+
+_FOLD_OUT = StructType(
+    [
+        StructField("row_type", StringType(), False),
+        StructField("request_seq", LongType(), True),
+        StructField("item_index", LongType(), True),
+        StructField("person_id", StringType(), True),
+        StructField("person_created_at", TimestampType(), True),
+        StructField("person_properties", StringType(), True),
+        StructField("canonical_id", StringType(), True),
+        StructField("uuid", StringType(), True),
+        StructField("created_at", TimestampType(), True),
+        StructField("version", LongType(), True),
+        StructField("distinct_ids", StringType(), True),
+        StructField("properties", StringType(), True),
+        StructField("properties_set_once", StringType(), True),
+        StructField("alloc_a", LongType(), True),
+        StructField("alloc_b", LongType(), True),
+        StructField("alloc_c", LongType(), True),
+    ]
+)
+
+
+def _parse_ts(value: str | None, fallback_seq: int) -> datetime:
+    if value:
+        try:
+            ts = datetime.fromisoformat(value.replace("Z", "+00:00"))
+            if ts.tzinfo is None:
+                from datetime import timezone
+
+                ts = ts.replace(tzinfo=timezone.utc)
+            return ts
+        except ValueError:
+            pass
+    return synthetic_time(fallback_seq)
+
+
+def derive_person_ops(commands: DataFrame) -> DataFrame:
+    """Command rows → person-op rows (request_seq, item_index, sub, kind,
+    distinct_id, alias, update, timestamp, emit).
+
+    Mirrors handler orchestration: identify's auto-alias precedes its
+    update (lib.rs:690-718); the snapshot placed on the event comes from
+    the update/ensure op (or the alias op for `/alias` items); group-
+    identify events carry no person fields (lib.rs:869-920).
+    """
+    c = commands
+    alias_ops = c.where(F.col("alias").isNotNull()).select(
+        "request_seq",
+        "item_index",
+        F.lit(1).alias("sub"),
+        F.lit("alias").alias("kind"),
+        F.get_json_object("alias", "$.distinct_id").alias("distinct_id"),
+        F.get_json_object("alias", "$.alias").alias("alias_id"),
+        F.lit(None).cast("string").alias("update"),
+        F.col("timestamp"),
+        F.lit(True).alias("emit"),
+    )
+    auto_alias_ops = c.where(
+        F.col("alias").isNull()
+        & (F.col("skip_person") == "0")
+        & F.col("anon_distinct_id").isNotNull()
+    ).select(
+        "request_seq",
+        "item_index",
+        F.lit(0).alias("sub"),
+        F.lit("alias").alias("kind"),
+        F.col("distinct_id"),
+        F.col("anon_distinct_id").alias("alias_id"),
+        F.lit(None).cast("string").alias("update"),
+        F.col("timestamp"),
+        F.lit(False).alias("emit"),
+    )
+    update_ops = c.where(F.col("alias").isNull() & (F.col("skip_person") == "0")).select(
+        "request_seq",
+        "item_index",
+        F.lit(1).alias("sub"),
+        F.when(F.col("person_update").isNotNull(), F.lit("update"))
+        .otherwise(F.lit("ensure"))
+        .alias("kind"),
+        F.col("distinct_id"),
+        F.lit(None).cast("string").alias("alias_id"),
+        F.col("person_update").alias("update"),
+        F.col("timestamp"),
+        F.lit(True).alias("emit"),
+    )
+    return alias_ops.unionByName(auto_alias_ops).unionByName(update_ops)
+
+
+def fold_person_state(
+    commands: DataFrame, team_id: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (snapshots, persons).
+
+    snapshots: (request_seq, item_index, person_id, person_created_at,
+    person_properties) — join back to events on the seq pair.
+    persons: final state table per PERSON_SCHEMA.
+    """
+    from hogflare_spark.operators.identity import connected_components
+
+    ops = derive_person_ops(commands)
+
+    # identity graph: alias edges + self-loops so every distinct_id lands in
+    # a component even without aliases
+    edges = (
+        ops.where(F.col("kind") == "alias")
+        .select(F.col("distinct_id").alias("src"), F.col("alias_id").alias("dst"))
+        .union(ops.select(F.col("distinct_id").alias("src"), F.col("distinct_id").alias("dst")))
+    )
+    components = connected_components(edges)
+
+    ops_with_comp = ops.join(
+        components.withColumnRenamed("id", "distinct_id"), "distinct_id", "left"
+    ).withColumn("comp", F.coalesce("comp", "distinct_id"))
+
+    def _row(row_type: str, **kw) -> dict:
+        base = {f.name: None for f in _FOLD_OUT.fields}
+        base["row_type"] = row_type
+        base.update(kw)
+        return base
+
+    def _alloc_key(alloc: tuple) -> tuple[int, int]:
+        # (request_seq, item_index, sub, k) → sortable pair
+        return (
+            alloc[0] * 1_000_000 + alloc[1] * 100 + alloc[2],
+            alloc[3] if len(alloc) > 3 else 0,
+        )
+
+    def _replay(key: tuple, pdf: Any) -> Any:
+        import pandas as pd
+
+        pdf = pdf.sort_values(["request_seq", "item_index", "sub"], kind="mergesort")
+
+        component = key[0]
+        store = PersonStoreReplay(component, team_id)
+        out = []
+        for row in pdf.itertuples(index=False):
+            seq_linear = (
+                int(row.request_seq) * 1_000_000 + int(row.item_index) * 100 + int(row.sub)
+            )
+            op_time = _parse_ts(row.timestamp, seq_linear)
+            seq = (int(row.request_seq), int(row.item_index), int(row.sub))
+            if row.kind == "alias":
+                _, record = store.apply_alias(row.distinct_id, row.alias_id, op_time, seq)
+            elif row.kind == "update":
+                _, record = store.apply_update(json.loads(row.update), op_time, seq)
+            else:
+                _, record = store.ensure_person(row.distinct_id, op_time, seq)
+            if row.emit:
+                pid, pcreated, pprops = snapshot_fields(record)
+                out.append(
+                    _row(
+                        "snapshot",
+                        request_seq=int(row.request_seq),
+                        item_index=int(row.item_index),
+                        person_id=pid,
+                        person_created_at=pcreated,
+                        person_properties=pprops,
+                    )
+                )
+
+        for uuid_, alloc in store.alloc_events:
+            a, b = _alloc_key(alloc)
+            out.append(_row("alloc", uuid=uuid_, alloc_a=a, alloc_b=b, alloc_c=0))
+
+        for canonical, record in store.records.items():
+            a, b = _alloc_key(record.alloc_seq or (0, 0, 0, 0))
+            out.append(
+                _row(
+                    "person",
+                    canonical_id=canonical,
+                    uuid=record.uuid,
+                    created_at=record.created_at,
+                    version=record.version,
+                    distinct_ids=json.dumps(record.distinct_ids),
+                    # map values JSON-encoded for lossless nesting
+                    # (FIXTURES.md §3)
+                    properties=json.dumps(
+                        {k: json.dumps(v, separators=(",", ":")) for k, v in record.properties.items()},
+                        separators=(",", ":"),
+                    ),
+                    properties_set_once=json.dumps(
+                        {
+                            k: json.dumps(v, separators=(",", ":"))
+                            for k, v in record.properties_set_once.items()
+                        },
+                        separators=(",", ":"),
+                    ),
+                    alloc_a=a,
+                    alloc_b=b,
+                    alloc_c=0,
+                )
+            )
+        cols = [f.name for f in _FOLD_OUT.fields]
+        return pd.DataFrame(out, columns=cols)
+
+    folded = ops_with_comp.groupBy("comp").applyInPandas(_replay, _FOLD_OUT)
+    folded = folded.cache()
+
+    snapshots = folded.where(F.col("row_type") == "snapshot").select(
+        "request_seq", "item_index", "person_id", "person_created_at", "person_properties"
+    )
+
+    allocs = folded.where(F.col("row_type") == "alloc").select(
+        F.col("uuid").alias("alloc_uuid"), "alloc_a", "alloc_b"
+    )
+    id_rank = allocs.withColumn(
+        "id", F.row_number().over(Window.orderBy("alloc_a", "alloc_b", "alloc_uuid"))
+    )
+    persons = (
+        folded.where(F.col("row_type") == "person")
+        .join(id_rank, F.col("uuid") == F.col("alloc_uuid"), "left")
+        .select(
+            "canonical_id",
+            F.col("id").cast("long").alias("id"),
+            F.lit(team_id).cast("long").alias("team_id"),
+            "uuid",
+            "created_at",
+            "version",
+            F.from_json("distinct_ids", "array<string>").alias("distinct_ids"),
+            F.from_json("properties", "map<string,string>").alias("properties_raw"),
+            F.from_json("properties_set_once", "map<string,string>").alias("set_once_raw"),
+        )
+        .withColumnRenamed("properties_raw", "properties")
+        .withColumnRenamed("set_once_raw", "properties_set_once")
+    )
+    return snapshots, persons
