@@ -12,6 +12,12 @@ Algorithm: min-label propagation with pointer jumping (path halving) —
 O(log diameter) rounds, each round two shuffles. This is the standard
 large-scale CC shape (cf. the GraphFrames/Pregel formulation) and survives
 100 TB inputs: the edge set is ~#alias-ops, tiny next to the event stream.
+
+Each round ends in `localCheckpoint(eager=True)`: iterative self-joins
+double the logical plan per round, and without truncating lineage the
+driver OOMs composing the plan long before the data is big — checkpointing
+keeps every round's plan O(1). (On a real cluster with executor loss
+concerns, swap for reliable `checkpoint()` against the cluster FS.)
 """
 
 from __future__ import annotations
@@ -31,18 +37,34 @@ def connected_components(
     Singleton nodes should be passed as self-loops (src == dst) if they must
     appear in the output.
     """
+    # Spark 4.1's LogicalRDD.fromDataset can crash rewriting constraint
+    # attributes when a checkpointed frame is referenced twice in the next
+    # plan (NoSuchElementException: key not found: id#N). Constraint
+    # propagation buys nothing for this tiny iterative subplan, so scope it
+    # off for the duration of the loop.
+    spark = edges.sparkSession
+    _cp_key = "spark.sql.constraintPropagation.enabled"
+    _cp_old = spark.conf.get(_cp_key, "true")
+    spark.conf.set(_cp_key, "false")
+    try:
+        return _cc_loop(edges, src, dst, max_iter)
+    finally:
+        spark.conf.set(_cp_key, _cp_old)
+
+
+def _cc_loop(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
     # undirected: both directions, deduped
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    sym = sym.repartition("src").cache()
+    sym = sym.repartition("src").localCheckpoint(eager=True)
 
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
@@ -56,6 +78,7 @@ def connected_components(
             .union(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
         )
         # pointer jump: comp := comp(comp) — halves pointer chains each round
         jumped = (
@@ -73,7 +96,7 @@ def connected_components(
                     F.col("a.comp"), F.coalesce(F.col("b.jcomp"), F.col("a.comp"))
                 ).alias("comp"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             jumped.alias("n")
@@ -82,10 +105,8 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = jumped
         if changed == 0:
             break
 
-    sym.unpersist()
     return labels.select("id", "comp")

@@ -1,0 +1,289 @@
+"""Correctness-gate queries exercising the hogflare-semantics operators
+against the driver's test lake, each with a DuckDB oracle.
+
+These re-route the generic `events` stream table through the REAL engine
+paths (decode → normalize → person/group folds → flag compiler), then
+reduce the outcome to an oracle-SQL-expressible shape:
+
+- hf_person_fold_state: $set / $set_once / $unset fold over per-user
+  update streams (U1/U5, persons.rs:55-74,360-379)
+- hf_group_fold_state: last-write-wins group upserts (G1, groups.rs:36-41)
+- hf_identity_components: connected components over a deterministic alias
+  graph (U8/U9 co-partitioning; DuckDB oracle = recursive CTE)
+- hf_flag_eval: compiled flag evaluation (F3/F4/F5 operators + coercion)
+  over customer contexts
+- hf_flag_rollout_buckets: sha1 rollout bucketing (F6) — DuckDB 1.0 has
+  no sha1, so this entry is rows-only here; bit-parity is enforced in
+  tests/test_flags.py against a hashlib oracle
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hogflare_spark.plans import BENCH_EXTRA, ORACLES, QUERIES, query
+from hogflare_spark.sources.readers import load_table
+
+
+def _capture_requests_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table → raw capture request rows driving the real ingest path.
+
+    Each event becomes {"event", "distinct_id", "properties": {"$set":
+    {"k": k}, "$set_once": {"first_k": k}, "$unset": ["temp"] | "$set"
+    {"temp": k}}} — even k sets temp, odd k unsets it, so every event
+    touches every key and the oracle reduces to the k at each user's
+    boundary events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    even = (k % 2) == 0
+    set_map = F.when(
+        even,
+        F.to_json(F.struct(k.alias("k"), k.alias("temp"))),
+    ).otherwise(F.to_json(F.struct(k.alias("k"))))
+    body = F.concat(
+        F.lit('{"event":"ev","distinct_id":"'),
+        F.col("user_id").cast("string"),
+        F.lit('","properties":{"$set":'),
+        set_map,
+        F.lit(',"$set_once":{"first_k":'),
+        k.cast("string"),
+        F.lit("}"),
+        F.when(even, F.lit("")).otherwise(F.lit(',"$unset":["temp"]')),
+        F.lit("}}"),
+    )
+    return ev.select(
+        F.col("event_id").alias("request_seq"),
+        F.lit("capture").alias("endpoint"),
+        body.alias("body"),
+    )
+
+
+@query(
+    "hf_person_fold_state",
+    oracle="""
+    WITH k_events AS (
+      SELECT user_id, event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ), lasts AS (
+      SELECT user_id,
+             arg_max(k, event_id) AS last_k,
+             arg_min(k, event_id) AS first_k
+      FROM k_events GROUP BY user_id
+    )
+    SELECT user_id, last_k AS k_last, first_k AS k_first,
+           CASE WHEN last_k % 2 = 0 THEN last_k END AS temp_last,
+           (SELECT count(*) FROM k_events e WHERE e.user_id = lasts.user_id) AS version
+    FROM lasts ORDER BY user_id
+    """,
+)
+def hf_person_fold_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the full ingest fold and reads back the persons table."""
+    from hogflare_spark.operators.ingest import ingest_raw_requests
+
+    raw = _capture_requests_from_events(spark, sf_dir)
+    persons = ingest_raw_requests(raw)["persons"]
+    return persons.select(
+        F.col("canonical_id").cast("long").alias("user_id"),
+        F.element_at("properties", "k").cast("long").alias("k_last"),
+        F.element_at("properties_set_once", "first_k").cast("long").alias("k_first"),
+        F.element_at("properties", "temp").cast("long").alias("temp_last"),
+        F.col("version").alias("version"),
+    ).orderBy("user_id")
+
+
+@query(
+    "hf_group_fold_state",
+    oracle="""
+    SELECT event_type AS group_key,
+           arg_max(CAST(json_extract(props, '$.k') AS BIGINT), event_id) AS k_last,
+           count(*) AS version
+    FROM events
+    GROUP BY event_type
+    ORDER BY group_key
+    """,
+)
+def hf_group_fold_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → groupidentify stream keyed by event_type → groups table."""
+    from hogflare_spark.operators.ingest import ingest_raw_requests
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    body = F.to_json(
+        F.struct(
+            F.lit("segment").alias("group_type"),
+            F.col("event_type").alias("group_key"),
+            F.struct(k.alias("k")).alias("properties"),
+        )
+    )
+    raw = ev.select(
+        F.col("event_id").alias("request_seq"),
+        F.lit("groups").alias("endpoint"),
+        body.alias("body"),
+    )
+    groups = ingest_raw_requests(raw)["groups"]
+    return groups.select(
+        F.col("group_key"),
+        F.element_at("properties", "k").cast("long").alias("k_last"),
+        F.col("version"),
+    ).orderBy("group_key")
+
+
+@query(
+    "hf_identity_components",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS id FROM customer
+    ), edges AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS src, CAST(c_custkey + 1 AS VARCHAR) AS dst
+      FROM customer
+      WHERE c_custkey % 5 <> 0 AND c_custkey + 1 <= (SELECT max(c_custkey) FROM customer)
+    ), sym AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), reach AS (
+      SELECT id, id AS comp FROM nodes
+      UNION
+      SELECT s.dst AS id, r.comp FROM sym s JOIN reach r ON s.src = r.id
+    )
+    SELECT id, min(comp) AS component
+    FROM reach GROUP BY id
+    ORDER BY CAST(id AS BIGINT)
+    """,
+)
+def hf_identity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic alias chains over custkeys → connected components.
+
+    Chains break at multiples of 5, so components are runs of ≤5 keys;
+    the oracle recomputes them with a recursive CTE. Component label =
+    lexicographic min (both sides), e.g. '10' < '9'.
+    """
+    from hogflare_spark.operators.identity import connected_components
+
+    cust = load_table(spark, sf_dir, "customer")
+    max_key = cust.agg(F.max("c_custkey")).collect()[0][0]
+    nodes = cust.select(F.col("c_custkey").cast("string").alias("id"))
+    edges = (
+        cust.where((F.col("c_custkey") % 5 != 0) & (F.col("c_custkey") + 1 <= max_key))
+        .select(
+            F.col("c_custkey").cast("string").alias("src"),
+            (F.col("c_custkey") + 1).cast("string").alias("dst"),
+        )
+    )
+    all_edges = edges.union(nodes.select(F.col("id").alias("src"), F.col("id").alias("dst")))
+    comp = connected_components(all_edges)
+    return comp.select("id", F.col("comp").alias("component")).orderBy(
+        F.col("id").cast("long")
+    )
+
+
+_FLAG_CONFIG = """
+{"flags": [
+  {"key": "rich-building",
+   "conditions": [{"properties": [
+     {"key": "segment", "value": ["BUILDING"], "operator": "in"},
+     {"key": "balance", "value": 5000, "operator": "gte"}]}],
+   "payload": {"tier": "rich"}},
+  {"key": "not-machinery",
+   "conditions": [{"properties": [
+     {"key": "segment", "value": "MACHINERY", "operator": "is_not"}]}]},
+  {"key": "low-balance-or-household",
+   "conditions": [
+     {"properties": [{"key": "balance", "value": 0, "operator": "lt"}]},
+     {"properties": [{"key": "segment", "value": "HOUSEHOLD"}]}]},
+  {"key": "name-regex",
+   "conditions": [{"properties": [
+     {"key": "name", "value": "[13579]$", "operator": "regex"}]}]}
+]}
+"""
+
+
+@query(
+    "hf_flag_eval",
+    oracle="""
+    WITH ctx AS (
+      SELECT c_custkey,
+             c_name AS name,
+             c_mktsegment AS segment,
+             c_acctbal AS balance
+      FROM customer
+    )
+    SELECT c_custkey, flag_key, value, reason, condition_index
+    FROM (
+      SELECT c_custkey, 'rich-building' AS flag_key,
+             CASE WHEN segment = 'BUILDING' AND balance >= 5000 THEN 'true' ELSE 'false' END AS value,
+             CASE WHEN segment = 'BUILDING' AND balance >= 5000 THEN 'match' ELSE 'no_match' END AS reason,
+             CASE WHEN segment = 'BUILDING' AND balance >= 5000 THEN 0 END AS condition_index
+      FROM ctx
+      UNION ALL
+      SELECT c_custkey, 'not-machinery',
+             CASE WHEN segment <> 'MACHINERY' THEN 'true' ELSE 'false' END,
+             CASE WHEN segment <> 'MACHINERY' THEN 'match' ELSE 'no_match' END,
+             CASE WHEN segment <> 'MACHINERY' THEN 0 END
+      FROM ctx
+      UNION ALL
+      SELECT c_custkey, 'low-balance-or-household',
+             CASE WHEN balance < 0 OR segment = 'HOUSEHOLD' THEN 'true' ELSE 'false' END,
+             CASE WHEN balance < 0 OR segment = 'HOUSEHOLD' THEN 'match' ELSE 'no_match' END,
+             CASE WHEN balance < 0 THEN 0 WHEN segment = 'HOUSEHOLD' THEN 1 END
+      FROM ctx
+      UNION ALL
+      SELECT c_custkey, 'name-regex',
+             CASE WHEN regexp_matches(name, '[13579]$') THEN 'true' ELSE 'false' END,
+             CASE WHEN regexp_matches(name, '[13579]$') THEN 'match' ELSE 'no_match' END,
+             CASE WHEN regexp_matches(name, '[13579]$') THEN 0 END
+      FROM ctx
+    )
+    ORDER BY c_custkey, flag_key
+    """,
+)
+def hf_flag_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compiled flag evaluation over customer contexts.
+
+    `balance` is passed as a STRING property while the filters compare
+    numerically — exercising the coercion parity path (F5).
+    """
+    from hogflare_spark.flags.compiler import evaluate_flags_df
+    from hogflare_spark.flags.model import parse_flag_config
+
+    cust = load_table(spark, sf_dir, "customer")
+    contexts = cust.select(
+        F.col("c_custkey"),
+        F.col("c_custkey").cast("string").alias("distinct_id"),
+        F.to_json(
+            F.struct(
+                F.col("c_name").alias("name"),
+                F.col("c_mktsegment").alias("segment"),
+                F.col("c_acctbal").cast("string").alias("balance"),
+            )
+        ).alias("person_properties"),
+        F.create_map().cast("map<string,string>").alias("groups"),
+        F.lit(None).cast("string").alias("group_properties"),
+    )
+    flags = parse_flag_config(_FLAG_CONFIG)
+    out = evaluate_flags_df(contexts, flags)
+    return out.select(
+        "c_custkey", "flag_key", "value", "reason", "condition_index"
+    ).orderBy("c_custkey", "flag_key")
+
+
+@query("hf_flag_rollout_buckets")  # rows-only: DuckDB 1.0 lacks sha1
+def hf_flag_rollout_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sha1 rollout bucketing over customers at 30%% — bit-parity with the
+    reference's bucket (F6) is enforced against a hashlib oracle in
+    tests/test_flags.py::test_compiled_bucket_bit_parity."""
+    from hogflare_spark.flags.compiler import bucket_expr
+
+    cust = load_table(spark, sf_dir, "customer")
+    bucket = bucket_expr("bench-flag", F.col("c_custkey").cast("string"))
+    return (
+        cust.select(
+            "c_custkey",
+            bucket.alias("bucket"),
+            (bucket < 30.0).alias("enabled"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+BENCH_EXTRA.update({"hf_person_fold_state", "hf_flag_eval"})
