@@ -1,0 +1,146 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All pure per-row Column expressions (JVM-side,
+inside whole-stage codegen — no UDFs, no shuffle), each with a DuckDB
+SQL mirror generator for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from hogflare_spark.functions import text as T
+from hogflare_spark.functions.hashing import M31, h60, h60_sql
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# Deterministic and mirrored into the oracle SQL; tie-break = first entry.
+LANG_PROFILES: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]),
+    ("de", ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"]),
+    ("es", ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"]),
+    ("fr", ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "avec"]),
+    ("zh", ["de5", "shi4", "zai4", "le5", "wo3", "you3", "he2", "ren2", "zhe4", "ta1"]),
+]
+
+FINGERPRINT_INIT = 7
+FINGERPRINT_MULT = 31
+
+
+def ws_token_count(col: Column) -> Column:
+    return F.size(T.tokens(col))
+
+
+def ws_token_count_sql(expr: str) -> str:
+    return f"len({T.tokens_sql(expr)})"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-ish pre-tokens (words + punctuation marks)."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(T.BPE_TOKEN_RE), 0))
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all(lower({expr}), '{T.BPE_TOKEN_RE}'))"
+
+
+def _stop_ratio(tok: Column, words: list[str]) -> Column:
+    hits = F.size(F.array_intersect(F.array_distinct(tok), F.array(*[F.lit(w) for w in words])))
+    return F.when(F.size(tok) > 0, hits.cast("double") / F.size(F.array_distinct(tok))).otherwise(
+        F.lit(0.0)
+    )
+
+
+def _stop_ratio_sql(tok_expr: str, words: list[str]) -> str:
+    lit = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return (
+        f"CASE WHEN len({tok_expr}) > 0 THEN "
+        f"len(list_intersect(list_distinct({tok_expr}), {lit}))::DOUBLE "
+        f"/ len(list_distinct({tok_expr})) ELSE 0.0 END"
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Predicted language: argmax stopword-hit ratio over LANG_PROFILES;
+    ties (incl. all-zero) resolve to the earliest profile. Returns the
+    profile key ('en', 'de', ...)."""
+    tok = T.tokens(col)
+    best_lang = F.lit(LANG_PROFILES[0][0])
+    best_score = _stop_ratio(tok, LANG_PROFILES[0][1])
+    for lang, words in LANG_PROFILES[1:]:
+        score = _stop_ratio(tok, words)
+        strictly_better = score > best_score
+        best_lang = F.when(strictly_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(strictly_better, score).otherwise(best_score)
+    return best_lang
+
+
+def lang_id_sql(expr: str) -> str:
+    tok = T.tokens_sql(expr)
+    sql_lang = f"'{LANG_PROFILES[0][0]}'"
+    sql_score = _stop_ratio_sql(tok, LANG_PROFILES[0][1])
+    for lang, words in LANG_PROFILES[1:]:
+        score = _stop_ratio_sql(tok, words)
+        sql_lang = f"CASE WHEN ({score}) > ({sql_score}) THEN '{lang}' ELSE ({sql_lang}) END"
+        sql_score = f"CASE WHEN ({score}) > ({sql_score}) THEN ({score}) ELSE ({sql_score}) END"
+    return sql_lang
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0, 1]:
+    0.3*length_norm + 0.3*lexical_diversity + 0.2*stopword_ratio
+    + 0.2*word_length_norm — the usual cheap pre-filter features
+    (length, diversity, stopword density, mean token length)."""
+    tok = T.tokens(col)
+    n = F.size(tok)
+    chars = F.length(col)
+    length_norm = F.least(F.lit(1.0), chars.cast("double") / 500.0)
+    diversity = F.when(n > 0, F.size(F.array_distinct(tok)).cast("double") / n).otherwise(F.lit(0.0))
+    stop = _stop_ratio(tok, LANG_PROFILES[0][1])
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(tok, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+    word_norm = F.least(F.lit(1.0), mean_len / 8.0)
+    return F.round(
+        0.3 * length_norm + 0.3 * diversity + 0.2 * stop + 0.2 * word_norm, 6
+    )
+
+
+def quality_score_sql(expr: str) -> str:
+    tok = T.tokens_sql(expr)
+    length_norm = f"least(1.0, length({expr})::DOUBLE / 500.0)"
+    diversity = (
+        f"CASE WHEN len({tok}) > 0 THEN len(list_distinct({tok}))::DOUBLE / len({tok}) "
+        f"ELSE 0.0 END"
+    )
+    stop = _stop_ratio_sql(tok, LANG_PROFILES[0][1])
+    mean_len = (
+        f"CASE WHEN len({tok}) > 0 THEN "
+        f"list_sum(list_transform({tok}, t -> length(t)))::DOUBLE / len({tok}) ELSE 0.0 END"
+    )
+    word_norm = f"least(1.0, ({mean_len}) / 8.0)"
+    return (
+        f"round(0.3 * ({length_norm}) + 0.3 * ({diversity}) "
+        f"+ 0.2 * ({stop}) + 0.2 * ({word_norm}), 6)"
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Order-sensitive rolling-hash document fingerprint: fold
+    h := (h*31 + h60(token) % M31) % M31 over the token stream, init 7.
+    Detects exact token-sequence duplicates independent of whitespace."""
+    tok = T.tokens(col)
+    return F.aggregate(
+        tok,
+        F.lit(FINGERPRINT_INIT).cast("long"),
+        lambda acc, t: (acc * FINGERPRINT_MULT + h60(t) % M31) % M31,
+    )
+
+
+def fingerprint_sql(expr: str) -> str:
+    tok = T.tokens_sql(expr)
+    return (
+        f"list_reduce(list_prepend(CAST({FINGERPRINT_INIT} AS BIGINT), "
+        f"list_transform({tok}, t -> {h60_sql('t')} % {M31})), "
+        f"(a, b) -> (a * {FINGERPRINT_MULT} + b) % {M31})"
+    )

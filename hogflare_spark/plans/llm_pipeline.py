@@ -1,0 +1,366 @@
+"""LLM training-data pipeline queries over the documents/embeddings tables,
+each oracle-checked against DuckDB (BASELINE.json north-star extensions:
+dedup, similarity search, multimodal columns, text analysis).
+
+Every oracle is GENERATED from the same constants/SQL-fragment builders the
+Spark operators use (hogflare_spark.functions.{hashing,text}), so the two
+engines execute the same algorithm — md5-derived 60-bit hashes, MinHash
+affine permutations over M31, LSH band keys, manual double-precision cosine
+— rather than a hand-written approximation of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hogflare_spark.functions import text as T
+from hogflare_spark.functions.hashing import M31, h60_sql
+from hogflare_spark.operators import text_analysis as TA
+from hogflare_spark.operators.dedup import (
+    BANDS,
+    NUM_PERM,
+    ROWS_PER_BAND,
+    SHINGLE_K,
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    simhash_sketches,
+)
+from hogflare_spark.operators.multimodal import (
+    extract_features,
+    media_frame_from_documents,
+    sample_frames,
+)
+from hogflare_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
+from hogflare_spark.plans import BENCH_EXTRA, query
+from hogflare_spark.sources.readers import load_table
+
+MINHASH_THRESHOLD = 0.85
+NGRAM_THRESHOLD = 0.5
+EMBED_THRESHOLD = 0.4
+TOPK = 5
+
+# ---------------------------------------------------------------- SQL mirrors
+
+_TOK = T.tokens_sql("text")
+_SK_CTE = (
+    f"sk AS (SELECT doc_id AS id, "
+    f"list_distinct({T.shingle_hashes_sql(T.shingles_sql(_TOK, SHINGLE_K))}) AS hs "
+    f"FROM documents)"
+)
+
+# manual double-precision cosine — same arithmetic order as the Spark
+# zip_with/aggregate fold, so boundary decisions agree bit-for-bit
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> ({a}[i])::DOUBLE * ({b}[i])::DOUBLE))"
+    )
+    na = (
+        f"sqrt(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> ({a}[i])::DOUBLE * ({a}[i])::DOUBLE)))"
+    )
+    nb = (
+        f"sqrt(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> ({b}[i])::DOUBLE * ({b}[i])::DOUBLE)))"
+    )
+    return f"CASE WHEN {na} > 0 AND {nb} > 0 THEN {dot} / ({na} * {nb}) ELSE 0.0 END"
+
+
+# ------------------------------------------------------------------- queries
+
+
+@query(
+    "llm_exact_dedup",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id AS id, {h60_sql('text')} AS content_hash FROM documents
+    ), g AS (
+      SELECT content_hash, min(id) AS keeper_id, count(*) AS group_size
+      FROM h GROUP BY content_hash
+    )
+    SELECT h.id, h.content_hash, g.group_size, h.id = g.keeper_id AS is_keeper
+    FROM h JOIN g USING (content_hash)
+    ORDER BY h.id
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").orderBy("id")
+
+
+@query(
+    "llm_minhash_near_dups",
+    oracle=f"""
+    WITH {_SK_CTE},
+    sig AS (SELECT id, {T.minhash_signature_sql('hs', NUM_PERM)} AS sig FROM sk),
+    bk AS (SELECT id, unnest({T.band_keys_sql('sig', BANDS, ROWS_PER_BAND)}) AS band_key FROM sig),
+    ok_buckets AS (
+      SELECT band_key FROM bk GROUP BY band_key
+      HAVING count(*) > 1 AND count(*) <= 1000
+    ),
+    bb AS (SELECT bk.id, bk.band_key FROM bk JOIN ok_buckets USING (band_key)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bb a JOIN bb b ON a.band_key = b.band_key AND a.id < b.id
+    ),
+    ver AS (
+      SELECT id_a, id_b, {T.jaccard_sql('sa.hs', 'sb.hs')} AS j
+      FROM cand
+      JOIN sk sa ON sa.id = cand.id_a
+      JOIN sk sb ON sb.id = cand.id_b
+    )
+    SELECT id_a, id_b, round(j, 6) AS jaccard
+    FROM ver WHERE j >= {MINHASH_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, "text", "doc_id", MINHASH_THRESHOLD)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "llm_simhash_sketches",
+    oracle=f"""
+    WITH {_SK_CTE}
+    SELECT id, {T.simhash_sql('hs')} AS simhash FROM sk ORDER BY id
+    """,
+)
+def llm_simhash_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_sketches(docs, "text", "doc_id").orderBy("id")
+
+
+def _simhash_bands_sql(expr: str, bits: int = 32, band_bits: int = 8) -> str:
+    parts = [
+        f"'{j}:' || ((({expr} >> {j * band_bits}) & {(1 << band_bits) - 1})::VARCHAR)"
+        for j in range(bits // band_bits)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+@query(
+    "llm_simhash_near_dups",
+    oracle=f"""
+    WITH {_SK_CTE},
+    sh AS (SELECT id, {T.simhash_sql('hs')} AS simhash FROM sk),
+    bk AS (SELECT id, simhash, unnest({_simhash_bands_sql('simhash')}) AS bkey FROM sh),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sim_a, b.simhash AS sim_b
+      FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.id < b.id
+    )
+    SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "llm_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SK_CTE}
+    SELECT a.id AS id_a, b.id AS id_b,
+           round({T.jaccard_sql('a.hs', 'b.hs')}, 6) AS jaccard
+    FROM sk a JOIN sk b ON a.id < b.id
+    WHERE {T.jaccard_sql('a.hs', 'b.hs')} >= {NGRAM_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index set-similarity join; the oracle recomputes the same
+    pairs with a naive all-pairs plan — two strategies, one result."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", NGRAM_THRESHOLD)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "llm_embedding_near_dups",
+    oracle=f"""
+    WITH cos AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_cos_sql('a.embedding', 'b.embedding')}, 9) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(sim, 6) AS sim
+    FROM cos WHERE sim >= {EMBED_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, EMBED_THRESHOLD)
+    return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "llm_ann_topk",
+    oracle=f"""
+    WITH cos AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_cos_sql('a.embedding', 'b.embedding')}, 9) AS sim
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM cos
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+    FROM r WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    out = brute_force_topk(q, emb, TOPK)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim")
+    ).orderBy("query_id", "rank")
+
+
+@query("llm_ann_lsh_topk")  # rows-only: approximate by construction;
+# recall vs the exact result is gated in tests/test_llm_pipeline.py
+def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    return lsh_ann_topk(q, emb, TOPK, dim=64).orderBy("query_id", "rank")
+
+
+@query(
+    "llm_lang_id",
+    oracle=f"""
+    SELECT doc_id, {TA.lang_id_sql('text')} AS pred_lang, lang AS labeled_lang,
+           ({TA.lang_id_sql('text')}) = lang AS agree
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = TA.lang_id(F.col("text"))
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        F.col("lang").alias("labeled_lang"),
+        (pred == F.col("lang")).alias("agree"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "llm_quality_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           {TA.ws_token_count_sql('text')} AS ws_tokens,
+           {TA.bpe_token_count_sql('text')} AS bpe_tokens,
+           {TA.quality_score_sql('text')} AS quality
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TA.ws_token_count(F.col("text")).alias("ws_tokens"),
+        TA.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        TA.quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "llm_fingerprint_dedup",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, {TA.fingerprint_sql('text')} AS fingerprint FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           count(*) OVER (PARTITION BY fingerprint) AS fp_group_size
+    FROM fp ORDER BY doc_id
+    """,
+)
+def llm_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", TA.fingerprint(F.col("text")).alias("fingerprint"))
+    return fp.withColumn(
+        "fp_group_size", F.count("*").over(Window.partitionBy("fingerprint"))
+    ).orderBy("doc_id")
+
+
+@query(
+    "llm_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           length(text) AS byte_len,
+           md5(text) AS checksum,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(length(text) % 640 + 1 AS INTEGER)
+                WHEN doc_id % 3 = 2 THEN CAST(length(text) % 1920 + 1 AS INTEGER)
+           END AS width,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(length(text) % 480 + 1 AS INTEGER)
+                WHEN doc_id % 3 = 2 THEN CAST(length(text) % 1080 + 1 AS INTEGER)
+           END AS height,
+           CASE WHEN doc_id % 3 = 1 THEN CAST(length(text) % 16000 + 1 AS INTEGER)
+                WHEN doc_id % 3 = 2 THEN CAST(length(text) % 24 + 1 AS INTEGER)
+           END AS n_frames
+    FROM documents ORDER BY media_id
+    """,
+)
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns + Arrow-batched mapInPandas feature extraction
+    (deterministic fake decoder; text bytes stand in for media payloads)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_frame_from_documents(docs)
+    return extract_features(media, fake=True).orderBy("media_id")
+
+
+@query(
+    "llm_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           len(generate_series(0, length(text) - 1, 64)) AS n_sampled,
+           64 * (len(generate_series(0, length(text) - 1, 64)) - 1) AS max_offset
+    FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id
+    """,
+)
+def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_frame_from_documents(docs)
+    frames = sample_frames(media, every_n_bytes=64)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.max("byte_offset").alias("max_offset"),
+        )
+        .orderBy("media_id")
+    )
+
+
+BENCH_EXTRA.update(
+    {"llm_minhash_near_dups", "llm_ann_topk", "llm_exact_dedup", "llm_quality_tokens"}
+)
