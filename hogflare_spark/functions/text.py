@@ -60,21 +60,34 @@ def shingle_hashes_sql(sh_expr: str) -> str:
     return f"list_transform({sh_expr}, s -> {h60_sql('s')} % {M31})"
 
 
-def _perm_min(hs: Column, a: int, b: int) -> Column:
-    # closure factory: binds (a, b) without polluting the lambda's arity,
-    # which PySpark inspects to build the higher-order function
-    return F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % M31))
-
-
 def minhash_signature(hs: Column, num_perm: int) -> Column:
     """Array of num_perm MinHash values from a shingle-hash array.
 
-    Entirely per-row: num_perm affine-min scans of the hash array, no
-    shuffle. Empty shingle set → all-M31 sentinel signature.
+    Entirely per-row and single-pass: one `aggregate` over the hash array
+    whose accumulator is the whole signature, updated element-wise with
+    `zip_with` against the permutation-coefficient constant array. (The
+    naive form — num_perm separate array_min(transform(...)) columns —
+    produces an expression tree that takes seconds to codegen; this form
+    is one small expression and one scan.) Empty shingle set → all-M31
+    sentinel signature. min is order-insensitive, so the per-perm
+    list_aggregate('min') oracle SQL computes the identical result.
     """
-    mins = [_perm_min(hs, a, b) for a, b in perm_coeffs(num_perm)]
-    sig = F.array(*[F.coalesce(m, F.lit(M31).cast("long")) for m in mins])
-    return sig
+    coeffs = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
+            )
+            for a, b in perm_coeffs(num_perm)
+        ]
+    )
+    init = F.array_repeat(F.lit(M31).cast("long"), num_perm)
+    return F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, coeffs, lambda m, c: F.least(m, (c["a"] * h + c["b"]) % M31)
+        ),
+    )
 
 
 def minhash_signature_sql(hs_expr: str, num_perm: int) -> str:
@@ -87,16 +100,32 @@ def minhash_signature_sql(hs_expr: str, num_perm: int) -> str:
 
 
 def band_keys(sig: Column, bands: int, rows: int) -> Column:
-    """LSH banding: array of `bands` strings 'band_idx:v1,v2,...'."""
-    keys = [
-        F.concat_ws(
-            ":",
-            F.lit(str(j)),
-            F.concat_ws(",", F.transform(F.slice(sig, j * rows + 1, rows), lambda x: x.cast("string"))),
+    """LSH banding: array of `bands` strings 'band_idx:v1,v2,...'.
+
+    The signature expression is let-bound via a 1-element-array transform:
+    without it, CollapseProject inlines the (expensive) signature aggregate
+    into every band-key expression, recomputing it `bands` times per row
+    and bloating codegen. The lambda variable makes it evaluate once.
+    """
+
+    def keys_of(s: Column) -> Column:
+        return F.array(
+            *[
+                F.concat_ws(
+                    ":",
+                    F.lit(str(j)),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(s, j * rows + 1, rows), lambda x: x.cast("string")
+                        ),
+                    ),
+                )
+                for j in range(bands)
+            ]
         )
-        for j in range(bands)
-    ]
-    return F.array(*keys)
+
+    return F.element_at(F.transform(F.array(sig), keys_of), 1)
 
 
 def band_keys_sql(sig_expr: str, bands: int, rows: int) -> str:
@@ -107,23 +136,35 @@ def band_keys_sql(sig_expr: str, bands: int, rows: int) -> str:
     return "[" + ", ".join(parts) + "]"
 
 
-def _bit_vote(hs: Column, b: int) -> Column:
-    # closure factory (see _perm_min) for the per-bit +1/-1 vote sum
-    return F.aggregate(
-        hs,
-        F.lit(0).cast("long"),
-        lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
-    )
-
-
 def simhash(hs: Column, bits: int = 32) -> Column:
     """SimHash sketch over shingle hashes: bit b set iff the +1/-1 vote of
-    all hashes' bit b sums positive (Charikar 2002). Per-row expression."""
-    total = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = _bit_vote(hs, b)
-        total = total + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-    return total
+    all hashes' bit b sums positive (Charikar 2002).
+
+    Single-pass like minhash_signature: the accumulator is the array of
+    per-bit vote sums, updated via zip_with against the bit-power constant
+    array. Bit extraction uses floor(h / 2^b) % 2 (h < 2^31 so the double
+    division is exact) because shiftright needs a literal shift amount.
+    """
+    powers = F.array(*[F.lit(float(1 << b)) for b in range(bits)])
+    init = F.array_repeat(F.lit(0).cast("long"), bits)
+    votes = F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda v, p: v + (F.floor(h / p).cast("long") % 2) * 2 - 1,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p.cast("long")).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_sql(hs_expr: str, bits: int = 32) -> str:

@@ -58,7 +58,14 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 def with_shingle_hashes(
     df: DataFrame, text_col: str, id_col: str, k: int = SHINGLE_K
 ) -> DataFrame:
-    """(id, shingle_hashes) — the per-row, shuffle-free sketch input."""
+    """(id, shingle_hashes) — the per-row, shuffle-free sketch input.
+
+    fan_out parallelizes the CPU-heavy sketching when the source is a
+    single-split file (no-op on well-partitioned inputs).
+    """
+    from hogflare_spark.operators.partitioning import fan_out
+
+    df = fan_out(df.select(id_col, text_col))
     return df.select(
         F.col(id_col).alias("id"),
         # array_distinct: the hash array must be a true set so that the

@@ -47,10 +47,14 @@ def brute_force_topk(
     Deterministic: rank on (round(sim, 9) desc, neighbor_id asc) so FP
     noise in the last bits can't reorder ties. Self-matches excluded.
     """
+    from hogflare_spark.operators.partitioning import fan_out
+
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = fan_out(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    )
     scored = (
         c.crossJoin(q)
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -80,8 +84,10 @@ def embedding_near_dup_pairs(
     path is lsh_ann_topk's bucketing: restrict the pair join to matching
     LSH buckets (same mechanism, pair-shaped output).
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    from hogflare_spark.operators.partitioning import fan_out
+
+    a = fan_out(df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")))
+    b = F.broadcast(df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
@@ -140,11 +146,13 @@ def lsh_ann_topk(
     Output schema matches brute_force_topk; recall is probabilistic (see
     tests/test_llm_pipeline.py for the recall gate on clustered data).
     """
+    from hogflare_spark.operators.partitioning import fan_out
+
     planes = hyperplanes(num_planes, dim)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    c = fan_out(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))).select(
+        "neighbor_id",
+        "cv",
+        _bucket_expr(F.col("cv"), planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

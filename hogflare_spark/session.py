@@ -50,6 +50,13 @@ def get_spark(
         # convert in the reader (sources/readers.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # The test lake is one small parquet file per table; at the default
+        # 128 MB split size every scan is a single task and CPU-heavy
+        # per-row operators (minhash sketches, cosine scoring) serialize on
+        # one core. 4 MB splits parallelize them across local[N] without
+        # any shuffle. On a real cluster with many files this is moot but
+        # harmless (openCostInBytes still batches tiny files).
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
