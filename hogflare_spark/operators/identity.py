@@ -59,6 +59,10 @@ def _cc_loop(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
     # undirected: both directions, deduped
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     sym = sym.repartition("src").localCheckpoint(eager=True)
+    if sym.isEmpty():
+        # no edges at all (common: ingest batches without alias ops) — skip
+        # the fixpoint loop entirely
+        return sym.select(F.col("src").alias("id"), F.col("dst").alias("comp"))
 
     labels = (
         sym.select(F.col("src").alias("id"))

@@ -149,12 +149,14 @@ def fold_person_state(
 
     ops = derive_person_ops(commands)
 
-    # identity graph: alias edges + self-loops so every distinct_id lands in
-    # a component even without aliases
-    edges = (
-        ops.where(F.col("kind") == "alias")
-        .select(F.col("distinct_id").alias("src"), F.col("alias_id").alias("dst"))
-        .union(ops.select(F.col("distinct_id").alias("src"), F.col("distinct_id").alias("dst")))
+    # identity graph: alias edges ONLY. Singleton distinct_ids don't need to
+    # pass through the CC loop — the left join below coalesces them to their
+    # own id. This keeps the iterative CC input at ~#alias-ops (tiny) instead
+    # of ~#ops (the event stream), which is the difference between a
+    # constant-size fixpoint loop and one shuffling the whole stream per
+    # round at 100 TB.
+    edges = ops.where(F.col("kind") == "alias").select(
+        F.col("distinct_id").alias("src"), F.col("alias_id").alias("dst")
     )
     components = connected_components(edges)
 
