@@ -155,7 +155,32 @@ def _parse_ts(value: str | None, fallback_seq: int) -> datetime:
     return synthetic_time(fallback_seq)
 
 
-def fold_group_state(commands: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _seed_group_ops(prior_groups: DataFrame) -> DataFrame:
+    """Prior groups table → seed op rows (request_seq=-1, before real ops)."""
+    payload = F.to_json(
+        F.struct(
+            F.date_format("created_at", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx").alias(
+                "created_at"
+            ),
+            F.col("version"),
+            F.col("properties"),
+        )
+    )
+    return prior_groups.select(
+        F.lit(-1).cast("long").alias("request_seq"),
+        F.lit(0).cast("long").alias("item_index"),
+        F.lit(0).cast("long").alias("sub"),
+        F.lit("seed").alias("kind"),
+        "group_type",
+        "group_key",
+        payload.alias("props"),
+        F.lit(None).cast("string").alias("timestamp"),
+    )
+
+
+def fold_group_state(
+    commands: DataFrame, prior_groups: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Returns (results, groups_table).
 
     results: one row per (event, group_type) the event touches for output —
@@ -163,8 +188,13 @@ def fold_group_state(commands: DataFrame) -> tuple[DataFrame, DataFrame]:
     with `props` = the group's property bag at that point, `present` =
     record existed.
     groups_table: final state per GROUP_SCHEMA.
+
+    `prior_groups` (streaming incremental folds): GROUP_SCHEMA frame seeded
+    into the replay before this batch's ops.
     """
     ops = derive_group_ops(commands)
+    if prior_groups is not None:
+        ops = ops.unionByName(_seed_group_ops(prior_groups))
 
     def _replay(key: tuple, pdf: Any) -> Any:
         import pandas as pd
@@ -179,6 +209,17 @@ def fold_group_state(commands: DataFrame) -> tuple[DataFrame, DataFrame]:
                 + int(row.item_index) * 100
                 + min(int(row.sub), 99)
             )
+            if row.kind == "seed":
+                payload = json.loads(row.props)
+                record = {
+                    "created_at": datetime.fromisoformat(payload["created_at"]),
+                    "version": int(payload["version"]),
+                    # table values are JSON-encoded for lossless nesting
+                    "props": {
+                        k: json.loads(v) for k, v in payload["properties"].items()
+                    },
+                }
+                continue
             if row.kind in ("update", "gi_update"):
                 if record is None:
                     record = {

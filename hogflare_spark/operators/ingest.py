@@ -66,18 +66,21 @@ def ingest_commands(
     commands: DataFrame,
     team_id: int | None = None,
     group_types: tuple[str | None, ...] = DEFAULT_GROUP_TYPES,
+    prior_persons: DataFrame | None = None,
+    prior_groups: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Ingest-command rows (normalize.COMMAND_SCHEMA) → governed tables.
 
-    Returns {"events": ..., "persons": ..., "groups": ...}.
+    Returns {"events": ..., "persons": ..., "groups": ...}. The prior_*
+    frames seed the state folds (streaming incremental processing).
     """
     from hogflare_spark.operators.group_state import fold_group_state
     from hogflare_spark.operators.person_state import fold_person_state
 
     commands = commands.cache()
 
-    snapshots, persons = fold_person_state(commands, team_id)
-    group_results, groups_table = fold_group_state(commands)
+    snapshots, persons = fold_person_state(commands, team_id, prior_persons)
+    group_results, groups_table = fold_group_state(commands, prior_groups)
 
     seq = ["request_seq", "item_index"]
 
@@ -193,6 +196,8 @@ def ingest_raw_requests(
     team_id: int | None = None,
     group_types: tuple[str | None, ...] = DEFAULT_GROUP_TYPES,
     body_col: str = "body",
+    prior_persons: DataFrame | None = None,
+    prior_groups: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Full path: raw HTTP-shaped rows → {events, persons, groups}."""
     from hogflare_spark.operators.normalize import normalize_items
@@ -200,7 +205,13 @@ def ingest_raw_requests(
 
     decoded = decode_requests(raw, body_col=body_col)
     commands = normalize_items(decoded)
-    return ingest_commands(commands, team_id=team_id, group_types=group_types)
+    return ingest_commands(
+        commands,
+        team_id=team_id,
+        group_types=group_types,
+        prior_persons=prior_persons,
+        prior_groups=prior_groups,
+    )
 
 
 def events_only(events: DataFrame) -> DataFrame:

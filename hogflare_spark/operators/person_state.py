@@ -66,6 +66,7 @@ _FOLD_OUT = StructType(
         StructField("alloc_a", LongType(), True),
         StructField("alloc_b", LongType(), True),
         StructField("alloc_c", LongType(), True),
+        StructField("prior_id", LongType(), True),
     ]
 )
 
@@ -136,18 +137,59 @@ def derive_person_ops(commands: DataFrame) -> DataFrame:
     return alias_ops.unionByName(auto_alias_ops).unionByName(update_ops)
 
 
+def _seed_ops(prior_persons: DataFrame) -> DataFrame:
+    """Prior persons table → seed op rows (kind='seed', request_seq=-1,
+    sorted before every real op). The record is serialized whole into the
+    `update` slot and reconstructed by PersonStoreReplay.load_record."""
+    payload = F.to_json(
+        F.struct(
+            F.col("uuid"),
+            F.date_format("created_at", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx").alias(
+                "created_at"
+            ),
+            F.col("version"),
+            F.col("distinct_ids"),
+            F.col("properties"),
+            F.col("properties_set_once"),
+            F.col("id"),
+            F.col("team_id"),
+        )
+    )
+    return prior_persons.select(
+        F.lit(-1).cast("long").alias("request_seq"),
+        F.lit(0).cast("long").alias("item_index"),
+        F.lit(0).alias("sub"),
+        F.lit("seed").alias("kind"),
+        F.col("canonical_id").alias("distinct_id"),
+        F.lit(None).cast("string").alias("alias_id"),
+        payload.alias("update"),
+        F.lit(None).cast("string").alias("timestamp"),
+        F.lit(False).alias("emit"),
+    )
+
+
 def fold_person_state(
-    commands: DataFrame, team_id: int | None = None
+    commands: DataFrame,
+    team_id: int | None = None,
+    prior_persons: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (snapshots, persons).
 
     snapshots: (request_seq, item_index, person_id, person_created_at,
     person_properties) — join back to events on the seq pair.
     persons: final state table per PERSON_SCHEMA.
+
+    `prior_persons` (streaming incremental folds): a PERSON_SCHEMA frame
+    whose records are seeded into the replay before this batch's ops —
+    their distinct_ids contribute identity edges so ops touching any of a
+    record's ids land in its component, and their sequential ids survive
+    (new allocations continue above the prior max).
     """
     from hogflare_spark.operators.identity import connected_components
 
     ops = derive_person_ops(commands)
+    if prior_persons is not None:
+        ops = ops.unionByName(_seed_ops(prior_persons))
 
     # identity graph: alias edges ONLY. Singleton distinct_ids don't need to
     # pass through the CC loop — the left join below coalesces them to their
@@ -158,6 +200,15 @@ def fold_person_state(
     edges = ops.where(F.col("kind") == "alias").select(
         F.col("distinct_id").alias("src"), F.col("alias_id").alias("dst")
     )
+    if prior_persons is not None:
+        # a prior record's distinct_ids are identity edges: new ops touching
+        # any of them must land in the record's component
+        edges = edges.union(
+            prior_persons.select(
+                F.col("canonical_id").alias("src"),
+                F.explode("distinct_ids").alias("dst"),
+            )
+        )
     components = connected_components(edges)
 
     ops_with_comp = ops.join(
@@ -191,6 +242,9 @@ def fold_person_state(
             )
             op_time = _parse_ts(row.timestamp, seq_linear)
             seq = (int(row.request_seq), int(row.item_index), int(row.sub))
+            if row.kind == "seed":
+                store.load_record(row.distinct_id, json.loads(row.update))
+                continue
             if row.kind == "alias":
                 _, record = store.apply_alias(row.distinct_id, row.alias_id, op_time, seq)
             elif row.kind == "update":
@@ -240,6 +294,7 @@ def fold_person_state(
                     alloc_a=a,
                     alloc_b=b,
                     alloc_c=0,
+                    prior_id=record.prior_id,
                 )
             )
         cols = [f.name for f in _FOLD_OUT.fields]
@@ -255,15 +310,29 @@ def fold_person_state(
     allocs = folded.where(F.col("row_type") == "alloc").select(
         F.col("uuid").alias("alloc_uuid"), "alloc_a", "alloc_b"
     )
-    id_rank = allocs.withColumn(
-        "id", F.row_number().over(Window.orderBy("alloc_a", "alloc_b", "alloc_uuid"))
+    # new allocations continue above the prior max id (seeded records keep
+    # their stored id via prior_id)
+    if prior_persons is not None:
+        max_prior = prior_persons.agg(
+            F.coalesce(F.max("id"), F.lit(0)).cast("long").alias("_max_prior")
+        )
+    else:
+        max_prior = folded.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("_max_prior")
+        )
+    id_rank = (
+        allocs.withColumn(
+            "rank", F.row_number().over(Window.orderBy("alloc_a", "alloc_b", "alloc_uuid"))
+        )
+        .crossJoin(F.broadcast(max_prior))
+        .select("alloc_uuid", (F.col("rank") + F.col("_max_prior")).alias("new_id"))
     )
     persons = (
         folded.where(F.col("row_type") == "person")
         .join(id_rank, F.col("uuid") == F.col("alloc_uuid"), "left")
         .select(
             "canonical_id",
-            F.col("id").cast("long").alias("id"),
+            F.coalesce(F.col("prior_id"), F.col("new_id")).cast("long").alias("id"),
             F.lit(team_id).cast("long").alias("team_id"),
             "uuid",
             "created_at",

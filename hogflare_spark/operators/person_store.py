@@ -57,6 +57,7 @@ class PersonRecord:
         "properties",
         "properties_set_once",
         "alloc_seq",
+        "prior_id",  # sequential id carried from seeded (prior-state) records
     )
 
     def __init__(self, distinct_id: str, team_id, created_at: datetime, uuid: str):
@@ -68,6 +69,7 @@ class PersonRecord:
         self.properties: dict = {}
         self.properties_set_once: dict = {}
         self.alloc_seq: tuple | None = None  # set on first touch (id allocation)
+        self.prior_id: int | None = None
         self.ensure_distinct_id(distinct_id)
 
     def ensure_distinct_id(self, distinct_id: str) -> None:
@@ -106,6 +108,9 @@ class PersonRecord:
             if k in merged.properties or k in merged.properties_set_once:
                 continue
             merged.properties_set_once[k] = v
+        # merged keeps the primary record's identity (incl. its sequential
+        # id — persons.rs:76-110 mutates the primary in place); clone()
+        # already carried primary.prior_id, so nothing from secondary.
         merged.version += 1
         return merged
 
@@ -127,6 +132,7 @@ class PersonRecord:
         c.properties = dict(self.properties)
         c.properties_set_once = dict(self.properties_set_once)
         c.alloc_seq = self.alloc_seq
+        c.prior_id = self.prior_id
         return c
 
 
@@ -238,6 +244,29 @@ class PersonStoreReplay:
     def get_snapshot(self, distinct_id: str):
         canonical = self.resolve(distinct_id)
         return canonical, self.records.get(canonical)
+
+    def load_record(self, canonical: str, payload: dict) -> None:
+        """Seed prior state (streaming incremental folds): reconstruct a
+        record exactly as the previous micro-batch persisted it. The
+        sentinel alloc_seq marks the id as already allocated, so no new
+        allocation event is emitted and the stored sequential id survives
+        via prior_id."""
+        record = PersonRecord.__new__(PersonRecord)
+        record.team_id = payload.get("team_id", self.team_id)
+        record.uuid = payload["uuid"]
+        record.created_at = datetime.fromisoformat(payload["created_at"])
+        record.version = int(payload["version"])
+        record.distinct_ids = list(payload["distinct_ids"])
+        record.properties = {k: json.loads(v) for k, v in payload["properties"].items()}
+        record.properties_set_once = {
+            k: json.loads(v) for k, v in payload["properties_set_once"].items()
+        }
+        record.alloc_seq = (-1, -1, -1, -1)
+        record.prior_id = payload.get("id")
+        self.records[canonical] = record
+        for did in record.distinct_ids:
+            if did != canonical:
+                self.redirects[did] = canonical
 
 
 def snapshot_fields(record: PersonRecord | None):

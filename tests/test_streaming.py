@@ -1,0 +1,219 @@
+"""Structured Streaming tests: incremental foreachBatch ingest equals the
+batch fold over the same input; per-key stateful operator; watermarked
+windowed aggregation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _write_batch(landing_dir: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(landing_dir, exist_ok=True)
+    path = os.path.join(landing_dir, name)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        for row in rows:
+            fh.write(json.dumps(row) + "\n")
+    os.replace(tmp, path)
+
+
+def _capture(seq: int, distinct_id: str, props: dict | None = None) -> dict:
+    body = {"event": "ev", "distinct_id": distinct_id}
+    if props:
+        body["properties"] = props
+    return {"request_seq": seq, "endpoint": "capture", "body": json.dumps(body)}
+
+
+def _alias(seq: int, distinct_id: str, alias: str) -> dict:
+    return {
+        "request_seq": seq,
+        "endpoint": "alias",
+        "body": json.dumps({"distinct_id": distinct_id, "alias": alias}),
+    }
+
+
+BATCH1 = [
+    _capture(1, "anon-1", {"$set": {"plan": "free"}}),
+    _capture(2, "anon-2", {"$set": {"team": "red"}, "$set_once": {"first": "a"}}),
+]
+BATCH2 = [
+    # cross-micro-batch identity merge: user-1 absorbs anon-1's record
+    _alias(3, "user-1", "anon-1"),
+    _capture(4, "user-1", {"$set": {"plan": "pro"}}),
+    _capture(5, "anon-2", {"$set_once": {"first": "b"}, "$unset": ["team"]}),
+]
+
+
+def test_streaming_ingest_matches_batch_fold(spark, tmp_path):
+    from hogflare_spark.operators.ingest import ingest_raw_requests
+    from hogflare_spark.streaming.ingest_stream import (
+        StreamingIngestJob,
+        read_request_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    warehouse = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+
+    job = StreamingIngestJob(warehouse)
+
+    _write_batch(landing, "b1.json", BATCH1)
+    job.run_available_now(read_request_stream(spark, landing), ckpt)
+    _write_batch(landing, "b2.json", BATCH2)
+    job.run_available_now(read_request_stream(spark, landing), ckpt)
+
+    stream_persons = {
+        r["canonical_id"]: r for r in job.read_persons(spark).collect()
+    }
+
+    batch_raw = spark.createDataFrame(
+        [Row(request_seq=r["request_seq"], endpoint=r["endpoint"], body=r["body"])
+         for r in BATCH1 + BATCH2]
+    )
+    batch_persons = {
+        r["canonical_id"]: r
+        for r in ingest_raw_requests(batch_raw)["persons"].collect()
+    }
+
+    assert set(stream_persons) == set(batch_persons)
+    for cid, want in batch_persons.items():
+        got = stream_persons[cid]
+        assert sorted(got["distinct_ids"]) == sorted(want["distinct_ids"]), cid
+        assert got["properties"] == want["properties"], cid
+        assert got["properties_set_once"] == want["properties_set_once"], cid
+        assert got["version"] == want["version"], cid
+
+    # the merged identity: user-1 canonical, plan=pro, both distinct_ids
+    merged = stream_persons["user-1"]
+    assert json.loads(merged["properties"]["plan"]) == "pro"
+    assert set(merged["distinct_ids"]) == {"user-1", "anon-1"}
+    # anon-2's $set_once first=a survived batch2's first=b; team unset
+    a2 = stream_persons["anon-2"]
+    assert json.loads(a2["properties_set_once"]["first"]) == "a"
+    assert "team" not in a2["properties"]
+
+    # events landed date-partitioned, one row per item
+    events = spark.read.parquet(os.path.join(warehouse, "events"))
+    assert events.count() == len(BATCH1 + BATCH2)
+    assert "event_date" in events.columns
+
+
+def test_streaming_sequential_ids_continue_across_batches(spark, tmp_path):
+    from hogflare_spark.streaming.ingest_stream import (
+        StreamingIngestJob,
+        read_request_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    job = StreamingIngestJob(str(tmp_path / "wh"))
+
+    _write_batch(landing, "b1.json", [_capture(1, "a"), _capture(2, "b")])
+    job.run_available_now(read_request_stream(spark, landing), str(tmp_path / "ck"))
+    ids1 = {r["canonical_id"]: r["id"] for r in job.read_persons(spark).collect()}
+
+    _write_batch(landing, "b2.json", [_capture(3, "c"), _capture(4, "a")])
+    job.run_available_now(read_request_stream(spark, landing), str(tmp_path / "ck"))
+    ids2 = {r["canonical_id"]: r["id"] for r in job.read_persons(spark).collect()}
+
+    # prior ids stable, new id continues the sequence
+    assert ids2["a"] == ids1["a"] and ids2["b"] == ids1["b"]
+    assert ids2["c"] == max(ids1.values()) + 1
+
+
+def test_stateful_person_snapshots_operator(spark, tmp_path):
+    from hogflare_spark.streaming.ingest_stream import stateful_person_snapshots
+
+    src = str(tmp_path / "cmds")
+    out_rows = []
+
+    cmds = [
+        {"request_seq": 1, "item_index": 0, "distinct_id": "u1",
+         "person_update": json.dumps({"set": {"a": 1}})},
+        {"request_seq": 2, "item_index": 0, "distinct_id": "u1",
+         "person_update": json.dumps({"set_once": {"a": 9, "b": 2}})},
+        {"request_seq": 3, "item_index": 0, "distinct_id": "u2",
+         "person_update": json.dumps({"set": {"x": True}})},
+    ]
+    _write_batch(src, "c1.json", cmds)
+
+    schema = "request_seq long, item_index long, distinct_id string, person_update string"
+    stream = spark.readStream.schema(schema).json(src)
+    snaps = stateful_person_snapshots(stream)
+
+    q = (
+        snaps.writeStream.foreachBatch(
+            lambda df, _id: out_rows.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    by_seq = {r["request_seq"]: r for r in out_rows}
+    assert len(by_seq) == 3
+    # post-update snapshots: set wins over set_once; set_once a ignored
+    assert json.loads(by_seq[1]["person_properties"]) == {"a": 1}
+    assert json.loads(by_seq[2]["person_properties"]) == {"a": 1, "b": 2}
+    assert by_seq[2]["person_version"] == 2
+    assert json.loads(by_seq[3]["person_properties"]) == {"x": True}
+
+    # second micro-batch resumes state from the store
+    _write_batch(src, "c2.json", [
+        {"request_seq": 4, "item_index": 0, "distinct_id": "u1",
+         "person_update": json.dumps({"unset": ["a"]})},
+    ])
+    q = (
+        spark.readStream.schema(schema).json(src)
+        .transform(stateful_person_snapshots)
+        .writeStream.foreachBatch(lambda df, _id: out_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    by_seq = {r["request_seq"]: r for r in out_rows}
+    assert json.loads(by_seq[4]["person_properties"]) == {"b": 2}
+    assert by_seq[4]["person_version"] == 3
+
+
+def test_windowed_event_counts_watermark(spark, tmp_path):
+    from hogflare_spark.streaming.ingest_stream import windowed_event_counts
+
+    src = str(tmp_path / "ev")
+    rows = [
+        {"event": "a", "created_at": "2025-01-01T00:00:10Z"},
+        {"event": "a", "created_at": "2025-01-01T00:00:50Z"},
+        {"event": "b", "created_at": "2025-01-01T00:01:10Z"},
+        {"event": "a", "created_at": "2025-01-01T00:02:05Z"},
+    ]
+    _write_batch(src, "e1.json", rows)
+
+    stream = (
+        spark.readStream.schema("event string, created_at string")
+        .json(src)
+        .withColumn("created_at", F.to_timestamp("created_at"))
+    )
+    agg = windowed_event_counts(stream, window="1 minute", watermark="5 minutes")
+
+    got = []
+    q = (
+        agg.writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    counts = {(str(r["window_start"]), r["event"]): r["n"] for r in got}
+    assert counts[("2025-01-01 00:00:00", "a")] == 2
+    assert counts[("2025-01-01 00:01:00", "b")] == 1
+    assert counts[("2025-01-01 00:02:00", "a")] == 1
