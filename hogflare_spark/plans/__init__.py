@@ -33,6 +33,7 @@ def load_all() -> None:
     """Import every plan module so registration side-effects run."""
     from hogflare_spark.plans import (  # noqa: F401
         relational,
+        relational_ext,
         events_analytics,
     )
     try:

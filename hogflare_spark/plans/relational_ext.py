@@ -1,0 +1,210 @@
+"""Extended relational coverage: the classic-operator checklist rows not
+exercised by plans/relational.py — correlated scalar subqueries (with
+Catalyst decorrelation), EXISTS semi-joins, as-of joins, pivot, exact
+percentiles. Each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hogflare_spark.plans import query
+from hogflare_spark.sources.readers import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# correlated scalar subquery: customers above their nation's average
+# balance. Written as literal correlated SQL so Catalyst's decorrelation
+# rewrites it to an aggregate+join — the plan a hand-written groupBy+join
+# would produce, proving the subquery path costs nothing at scale.
+# --------------------------------------------------------------------------
+def _correlated_sql(table: str) -> str:
+    # the nation sum goes through DECIMAL so it is EXACT: float summation
+    # order differs between engines (Spark partial-aggregates per
+    # partition), and an inexact avg sitting on a .xx5 rounding edge or the
+    # filter threshold would flip between engines. Exact sum -> identical
+    # double -> identical division/filter everywhere. The display column
+    # uses floor (bit-identical on identical doubles) because round()
+    # half-edge behavior differs between Spark (BigDecimal HALF_UP on the
+    # shortest decimal repr) and DuckDB (scaled std::round).
+    return f"""
+    SELECT c_custkey, c_acctbal,
+           floor(nation_sum / nation_cnt * 100) / 100 AS nation_avg
+    FROM (
+      SELECT c_custkey, c_acctbal,
+             CAST((SELECT sum(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                   FROM {table} c2
+                   WHERE c2.c_nationkey = c.c_nationkey) AS DOUBLE) AS nation_sum,
+             (SELECT count(*) FROM {table} c2
+              WHERE c2.c_nationkey = c.c_nationkey) AS nation_cnt
+      FROM {table} c
+    )
+    WHERE c_acctbal > nation_sum / nation_cnt * 1.5
+    ORDER BY c_custkey
+    """
+
+
+@query("q_correlated_above_avg", oracle=_correlated_sql("customer"))
+def q_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(_correlated_sql("v_customer"))
+
+
+# --------------------------------------------------------------------------
+# q4 shape: EXISTS semi-join — order-priority counts for orders with at
+# least one line shipped after the order date. The EXISTS compiles to a
+# left-semi hash join on o_orderkey; lineitem never materializes columns
+# beyond the join key + predicate.
+# --------------------------------------------------------------------------
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    line = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        line,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# as-of join: each purchase event joined to the user's most recent earlier
+# event of any other type. Implemented as a running `last(...) ignore
+# nulls` window over the per-user timeline — one shuffle on user_id, no
+# range-join explosion; this is the scalable as-of pattern when the probe
+# and build stream share a partition key. (DuckDB mirrors with the same
+# window, not its ASOF JOIN, to pin identical tie semantics.)
+# --------------------------------------------------------------------------
+@query(
+    "ev_asof_last_touch",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+      FROM events
+    )
+    SELECT event_id, user_id, touch_type,
+           CAST(date_sub('millisecond', touch_ts, ts) AS BIGINT) AS ms_since_touch
+    FROM w WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def ev_asof_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    touched = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(not_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(not_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    return (
+        touched.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "touch_type",
+            (
+                (F.unix_micros("ts") - F.unix_micros("touch_ts")) / 1000
+            ).cast("long").alias("ms_since_touch"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# pivot: per-user-bucket event-type count matrix. Spark's pivot with an
+# explicit value list stays a single groupBy (no second pass to discover
+# values) — always pass the list at scale.
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "ev_event_pivot",
+    oracle=f"""
+    SELECT user_id % 100 AS bucket,
+           {", ".join(f"count(*) FILTER (event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY bucket ORDER BY bucket
+    """,
+)
+def ev_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.col("user_id") % 100)
+        .groupBy("bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact percentiles (not approx): per order priority. Spark `percentile`
+# and DuckDB `quantile_cont` both linearly interpolate, so values agree
+# to rounding. At 100 TB you'd switch to approx_percentile and accept the
+# sketch error — kept exact here because the oracle must hash-match.
+# --------------------------------------------------------------------------
+@query(
+    "q_percentiles_totalprice",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS p90
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_percentiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.90)), 4).alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )

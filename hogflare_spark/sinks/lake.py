@@ -1,0 +1,181 @@
+"""Lake sinks: the events table contract and state-table maintenance.
+
+The reference lands events as Iceberg/Parquet on R2 via Cloudflare
+Pipelines (/root/reference/src/pipeline.rs:57-143, README.md:8-10) and
+delegates maintenance to the platform. Here the engine owns the sink:
+
+- `append_events`: date-partitioned append of the 21-column event frame,
+  clustered within partitions by (team_id, distinct_id) so per-person
+  scans and downstream joins hit few row groups. At 100 TB this layout is
+  the difference between partition-pruned scans of a day and full-table
+  scans; the partition column derives from `created_at` exactly like an
+  Iceberg `days(created_at)` transform.
+- `upsert_table`: MERGE-equivalent keyed upsert for the persons/groups
+  dimension tables — new snapshot wins per key, written as a new version
+  behind a _LATEST pointer (same commit protocol as streaming state;
+  readers never observe partial writes). With an Iceberg catalog this
+  whole function is `MERGE INTO t USING s ON ... WHEN MATCHED UPDATE *`;
+  the version-pointer dance is the filesystem stand-in for Iceberg's
+  atomic snapshot commit, kept because this container ships no Iceberg
+  runtime jars.
+- `compact_events`: bin-packing compaction — rewrites partitions whose
+  file population is dominated by small files into ~target-size files
+  (the operational job Iceberg calls rewrite_data_files). Streaming
+  appends produce a file per micro-batch per partition; compaction keeps
+  scan task counts bounded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def append_events(events: DataFrame, events_dir: str) -> None:
+    """Date-partitioned, cluster-sorted append of event rows."""
+    (
+        events.withColumn("event_date", F.to_date("created_at"))
+        .repartition("event_date")
+        .sortWithinPartitions("team_id", "distinct_id", "created_at")
+        .write.mode("append")
+        .partitionBy("event_date")
+        .parquet(events_dir)
+    )
+
+
+def read_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    return spark.read.parquet(events_dir)
+
+
+# ---------------------------------------------------------------------------
+# versioned table commits (the no-Iceberg atomic-snapshot stand-in)
+# ---------------------------------------------------------------------------
+
+
+def _latest_version(root: str) -> int | None:
+    pointer = os.path.join(root, "_LATEST")
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer) as fh:
+        return int(fh.read().strip())
+
+
+def read_table(spark: SparkSession, root: str, schema=None) -> DataFrame | None:
+    version = _latest_version(root)
+    if version is None:
+        return None
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(os.path.join(root, f"v={version}"))
+
+
+def _commit_version(df: DataFrame, root: str) -> int:
+    version = (_latest_version(root) or 0) + 1
+    df.write.mode("overwrite").parquet(os.path.join(root, f"v={version}"))
+    tmp = os.path.join(root, "_LATEST.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(root, "_LATEST"))
+    return version
+
+
+def upsert_table(
+    spark: SparkSession,
+    updates: DataFrame,
+    root: str,
+    key_cols: list[str],
+    schema=None,
+) -> int:
+    """MERGE-equivalent: rows from `updates` replace current rows with the
+    same key; unmatched current rows survive. Returns the new version.
+
+    Plan shape: one left-anti join (current minus updated keys) + union —
+    both sides shuffle on the key, which is exactly Iceberg's merge-on-read
+    write amplification; at 100 TB you'd partition the dimension tables by
+    a key hash so the anti join co-partitions.
+    """
+    current = read_table(spark, root, schema)
+    if current is None:
+        merged = updates
+    else:
+        merged = current.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        ).unionByName(updates)
+    # materialize before overwriting the directory the plan reads from
+    merged = merged.localCheckpoint(eager=True)
+    return _commit_version(merged, root)
+
+
+# ---------------------------------------------------------------------------
+# compaction
+# ---------------------------------------------------------------------------
+
+
+def _partition_dirs(events_dir: str) -> list[str]:
+    if not os.path.isdir(events_dir):
+        return []
+    return sorted(
+        os.path.join(events_dir, d)
+        for d in os.listdir(events_dir)
+        if d.startswith("event_date=") and os.path.isdir(os.path.join(events_dir, d))
+    )
+
+
+def compaction_candidates(
+    events_dir: str,
+    small_file_bytes: int = 8 * 1024 * 1024,
+    min_small_files: int = 2,
+) -> list[str]:
+    """Partitions with >= min_small_files files under small_file_bytes."""
+    out = []
+    for pdir in _partition_dirs(events_dir):
+        parquets = [
+            os.path.join(pdir, f)
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        ]
+        small = [p for p in parquets if os.path.getsize(p) < small_file_bytes]
+        if len(small) >= min_small_files:
+            out.append(pdir)
+    return out
+
+
+def compact_events(
+    spark: SparkSession,
+    events_dir: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    small_file_bytes: int = 8 * 1024 * 1024,
+    min_small_files: int = 2,
+) -> list[str]:
+    """Rewrite small-file partitions into ~target-size files, preserving the
+    cluster sort. Per-partition rewrite keeps the blast radius of a failed
+    compaction to one partition. Returns the rewritten partition dirs."""
+    rewritten = []
+    for pdir in compaction_candidates(events_dir, small_file_bytes, min_small_files):
+        df = spark.read.parquet(pdir)
+        total = sum(
+            os.path.getsize(os.path.join(pdir, f))
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, round(total / target_file_bytes))
+        staged = pdir + ".compact"
+        (
+            df.repartition(n_files)
+            .sortWithinPartitions("team_id", "distinct_id", "created_at")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        backup = pdir + ".old"
+        os.replace(pdir, backup)
+        os.replace(staged, pdir)
+        import shutil
+
+        shutil.rmtree(backup)
+        rewritten.append(pdir)
+    return rewritten
