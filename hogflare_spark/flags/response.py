@@ -1,0 +1,219 @@
+"""Flag response shaping (F8) and evaluation-context assembly (F9).
+
+Mirrors the reference's /decide and /flags response construction
+(/root/reference/src/lib.rs:1053-1147, src/feature_flags.rs:156-201,
+404-451) and evaluate_feature_flags context assembly (lib.rs:1284-1345),
+re-expressed over tables: `batch_flag_responses` evaluates every person
+in the persons table at once — the thing the per-request reference cannot
+do — while `decide_response`/`flags_response` keep request-shape parity
+for a thin serving layer.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hogflare_spark.flags.kernel import FlagContext, FlagResult, evaluate_flags
+from hogflare_spark.flags.model import FlagDefinition
+
+
+def to_maps(
+    results: list[FlagResult], version: int
+) -> tuple[dict[str, Any], dict[str, Any]]:
+    """feature_flags.rs:170-185 — v2 drops inactive flags from the map."""
+    flags: dict[str, Any] = {}
+    payloads: dict[str, Any] = {}
+    for r in results:
+        if version == 2 and not r.active:
+            continue
+        flags[r.key] = r.value
+        if r.payload is not None:
+            payloads[r.key] = r.payload
+    return flags, payloads
+
+
+def flag_detail(r: FlagResult) -> dict[str, Any]:
+    """feature_flags.rs:408-451 — enabled, variant, metadata, reason."""
+    enabled = r.value if isinstance(r.value, bool) else True
+    detail: dict[str, Any] = {"key": r.key, "enabled": enabled}
+    if isinstance(r.value, str):
+        detail["variant"] = r.value
+    metadata: dict[str, Any] = {}
+    if r.flag_id is not None:
+        metadata["id"] = r.flag_id
+    if r.flag_version is not None:
+        metadata["version"] = r.flag_version
+    if r.flag_description is not None:
+        metadata["description"] = r.flag_description
+    if r.payload is not None:
+        metadata["payload"] = json.dumps(r.payload, separators=(",", ":"))
+    if metadata:
+        detail["metadata"] = metadata
+    if r.reason is not None:
+        reason: dict[str, Any] = {"code": r.reason}
+        if r.condition_index is not None:
+            reason["condition_index"] = r.condition_index
+        detail["reason"] = reason
+    return detail
+
+
+def to_flag_details(results: list[FlagResult]) -> dict[str, Any]:
+    return {r.key: flag_detail(r) for r in results}
+
+
+def decide_response(
+    results: list[FlagResult],
+    version: int = 2,
+    api_token: str | None = None,
+    session_recording_endpoint: str | None = None,
+) -> dict[str, Any]:
+    """Legacy /decide shape (lib.rs:1053-1087, models.rs:119-146)."""
+    flags, payloads = to_maps(results, version)
+    session_recording: dict[str, Any] = {
+        "consoleLogRecordingEnabled": False,
+        "proxy": session_recording_endpoint is not None,
+    }
+    if session_recording_endpoint is not None:
+        session_recording["endpoint"] = session_recording_endpoint
+    return {
+        "status": 200,
+        "featureFlags": flags,
+        "featureFlagPayloads": payloads,
+        "config": {"apiToken": api_token},
+        "errorsWhileComputingFlags": [],
+        "sessionRecording": session_recording,
+        "supportedCompression": ["gzip", "gzip-js"],
+    }
+
+
+def flags_response(
+    results: list[FlagResult],
+    version: int = 2,
+    include_config: bool = False,
+    request_id: str = "",
+    evaluated_at_ms: int = 0,
+    session_recording_endpoint: str | None = None,
+) -> dict[str, Any]:
+    """/flags v2 shape with per-flag details (lib.rs:1089-1147)."""
+    flags, payloads = to_maps(results, version)
+    out: dict[str, Any] = {
+        "featureFlags": flags,
+        "featureFlagPayloads": payloads,
+        "flags": to_flag_details(results),
+        "errorsWhileComputingFlags": False,
+        "requestId": request_id,
+        "evaluatedAt": evaluated_at_ms,
+    }
+    if include_config:
+        recording: dict[str, Any] = {
+            "consoleLogRecordingEnabled": False,
+            "proxy": True,
+        }
+        if session_recording_endpoint is not None:
+            recording["endpoint"] = session_recording_endpoint
+        out["sessionRecording"] = recording
+        out["supportedCompression"] = ["gzip", "gzip-js"]
+    return out
+
+
+def assemble_context(
+    distinct_id: str | None,
+    person_merged_properties: dict | None,
+    request_person_overrides: dict | None,
+    request_groups: dict[str, str] | None,
+    group_records: dict[str, dict] | None,
+    request_group_overrides: dict[str, dict] | None,
+    disable_flags: bool = False,
+    store_empty: bool = False,
+) -> FlagContext | None:
+    """evaluate_feature_flags context assembly (lib.rs:1284-1345).
+
+    Returns None for the empty-evaluation short-circuits. Person overrides
+    merge PER KEY (override wins); group overrides REPLACE the whole
+    group's property map — an asymmetry worth preserving exactly.
+    """
+    if disable_flags or store_empty or distinct_id is None:
+        return None
+    person_properties = dict(person_merged_properties or {})
+    for k, v in (request_person_overrides or {}).items():
+        person_properties[k] = v
+    groups = dict(request_groups or {})
+    group_properties: dict[str, dict] = {}
+    for group_type in groups:
+        record = (group_records or {}).get(group_type)
+        if record is not None:
+            group_properties[group_type] = dict(record)
+    for group_type, props in (request_group_overrides or {}).items():
+        group_properties[group_type] = dict(props)
+    return FlagContext(
+        distinct_id=distinct_id,
+        person_properties=person_properties,
+        groups=groups,
+        group_properties=group_properties,
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch serving: evaluate the flag config for every person in the table
+# ---------------------------------------------------------------------------
+
+
+def batch_flag_responses(
+    persons: DataFrame,
+    flags: list[FlagDefinition],
+    version: int = 2,
+) -> DataFrame:
+    """persons table → one /flags-shaped JSON response per canonical_id.
+
+    Arrow-batched mapInPandas over the persons table (narrow, no shuffle);
+    each row replays the exact kernel the serving path uses. requestId /
+    evaluatedAt are deterministic (derived from canonical_id / 0) so the
+    output is oracle-comparable.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    flag_dicts = [f.__dict__ for f in flags]  # plain data for pickling
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hogflare_spark.flags.model import FlagDefinition as FD
+
+        defs = []
+        for d in flag_dicts:
+            fd = FD.__new__(FD)
+            fd.__dict__.update(d)
+            defs.append(fd)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                merged = {k: json.loads(v) for k, v in (r.properties or {}).items()}
+                for k, v in (r.properties_set_once or {}).items():
+                    if k not in merged:
+                        merged[k] = json.loads(v)
+                ctx = FlagContext(
+                    distinct_id=r.canonical_id,
+                    person_properties=merged,
+                    groups={},
+                    group_properties={},
+                )
+                results = evaluate_flags(defs, ctx)
+                body = flags_response(
+                    results,
+                    version=version,
+                    request_id=f"req-{r.canonical_id}",
+                    evaluated_at_ms=0,
+                )
+                rows.append(
+                    {
+                        "canonical_id": r.canonical_id,
+                        "response": json.dumps(body, sort_keys=True, separators=(",", ":")),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["canonical_id", "response"])
+
+    return persons.mapInPandas(run, "canonical_id string, response string")

@@ -286,4 +286,28 @@ def hf_flag_rollout_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("hf_flags_batch_responses")  # rows-only: full /flags JSON response
+# shapes (F8) are pinned by pytest against the kernel; the driver checks
+# row count + schema stability here
+def hf_flags_batch_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-serve the /flags response for every customer-derived person —
+    response shaping per lib.rs:1089-1147, evaluated table-wide (the
+    reference can only do one request at a time)."""
+    from hogflare_spark.flags.model import parse_flag_config
+    from hogflare_spark.flags.response import batch_flag_responses
+
+    cust = load_table(spark, sf_dir, "customer")
+    persons = cust.select(
+        F.col("c_custkey").cast("string").alias("canonical_id"),
+        F.create_map(
+            # values are JSON-encoded; segments/balances are quote-safe
+            F.lit("segment"), F.concat(F.lit('"'), F.col("c_mktsegment"), F.lit('"')),
+            F.lit("balance"), F.concat(F.lit('"'), F.col("c_acctbal").cast("string"), F.lit('"')),
+        ).alias("properties"),
+        F.create_map().cast("map<string,string>").alias("properties_set_once"),
+    )
+    flags = parse_flag_config(_FLAG_CONFIG)
+    return batch_flag_responses(persons, flags).orderBy("canonical_id")
+
+
 BENCH_EXTRA.update({"hf_person_fold_state", "hf_flag_eval"})

@@ -340,3 +340,121 @@ def test_compiled_bucket_bit_parity(spark):
             int.from_bytes(hashlib.sha1(f"the-salt:{hid}".encode()).digest()[:8], "big") % 100
         )
         assert got[hid] == expected, hid
+
+
+# ---------------------------------------------------------------------------
+# response shaping (F8) and context assembly (F9)
+# ---------------------------------------------------------------------------
+
+
+def _mk_flag(**kw):
+    from hogflare_spark.flags.model import FlagDefinition
+
+    base = dict(key="f")
+    base.update(kw)
+    return FlagDefinition.from_dict(base)
+
+
+def test_to_maps_v2_drops_inactive():
+    from hogflare_spark.flags.kernel import FlagResult
+    from hogflare_spark.flags.response import to_maps
+
+    results = [
+        FlagResult("on", True, {"p": 1}, True, "match", 0),
+        FlagResult("off", False, None, False, "disabled", None),
+    ]
+    v1_flags, v1_payloads = to_maps(results, 1)
+    assert v1_flags == {"on": True, "off": False}
+    assert v1_payloads == {"on": {"p": 1}}
+    v2_flags, _ = to_maps(results, 2)
+    assert v2_flags == {"on": True}
+
+
+def test_flag_detail_shape():
+    from hogflare_spark.flags.kernel import FlagResult
+    from hogflare_spark.flags.response import flag_detail
+
+    r = FlagResult(
+        "exp", "variant-b", {"tier": "pro"}, True, "match", 1,
+        flag_id=7, flag_version=3, flag_description="an experiment",
+    )
+    d = flag_detail(r)
+    assert d["key"] == "exp" and d["enabled"] is True and d["variant"] == "variant-b"
+    assert d["metadata"] == {
+        "id": 7, "version": 3, "description": "an experiment",
+        "payload": '{"tier":"pro"}',
+    }
+    assert d["reason"] == {"code": "match", "condition_index": 1}
+    # boolean false flag: enabled False, no variant key
+    d2 = flag_detail(FlagResult("b", False, None, True, "no_match", None))
+    assert d2["enabled"] is False and "variant" not in d2
+    assert d2["reason"] == {"code": "no_match"}
+
+
+def test_decide_and_flags_response_shapes():
+    from hogflare_spark.flags.kernel import FlagResult
+    from hogflare_spark.flags.response import decide_response, flags_response
+
+    results = [FlagResult("on", True, None, True, "match", 0)]
+    d = decide_response(results, api_token="tok")
+    assert d["status"] == 200 and d["config"] == {"apiToken": "tok"}
+    assert d["featureFlags"] == {"on": True}
+    assert d["supportedCompression"] == ["gzip", "gzip-js"]
+
+    f_plain = flags_response(results, request_id="r1", evaluated_at_ms=5)
+    assert f_plain["requestId"] == "r1" and f_plain["evaluatedAt"] == 5
+    assert f_plain["errorsWhileComputingFlags"] is False
+    assert "sessionRecording" not in f_plain and "supportedCompression" not in f_plain
+    f_cfg = flags_response(results, include_config=True)
+    assert f_cfg["supportedCompression"] == ["gzip", "gzip-js"]
+    assert f_cfg["sessionRecording"]["proxy"] is True
+
+
+def test_assemble_context_override_semantics():
+    from hogflare_spark.flags.response import assemble_context
+
+    ctx = assemble_context(
+        "u1",
+        {"plan": "free", "age": 30},
+        {"plan": "pro"},  # person overrides merge per key
+        {"company": "acme"},
+        {"company": {"size": 10, "tier": "a"}},
+        {"company": {"size": 99}},  # group overrides REPLACE the map
+    )
+    assert ctx.person_properties == {"plan": "pro", "age": 30}
+    assert ctx.group_properties == {"company": {"size": 99}}
+    # short-circuits
+    assert assemble_context(None, {}, None, None, None, None) is None
+    assert assemble_context("u", {}, None, None, None, None, disable_flags=True) is None
+    assert assemble_context("u", {}, None, None, None, None, store_empty=True) is None
+
+
+def test_batch_flag_responses(spark):
+    import json
+
+    from pyspark.sql import Row
+
+    from hogflare_spark.flags.kernel import FlagContext, evaluate_flags
+    from hogflare_spark.flags.response import batch_flag_responses, flags_response
+
+    flags = [
+        _mk_flag(key="pro-only", conditions=[
+            {"properties": [{"key": "plan", "value": "pro"}]}
+        ], payload={"x": 1}),
+        _mk_flag(key="everyone", rollout_percentage=100.0),
+    ]
+    persons = spark.createDataFrame([
+        Row(canonical_id="u1", properties={"plan": '"pro"'}, properties_set_once={}),
+        Row(canonical_id="u2", properties={}, properties_set_once={"plan": '"free"'}),
+    ])
+    got = {r["canonical_id"]: json.loads(r["response"])
+           for r in batch_flag_responses(persons, flags).collect()}
+
+    for cid, props in (("u1", {"plan": "pro"}), ("u2", {"plan": "free"})):
+        want = flags_response(
+            evaluate_flags(flags, FlagContext(cid, props, {}, {})),
+            request_id=f"req-{cid}", evaluated_at_ms=0,
+        )
+        assert got[cid] == json.loads(json.dumps(want)), cid
+    assert got["u1"]["featureFlags"] == {"pro-only": True, "everyone": True}
+    assert got["u2"]["featureFlags"] == {"pro-only": False, "everyone": True}
