@@ -39,8 +39,13 @@ def main() -> None:
     # extend with any registered headline-worthy extras not listed above
     names += [n for n in sorted(plans.QUERIES) if n not in names and n in plans.BENCH_EXTRA]
 
-    # warm-up: JVM + parquet footer caches, one trivial action
+    # warm-up: JVM + parquet footer caches + the Python-worker pool (one
+    # trivial mapInPandas so Arrow workers fork/import before timing —
+    # session setup cost, not query cost)
     plans.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in names:

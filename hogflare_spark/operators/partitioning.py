@@ -16,10 +16,22 @@ from pyspark.sql import DataFrame
 
 
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
-    """Repartition to `target` (default: defaultParallelism) iff the plan
-    currently has fewer partitions than that."""
+    """Round-robin repartition to `target` (default: defaultParallelism)
+    iff the plan reads fewer input files than that.
+
+    The check uses inputFiles() — pure FileIndex metadata — because
+    df.rdd.getNumPartitions() pays a >1s plan->RDD conversion per call.
+    A 100 TB table backs onto thousands of files, so this is a no-op
+    exactly where the repartition shuffle would be expensive; non-file
+    sources (createDataFrame, streams) report no files and are left
+    untouched.
+    """
     spark = df.sparkSession
     target = target or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if n_files == 0 or n_files >= target:
         return df
     return df.repartition(target)

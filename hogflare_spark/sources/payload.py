@@ -333,4 +333,11 @@ def decode_requests(raw: DataFrame, body_col: str = "body") -> DataFrame:
                     out_rows.append(out)
             yield pd.DataFrame(out_rows, columns=out_cols)
 
-    return raw.mapInPandas(_run, out_schema)
+    # the decode cascade is the one Python pass over the whole stream;
+    # fan_out parallelizes it when the source arrives as few splits
+    # (no-op on well-partitioned inputs)
+    from hogflare_spark.operators.partitioning import fan_out
+
+    if raw.isStreaming:
+        return raw.mapInPandas(_run, out_schema)
+    return fan_out(raw).mapInPandas(_run, out_schema)
