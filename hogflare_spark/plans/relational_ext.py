@@ -182,6 +182,47 @@ def ev_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# skew-resistant exact distinct: the salted two-phase plan must equal the
+# plain COUNT(DISTINCT) — the oracle proves the rewrite is lossless while
+# the plan spreads each (hot) key over 16 reducers.
+# --------------------------------------------------------------------------
+@query(
+    "ev_skew_distinct_users",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS distinct_count
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ev_skew_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hogflare_spark.operators.skew import salted_two_phase_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_two_phase_distinct(ev, ["event_type"], "user_id").orderBy(
+        "event_type"
+    )
+
+
+# --------------------------------------------------------------------------
+# approximate sketches (absent from the reference — SURVEY §2.6): HLL++
+# distinct-user estimates. rows-only for the driver (the sketch differs
+# from DuckDB's); the relative-error bound vs the exact count is gated in
+# tests/test_llm_pipeline.py-style fashion below via pytest.
+# --------------------------------------------------------------------------
+@query("ev_approx_distinct_users")  # rows-only: sketch values are
+# engine-specific; accuracy is gated in tests/test_sketches.py
+def ev_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # exact percentiles (not approx): per order priority. Spark `percentile`
 # and DuckDB `quantile_cont` both linearly interpolate, so values agree
 # to rounding. At 100 TB you'd switch to approx_percentile and accept the

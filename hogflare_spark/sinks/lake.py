@@ -64,14 +64,42 @@ def _latest_version(root: str) -> int | None:
         return int(fh.read().strip())
 
 
-def read_table(spark: SparkSession, root: str, schema=None) -> DataFrame | None:
-    version = _latest_version(root)
+def read_table(
+    spark: SparkSession, root: str, schema=None, version: int | None = None
+) -> DataFrame | None:
+    """Read the latest committed version, or time-travel to `version`
+    (every committed version stays on disk until expired — the Iceberg
+    snapshot-read equivalent)."""
+    if version is None:
+        version = _latest_version(root)
     if version is None:
         return None
+    path = os.path.join(root, f"v={version}")
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"version {version} of {root} does not exist")
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(os.path.join(root, f"v={version}"))
+    return reader.parquet(path)
+
+
+def expire_versions(root: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest `keep_last` versions (snapshot expiration).
+    Never touches the current version; returns expired version numbers."""
+    import shutil
+
+    latest = _latest_version(root)
+    if latest is None:
+        return []
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("v=") and os.path.isdir(os.path.join(root, d))
+    )
+    to_drop = [v for v in versions[:-keep_last] if v != latest]
+    for v in to_drop:
+        shutil.rmtree(os.path.join(root, f"v={v}"))
+    return to_drop
 
 
 def _commit_version(df: DataFrame, root: str) -> int:
