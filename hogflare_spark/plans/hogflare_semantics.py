@@ -286,6 +286,44 @@ def hf_flag_rollout_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hf_event_snapshots",
+    oracle="""
+    WITH k_events AS (
+      SELECT event_id, user_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_id, user_id,
+           k AS k_now,
+           CASE WHEN k % 2 = 0 THEN k END AS temp_now,
+           first_value(k) OVER (PARTITION BY user_id ORDER BY event_id) AS first_k
+    FROM k_events
+    ORDER BY event_id
+    """,
+)
+def hf_event_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U12 — the subtle one (SURVEY §7.4.1): every emitted event carries
+    the person state as of AFTER its own update (lib.rs:462-470,
+    person_fields lib.rs:1347-1358). Each capture $sets k (+temp on even
+    k, $unsets temp on odd) and $set_onces first_k, so the event-level
+    person_properties must show this event's k, temp iff this k is even,
+    and the user's FIRST k — a running-state read the oracle reproduces
+    with window functions."""
+    from hogflare_spark.operators.ingest import ingest_raw_requests
+
+    raw = _capture_requests_from_events(spark, sf_dir)
+    events = ingest_raw_requests(raw)["events"]
+    pp = F.col("person_properties")
+    return events.select(
+        F.col("request_seq").alias("event_id"),
+        F.col("distinct_id").cast("long").alias("user_id"),
+        F.get_json_object(pp, "$.k").cast("long").alias("k_now"),
+        F.get_json_object(pp, "$.temp").cast("long").alias("temp_now"),
+        F.get_json_object(pp, "$.first_k").cast("long").alias("first_k"),
+    ).orderBy("event_id")
+
+
 @query("hf_flags_batch_responses")  # rows-only: full /flags JSON response
 # shapes (F8) are pinned by pytest against the kernel; the driver checks
 # row count + schema stability here
