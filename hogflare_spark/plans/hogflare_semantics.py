@@ -324,6 +324,57 @@ def hf_event_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@query(
+    "hf_event_group_props",
+    oracle="""
+    WITH k_events AS (
+      SELECT event_id, user_id, event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_id,
+           last_value(k) OVER (PARTITION BY event_type ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS k_asof
+    FROM k_events
+    ORDER BY event_id
+    """,
+)
+def hf_event_group_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 hydration at event granularity: every capture carries the
+    CURRENT group state of its `$groups` entries, with its own
+    `$group_set` applied first (updates precede reads within one event —
+    lib.rs:423-460). Each event $group_sets {k} and references its
+    event_type group, so the hydrated k must equal the group's running
+    last-write as of this event — the oracle reproduces it with a
+    last_value window."""
+    from hogflare_spark.operators.ingest import ingest_raw_requests
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    body = F.concat(
+        F.lit('{"event":"ev","distinct_id":"'),
+        F.col("user_id").cast("string"),
+        F.lit('","properties":{"$groups":{"segment":"'),
+        F.col("event_type"),
+        F.lit('"},"$group_set":{"segment":{"k":'),
+        k.cast("string"),
+        F.lit("}}}}"),
+    )
+    raw = ev.select(
+        F.col("event_id").alias("request_seq"),
+        F.lit("capture").alias("endpoint"),
+        body.alias("body"),
+    )
+    events = ingest_raw_requests(raw)["events"]
+    return events.select(
+        F.col("request_seq").alias("event_id"),
+        F.get_json_object("group_properties", "$.segment.k").cast("long").alias(
+            "k_asof"
+        ),
+    ).orderBy("event_id")
+
+
 @query("hf_flags_batch_responses")  # rows-only: full /flags JSON response
 # shapes (F8) are pinned by pytest against the kernel; the driver checks
 # row count + schema stability here
