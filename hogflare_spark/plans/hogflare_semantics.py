@@ -267,6 +267,41 @@ def hf_flag_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey", "flag_key")
 
 
+@query("hf_flag_multivariate")  # rows-only: variant selection walks the
+# sha1 bucket (no sha1 in DuckDB 1.0); compiled-vs-kernel equivalence is
+# enforced in tests/test_flags.py
+def hf_flag_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate selection (F7): cumulative variant walk over the
+    deterministic rollout bucket, with per-variant payloads
+    (feature_flags.rs:371-390, 312-342)."""
+    from hogflare_spark.flags.compiler import evaluate_flags_df
+    from hogflare_spark.flags.model import parse_flag_config
+
+    config = """
+    {"flags": [
+      {"key": "experiment-1", "type": "multivariate",
+       "variants": [
+         {"key": "control", "rollout_percentage": 50},
+         {"key": "test-a", "rollout_percentage": 30, "payload": {"cta": "A"}},
+         {"key": "test-b", "rollout_percentage": 20}],
+       "variant_payloads": {"control": {"cta": "none"}},
+       "rollout_percentage": 80}
+    ]}
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    contexts = cust.select(
+        F.col("c_custkey"),
+        F.col("c_custkey").cast("string").alias("distinct_id"),
+        F.lit("{}").alias("person_properties"),
+        F.create_map().cast("map<string,string>").alias("groups"),
+        F.lit(None).cast("string").alias("group_properties"),
+    )
+    out = evaluate_flags_df(contexts, parse_flag_config(config))
+    return out.select(
+        "c_custkey", "flag_key", "value", "payload", "reason", "condition_index"
+    ).orderBy("c_custkey", "flag_key")
+
+
 @query("hf_flag_rollout_buckets")  # rows-only: DuckDB 1.0 lacks sha1
 def hf_flag_rollout_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sha1 rollout bucketing over customers at 30%% — bit-parity with the
