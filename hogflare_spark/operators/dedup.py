@@ -93,7 +93,10 @@ def minhash_candidate_pairs(
     sig = sketched.select(
         "id", T.band_keys(T.minhash_signature(F.col("hs"), num_perm), bands, rows).alias("bk")
     )
-    buckets = sig.select("id", F.explode("bk").alias("band_key"))
+    # cache the exploded band keys: the groupBy and both sides of the
+    # candidate self-join would otherwise each re-inline (and re-codegen —
+    # seconds of Janino time per stage) the full signature expression
+    buckets = sig.select("id", F.explode("bk").alias("band_key")).cache()
     small = (
         buckets.groupBy("band_key")
         .agg(F.collect_list("id").alias("ids"), F.count("*").alias("n"))
