@@ -267,6 +267,63 @@ def hf_flag_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey", "flag_key")
 
 
+@query(
+    "hf_lake_roundtrip",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,
+           count(DISTINCT user_id) AS users
+    FROM events GROUP BY event_date ORDER BY event_date
+    """,
+)
+def hf_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink contract end-to-end inside the gate: ingest the capture
+    stream, append to a date-partitioned lake dir (S10 layout), compact
+    small files, read BACK from the lake and aggregate — the oracle works
+    from the raw events table, so any loss/duplication in the
+    write-compact-read cycle breaks parity. Event time passes through as
+    the event's `timestamp`, so lake partitions match CAST(ts AS DATE)."""
+    import shutil
+    import tempfile
+
+    from hogflare_spark.sinks.lake import append_events, compact_events, read_events
+
+    ev = load_table(spark, sf_dir, "events")
+    body = F.concat(
+        F.lit('{"event":"ev","distinct_id":"'),
+        F.col("user_id").cast("string"),
+        F.lit('","timestamp":"'),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        F.lit('"}'),
+    )
+    raw = ev.select(
+        F.col("event_id").alias("request_seq"),
+        F.lit("capture").alias("endpoint"),
+        body.alias("body"),
+    )
+    from hogflare_spark.operators.ingest import ingest_raw_requests
+
+    events = ingest_raw_requests(raw)["events"]
+    lake_dir = tempfile.mkdtemp(prefix="hf_lake_")
+    try:
+        # partition by the EVENT time (client timestamp), not receipt time
+        with_date = events.withColumn("created_at", F.col("timestamp"))
+        append_events(with_date, lake_dir)
+        compact_events(spark, lake_dir, small_file_bytes=64 * 1024 * 1024)
+        back = read_events(spark, lake_dir)
+        out = (
+            back.groupBy(F.col("event_date"))
+            .agg(
+                F.count("*").alias("n"),
+                F.count_distinct(F.col("distinct_id").cast("long")).alias("users"),
+            )
+            .orderBy("event_date")
+            .localCheckpoint(eager=True)  # materialize before tmp cleanup
+        )
+        return out
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+
+
 @query("hf_flag_multivariate")  # rows-only: variant selection walks the
 # sha1 bucket (no sha1 in DuckDB 1.0); compiled-vs-kernel equivalence is
 # enforced in tests/test_flags.py
