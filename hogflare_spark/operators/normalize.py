@@ -386,9 +386,13 @@ def _normalize_browser(item: dict, header_api_key: str | None) -> dict:
                     break
     event = _require_str(item, "event")
 
+    # the reference rejects a missing distinct_id BEFORE branching on the
+    # event kind (lib.rs:528-529) — even $groupidentify, whose emitted
+    # event uses group_key as distinct_id, 400s without one
+    if distinct_id is None:
+        raise ValueError("missing distinct_id")
+
     if event == "$identify":
-        if distinct_id is None:
-            raise ValueError("missing distinct_id")
         extra = {}
         if item.get("$set_once") is not None:
             extra["$set_once"] = item["$set_once"]
@@ -422,8 +426,6 @@ def _normalize_browser(item: dict, header_api_key: str | None) -> dict:
             },
             skip_person=True,
         )
-    if distinct_id is None:
-        raise ValueError("missing distinct_id")
     return _command(
         event,
         distinct_id,
