@@ -34,6 +34,7 @@ def load_all() -> None:
     from hogflare_spark.plans import (  # noqa: F401
         relational,
         relational_ext,
+        relational_tpch2,
         events_analytics,
     )
     try:

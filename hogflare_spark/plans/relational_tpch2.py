@@ -1,0 +1,275 @@
+"""Second TPC-H-shaped batch: market share (q8), outer-join count
+distribution (q13), view+scalar-max (q15), HAVING semi-join (q18), and an
+adapted q22 (scalar-avg subquery + anti join; the synthetic schema has no
+c_phone, so nation membership stands in for phone prefixes).
+
+The reference has no relational query engine of its own (SURVEY §0 — it
+delegates querying to DuckDB over the Iceberg table, reference
+README.md:237-256); these queries are the query layer we own on its
+behalf. Revenue arithmetic routes through DECIMAL so sums are exact and
+engine-independent (see plans/relational_ext.py for the rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hogflare_spark.plans import query
+from hogflare_spark.sources.readers import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))"
+
+
+def _rev_col():
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(5,2)")
+
+
+# --------------------------------------------------------------------------
+# q8 market share: NATION_3's share of STANDARD-part revenue sold to
+# EUROPE customers, by order year. Five dimension joins — all broadcast
+# (nation/region/part/supplier/customer are the small sides at any scale
+# factor; at 100 TB customer outgrows the broadcast threshold and AQE
+# falls back to shuffle join on o_custkey, which is the right plan).
+# Share = quotient of two exact decimal sums -> identical doubles.
+# --------------------------------------------------------------------------
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(
+             CAST(sum(CASE WHEN sn.n_name = 'NATION_3' THEN {_REV_SQL}
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum({_REV_SQL}) AS DOUBLE), 6) AS mkt_share
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN part      ON l_partkey = p_partkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region    ON cn.n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+      AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    # EUROPE customers only: prune the customer build side before the join
+    cust_eu = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.join(
+                F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+            ).select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust_eu), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    rev = _rev_col()
+    n3 = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(n3).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 customer distribution: LEFT OUTER join + two-level aggregation (the
+# classic "count bug" shape — customers with zero orders must survive as
+# c_count = 0). One shuffle on custkey, one tiny shuffle on c_count.
+# --------------------------------------------------------------------------
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 top supplier: quarterly revenue per supplier, keep the max. The max
+# is an exact DECIMAL, so the equality join can't be split by float noise.
+# The 1-row max side is broadcast — no second shuffle of the revenue view.
+# --------------------------------------------------------------------------
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, sum({_REV_SQL}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_col()).alias("total_rev")
+    )
+    mx = revenue.agg(F.max("total_rev").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 large-volume customers: HAVING over a fact-side aggregate, then a
+# key join back. The per-order quantity aggregate runs FIRST (map-side
+# partials on l_orderkey), so only the ~0.3% of orders above threshold
+# reach the join — the build side shrinks before any wide row moves.
+# Quantities are integral, so double sums are exact at any scale.
+# --------------------------------------------------------------------------
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    HAVING sum(l_quantity) > 300
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_sum"))
+        .where(F.col("qty_sum") > 300)
+        .select("l_orderkey", F.col("qty_sum").cast("long").alias("total_qty"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(qty), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 shape (adapted — no c_phone column in the synthetic schema, so the
+# "country code IN (...)" predicate becomes nation membership): customers
+# with above-average positive balance and NO orders. Scalar subquery
+# (uncorrelated, broadcast 1-row) + left-anti join on the orders fact.
+# The average routes through an exact decimal sum so the threshold is the
+# same double in both engines.
+# --------------------------------------------------------------------------
+@query(
+    "q22_idle_balances",
+    oracle="""
+    SELECT n_name, count(*) AS numcust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_7', 'NATION_13', 'NATION_19', 'NATION_24')
+      AND c_acctbal > (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_7", "NATION_13", "NATION_19", "NATION_24")
+    )
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_bal")
+        )
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
