@@ -40,12 +40,21 @@ def main() -> None:
     names += [n for n in sorted(plans.QUERIES) if n not in names and n in plans.BENCH_EXTRA]
 
     # warm-up: JVM + parquet footer caches + the Python-worker pool (one
-    # trivial mapInPandas so Arrow workers fork/import before timing —
+    # mapInPandas that also imports the engine's Python-side modules so
+    # every pooled worker pays the import once here, before timing —
     # session setup cost, not query cost)
     plans.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+
+    def _warm(batches):
+        import hogflare_spark.operators.normalize  # noqa: F401
+        import hogflare_spark.operators.person_store  # noqa: F401
+        import hogflare_spark.sources.payload  # noqa: F401
+
+        yield from batches
+
     spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
         spark.sparkContext.defaultParallelism
-    ).mapInPandas(lambda it: it, "id long").count()
+    ).mapInPandas(_warm, "id long").count()
 
     timings: dict[str, float] = {}
     for name in names:

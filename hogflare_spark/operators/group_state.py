@@ -269,7 +269,15 @@ def fold_group_state(
             )
         return pd.DataFrame(out, columns=[f.name for f in _FOLD_OUT.fields])
 
-    folded = ops.groupBy("group_type", "group_key").applyInPandas(_replay, _FOLD_OUT)
+    # pinned-width shuffle for the CPU-bound Python replay — see the
+    # matching note in person_state.fold_person_state (AQE would coalesce
+    # this to 1-4 partitions by bytes)
+    n_fold = ops.sparkSession.sparkContext.defaultParallelism
+    folded = (
+        ops.repartition(n_fold, "group_type", "group_key")
+        .groupBy("group_type", "group_key")
+        .applyInPandas(_replay, _FOLD_OUT)
+    )
     folded = folded.cache()
 
     results = folded.where(F.col("row_type") == "result").select(

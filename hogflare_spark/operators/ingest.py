@@ -200,11 +200,9 @@ def ingest_raw_requests(
     prior_groups: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Full path: raw HTTP-shaped rows → {events, persons, groups}."""
-    from hogflare_spark.operators.normalize import normalize_items
-    from hogflare_spark.sources.payload import decode_requests
+    from hogflare_spark.operators.normalize import decode_normalize_requests
 
-    decoded = decode_requests(raw, body_col=body_col)
-    commands = normalize_items(decoded)
+    commands = decode_normalize_requests(raw, body_col=body_col)
     return ingest_commands(
         commands,
         team_id=team_id,

@@ -530,6 +530,89 @@ COMMAND_SCHEMA = StructType(
 )
 
 
+def _dumps(v) -> str | None:
+    return None if v is None else json.dumps(v, separators=(",", ":"))
+
+
+def command_row(
+    endpoint: str,
+    item: dict,
+    request_seq: int,
+    item_index: int,
+    *,
+    envelope_api_key: str | None = None,
+    envelope_sent_at: str | None = None,
+    header_api_key: str | None = None,
+    header_sent_at: object | None = None,
+    geo_json: str | None = None,
+    ip: str | None = None,
+) -> dict:
+    """One decoded item → one COMMAND_SCHEMA row dict (error=None).
+
+    Raises on malformed items (callers record an error row / drop)."""
+    cmd = normalize_item(
+        endpoint,
+        item,
+        envelope_api_key=envelope_api_key,
+        header_api_key=header_api_key,
+    )
+    # api-key defaulting from header (extractors.rs:70-80)
+    if cmd["api_key"] is None and header_api_key is not None:
+        cmd["api_key"] = header_api_key
+
+    # enrichment: $ip + geo bag merged into properties where
+    # absent (extractors.rs:82-178, pipeline.rs:414-433)
+    enrichment: dict = {}
+    if isinstance(geo_json, str):
+        enrichment.update(json.loads(geo_json))
+    if isinstance(ip, str):
+        enrichment.setdefault("$ip", ip)
+    props = merge_enrichment(cmd["properties"], enrichment)
+
+    # sent_at: envelope wins over header (extractors.rs:248-250)
+    sent_at = None
+    if envelope_sent_at:
+        sent_at = envelope_sent_at
+    elif header_sent_at is not None:
+        sent_at = (
+            header_sent_at.isoformat()
+            if hasattr(header_sent_at, "isoformat")
+            else str(header_sent_at)
+        )
+    extra = finalize_extra(cmd["extra"], sent_at)
+
+    return {
+        "request_seq": request_seq,
+        "item_index": item_index,
+        "event": cmd["event"],
+        "distinct_id": cmd["distinct_id"],
+        "timestamp": item.get("timestamp")
+        if isinstance(item.get("timestamp"), str)
+        else None,
+        "properties": _dumps(props),
+        "context": _dumps(cmd["context"]),
+        "person_properties_request": _dumps(cmd["person_properties_request"]),
+        "api_key": cmd["api_key"],
+        "extra": _dumps(extra) if extra else None,
+        "person_update": _dumps(cmd["person_update"]),
+        "alias": _dumps(cmd["alias"]),
+        "anon_distinct_id": cmd["anon_distinct_id"],
+        "groups": _dumps(cmd["groups"]),
+        "group_updates": _dumps(cmd["group_updates"]) if cmd["group_updates"] else None,
+        "group_identify": _dumps(cmd["group_identify"]),
+        "skip_person": "1" if cmd["skip_person"] else "0",
+        "error": None,
+    }
+
+
+def command_error_row(request_seq, item_index, ex: Exception) -> dict:
+    row = {f.name: None for f in COMMAND_SCHEMA.fields}
+    row["request_seq"] = request_seq
+    row["item_index"] = item_index
+    row["error"] = f"{type(ex).__name__}: {ex}"
+    return row
+
+
 def normalize_items(decoded: DataFrame) -> DataFrame:
     """Decoded item rows → ingest-command rows (COMMAND_SCHEMA).
 
@@ -537,10 +620,6 @@ def normalize_items(decoded: DataFrame) -> DataFrame:
     optionally envelope_api_key / envelope_sent_at / header_api_key /
     header_sent_at / geo_json (enrichment bag) / ip.
     """
-
-    def _dumps(v) -> str | None:
-        return None if v is None else json.dumps(v, separators=(",", ":"))
-
     opt_cols = (
         "envelope_api_key",
         "envelope_sent_at",
@@ -551,6 +630,9 @@ def normalize_items(decoded: DataFrame) -> DataFrame:
     )
     present = {c for c in decoded.columns if c in opt_cols}
 
+    def _opt(r: dict, name: str):
+        return r.get(name) if name in present else None
+
     def _run(batches: Iterator[Any]) -> Iterator[Any]:
         import pandas as pd
 
@@ -560,87 +642,23 @@ def normalize_items(decoded: DataFrame) -> DataFrame:
                 r = row._asdict()
                 try:
                     item = json.loads(r["body_json"])
-                    header_key = r.get("header_api_key") if "header_api_key" in present else None
-                    cmd = normalize_item(
-                        r["endpoint"],
-                        item,
-                        envelope_api_key=(
-                            r.get("envelope_api_key") if "envelope_api_key" in present else None
-                        ),
-                        header_api_key=header_key,
-                    )
-                    # api-key defaulting from header (extractors.rs:70-80)
-                    if cmd["api_key"] is None and header_key is not None:
-                        cmd["api_key"] = header_key
-
-                    # enrichment: $ip + geo bag merged into properties where
-                    # absent (extractors.rs:82-178, pipeline.rs:414-433)
-                    enrichment: dict = {}
-                    if "geo_json" in present and isinstance(r.get("geo_json"), str):
-                        enrichment.update(json.loads(r["geo_json"]))
-                    if "ip" in present and isinstance(r.get("ip"), str):
-                        enrichment.setdefault("$ip", r["ip"])
-                    props = merge_enrichment(cmd["properties"], enrichment)
-
-                    # sent_at: envelope wins over header (extractors.rs:248-250)
-                    sent_at = None
-                    if "envelope_sent_at" in present and r.get("envelope_sent_at"):
-                        sent_at = r["envelope_sent_at"]
-                    elif "header_sent_at" in present and r.get("header_sent_at") is not None:
-                        hs = r["header_sent_at"]
-                        sent_at = hs.isoformat() if hasattr(hs, "isoformat") else str(hs)
-                    extra = finalize_extra(cmd["extra"], sent_at)
-
                     out_rows.append(
-                        {
-                            "request_seq": r["request_seq"],
-                            "item_index": r["item_index"],
-                            "event": cmd["event"],
-                            "distinct_id": cmd["distinct_id"],
-                            "timestamp": item.get("timestamp")
-                            if isinstance(item.get("timestamp"), str)
-                            else None,
-                            "properties": _dumps(props),
-                            "context": _dumps(cmd["context"]),
-                            "person_properties_request": _dumps(
-                                cmd["person_properties_request"]
-                            ),
-                            "api_key": cmd["api_key"],
-                            "extra": _dumps(extra) if extra else None,
-                            "person_update": _dumps(cmd["person_update"]),
-                            "alias": _dumps(cmd["alias"]),
-                            "anon_distinct_id": cmd["anon_distinct_id"],
-                            "groups": _dumps(cmd["groups"]),
-                            "group_updates": _dumps(cmd["group_updates"])
-                            if cmd["group_updates"]
-                            else None,
-                            "group_identify": _dumps(cmd["group_identify"]),
-                            "skip_person": "1" if cmd["skip_person"] else "0",
-                            "error": None,
-                        }
+                        command_row(
+                            r["endpoint"],
+                            item,
+                            r["request_seq"],
+                            r["item_index"],
+                            envelope_api_key=_opt(r, "envelope_api_key"),
+                            envelope_sent_at=_opt(r, "envelope_sent_at"),
+                            header_api_key=_opt(r, "header_api_key"),
+                            header_sent_at=_opt(r, "header_sent_at"),
+                            geo_json=_opt(r, "geo_json"),
+                            ip=_opt(r, "ip"),
+                        )
                     )
                 except Exception as ex:  # noqa: BLE001
                     out_rows.append(
-                        {
-                            "request_seq": r.get("request_seq"),
-                            "item_index": r.get("item_index"),
-                            "event": None,
-                            "distinct_id": None,
-                            "timestamp": None,
-                            "properties": None,
-                            "context": None,
-                            "person_properties_request": None,
-                            "api_key": None,
-                            "extra": None,
-                            "person_update": None,
-                            "alias": None,
-                            "anon_distinct_id": None,
-                            "groups": None,
-                            "group_updates": None,
-                            "group_identify": None,
-                            "skip_person": None,
-                            "error": f"{type(ex).__name__}: {ex}",
-                        }
+                        command_error_row(r.get("request_seq"), r.get("item_index"), ex)
                     )
             yield pd.DataFrame(out_rows, columns=[f.name for f in COMMAND_SCHEMA.fields])
 
@@ -649,3 +667,77 @@ def normalize_items(decoded: DataFrame) -> DataFrame:
     return decoded.mapInPandas(_run, COMMAND_SCHEMA).where(F.col("error").isNull()).drop(
         "error"
     )
+
+
+def decode_normalize_requests(raw: DataFrame, body_col: str = "body") -> DataFrame:
+    """Fused decode + normalize: raw request rows → COMMAND_SCHEMA rows in
+    ONE Arrow pass.
+
+    Same semantics as `payload.decode_requests` |> `normalize_items`, minus
+    the intermediate `body_json` round trip (a full json.dumps + Arrow
+    transfer + json.loads of every item). Both stages are shuffle-free
+    per-row maps, so fusing them halves the Python-boundary cost of the
+    ingest edge — the per-event constant that multiplies by 10^11 rows at
+    100 TB.
+    """
+    from hogflare_spark.sources.payload import decode_request_row
+
+    opt_cols = ("content_type", "content_encoding", "header_api_key",
+                "header_sent_at", "geo_json", "ip")
+    present = {c for c in raw.columns if c in opt_cols}
+
+    def _opt(r: dict, name: str):
+        return r.get(name) if name in present else None
+
+    def _run(batches: Iterator[Any]) -> Iterator[Any]:
+        import pandas as pd
+
+        cols = [f.name for f in COMMAND_SCHEMA.fields]
+        for pdf in batches:
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                r = row._asdict()
+                b = r[body_col]
+                try:
+                    raw_bytes = (
+                        b if isinstance(b, (bytes, bytearray)) else str(b).encode()
+                    )
+                    items, env_api, env_sent = decode_request_row(
+                        r["endpoint"],
+                        raw_bytes,
+                        _opt(r, "content_type"),
+                        _opt(r, "content_encoding"),
+                    )
+                except Exception:  # noqa: BLE001 — reference 4xxes malformed rows
+                    continue
+                for idx, item in enumerate(items):
+                    try:
+                        out_rows.append(
+                            command_row(
+                                r["endpoint"],
+                                item,
+                                r["request_seq"],
+                                idx,
+                                envelope_api_key=env_api,
+                                envelope_sent_at=env_sent,
+                                header_api_key=_opt(r, "header_api_key"),
+                                header_sent_at=_opt(r, "header_sent_at"),
+                                geo_json=_opt(r, "geo_json"),
+                                ip=_opt(r, "ip"),
+                            )
+                        )
+                    except Exception as ex:  # noqa: BLE001
+                        out_rows.append(
+                            command_error_row(r.get("request_seq"), idx, ex)
+                        )
+            yield pd.DataFrame(out_rows, columns=cols)
+
+    from pyspark.sql import functions as F
+
+    if raw.isStreaming:
+        mapped = raw.mapInPandas(_run, COMMAND_SCHEMA)
+    else:
+        from hogflare_spark.operators.partitioning import fan_out
+
+        mapped = fan_out(raw).mapInPandas(_run, COMMAND_SCHEMA)
+    return mapped.where(F.col("error").isNull()).drop("error")

@@ -300,7 +300,18 @@ def fold_person_state(
         cols = [f.name for f in _FOLD_OUT.fields]
         return pd.DataFrame(out, columns=cols)
 
-    folded = ops_with_comp.groupBy("comp").applyInPandas(_replay, _FOLD_OUT)
+    # Explicit hash-partition on the fold key: the groupBy's own shuffle
+    # would be AQE-coalesced by *bytes* (a few MB of narrow op rows → 1-4
+    # partitions), serializing the CPU-bound Python replay. A pinned
+    # partition count keeps the fold as wide as the cluster; the existing
+    # HashPartitioning satisfies the groupBy's distribution so no second
+    # shuffle is added.
+    n_fold = ops_with_comp.sparkSession.sparkContext.defaultParallelism
+    folded = (
+        ops_with_comp.repartition(n_fold, "comp")
+        .groupBy("comp")
+        .applyInPandas(_replay, _FOLD_OUT)
+    )
     folded = folded.cache()
 
     snapshots = folded.where(F.col("row_type") == "snapshot").select(

@@ -262,6 +262,38 @@ def parse_batch_body(
 # ---------------------------------------------------------------------------
 
 
+def decode_request_row(
+    endpoint: str,
+    raw_bytes: bytes,
+    content_type: str | None,
+    content_encoding: str | None,
+) -> tuple[list, str | None, str | None]:
+    """One raw request → (items, envelope_api_key, envelope_sent_at).
+
+    Raises on malformed payloads (callers drop the row — the reference
+    returns 4xx for them and they never reach the pipeline).
+    """
+    env_api = env_sent = None
+    if endpoint == "batch":
+        items, envelope = parse_batch_body(raw_bytes, content_type, content_encoding)
+        api, sent = envelope.get("api_key"), envelope.get("sent_at")
+        env_api = api if isinstance(api, str) else None
+        env_sent = sent if isinstance(sent, str) else None
+    elif endpoint == "s":
+        # session chunks are raw JSON — no form/envelope unwrapping
+        # (lib.rs:1149-1189 parses the body directly; the whole payload
+        # becomes properties)
+        payload = json.loads(
+            decode_content_encoding(raw_bytes, content_encoding).decode("utf-8")
+        )
+        if not isinstance(payload, dict):
+            raise ValueError("expected JSON object session payload")
+        items = [payload]
+    else:
+        items = parse_payload(raw_bytes, content_type, content_encoding)
+    return items, env_api, env_sent
+
+
 def decode_requests(raw: DataFrame, body_col: str = "body") -> DataFrame:
     """Decode raw HTTP-shaped rows into per-item rows.
 
@@ -304,28 +336,12 @@ def decode_requests(raw: DataFrame, body_col: str = "body") -> DataFrame:
                 ce = r["content_encoding"] if has_ce else None
                 try:
                     raw_bytes = b if isinstance(b, (bytes, bytearray)) else str(b).encode()
-                    env_api = env_sent = None
-                    if ep == "batch":
-                        items, envelope = parse_batch_body(raw_bytes, ct, ce)
-                        env_api = envelope.get("api_key")
-                        env_sent = envelope.get("sent_at")
-                    elif ep == "s":
-                        # session chunks are raw JSON — no form/envelope
-                        # unwrapping (lib.rs:1149-1189 parses the body
-                        # directly; the whole payload becomes properties)
-                        payload = json.loads(
-                            decode_content_encoding(raw_bytes, ce).decode("utf-8")
-                        )
-                        if not isinstance(payload, dict):
-                            raise ValueError("expected JSON object session payload")
-                        items = [payload]
-                    else:
-                        items = parse_payload(raw_bytes, ct, ce)
+                    items, env_api, env_sent = decode_request_row(ep, raw_bytes, ct, ce)
                 except Exception:  # noqa: BLE001 — reference 4xxes malformed rows
                     continue
                 base = {c: r[c] for c in keep}
-                base["envelope_api_key"] = env_api if isinstance(env_api, str) else None
-                base["envelope_sent_at"] = env_sent if isinstance(env_sent, str) else None
+                base["envelope_api_key"] = env_api
+                base["envelope_sent_at"] = env_sent
                 for idx, item in enumerate(items):
                     out = dict(base)
                     out["item_index"] = idx
