@@ -8,10 +8,15 @@
   thousands.
 - embedding_near_dup_pairs: exact pair join above a cosine threshold.
 - lsh_ann_topk: random-hyperplane LSH (Charikar 2002) with multi-probe —
-  the scale path: corpus is bucketed by an 8-bit signature, each query
+  a scale path: corpus is bucketed by an 8-bit signature, each query
   probes its bucket plus all buckets within hamming distance `probe_dist`,
   and only those candidates are reranked exactly. Candidate volume is
   ~corpus * P(bucket match), tunable via planes/probe_dist.
+- ivf_ann_topk: IVF coarse quantizer (Jégou et al. 2011 / FAISS IVF) —
+  the other scale path: spherical k-means centroids trained on a bounded
+  driver-side sample, corpus assigned to cells JVM-side, queries probe
+  their n_probe nearest cells and rerank exactly. At 100 TB the cell id
+  becomes a partition/cluster column and probing is partition pruning.
 """
 
 from __future__ import annotations
@@ -129,6 +134,150 @@ def _probe_buckets(bucket: Column, num_planes: int, probe_dist: int) -> Column:
             for j in range(i + 1, num_planes)
         ]
     return F.array(*probes)
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    sample_mod: int = 1,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic spherical k-means on a driver-side sample → centroids.
+
+    IVF training the way the ANN literature does it (FAISS/IVF, Jégou et
+    al. 2011): train the coarse quantizer on a bounded SAMPLE, broadcast
+    the centroids, assign the full corpus distributedly. At 100 TB the
+    sample stays O(100k) rows via `sample_mod` — the only collect in the
+    pipeline, and it is corpus-size-independent by construction.
+
+    Deterministic: sample = ids % sample_mod == 0, sorted by id; init =
+    first n_centroids sample vectors; Lloyd updates with numpy; an emptied
+    cell keeps its previous centroid. All vectors L2-normalized so
+    max-dot-product assignment == cosine assignment.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.where(F.col(id_col) % sample_mod == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    n_centroids = min(n_centroids, len(x))
+    cent = x[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members) == 0:
+                continue
+            m = members.mean(axis=0)
+            nrm = np.linalg.norm(m)
+            if nrm > 0:
+                cent[j] = m / nrm
+    return [[float(v) for v in c] for c in cent]
+
+
+def _cell_dots(vec: Column, centroids: list[list[float]]) -> list[Column]:
+    """Per-centroid dot products of a (unnormalized) vector column.
+
+    Centroids are unit vectors, so argmax-dot == argmax-cosine for cell
+    ASSIGNMENT (the vector's own norm is a constant across cells); the
+    rerank still computes true cosine."""
+    return [
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(w)) for w in c]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for c in centroids
+    ]
+
+
+def ivf_assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Cell id (int) = argmax_j dot(vec, centroid_j); ties → higher j."""
+    arr = F.array(
+        *[
+            F.struct(d.alias("d"), F.lit(j).alias("j"))
+            for j, d in enumerate(_cell_dots(vec, centroids))
+        ]
+    )
+    return F.array_max(arr)["j"]
+
+
+def ivf_probe_expr(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
+    """Array of the n_probe cell ids nearest (by dot) to the vector."""
+    arr = F.array(
+        *[
+            F.struct(d.alias("d"), F.lit(j).alias("j"))
+            for j, d in enumerate(_cell_dots(vec, centroids))
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(arr)), 1, n_probe)
+    return F.transform(top, lambda s: s["j"])
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Corpus rows are assigned to their nearest centroid cell (one pass,
+    JVM expressions, no shuffle); each query probes its `n_probe` nearest
+    cells and exactly reranks only those candidates. Expected candidate
+    volume is |corpus| * n_probe / n_centroids — the knob that turns a
+    full scan into a cell-local search at 100 TB, where the cell
+    assignment would be precomputed as a partition/cluster column of the
+    corpus table and the probe becomes partition pruning.
+
+    Output schema matches brute_force_topk; recall is gated in
+    tests/test_llm_pipeline.py on clustered data.
+    """
+    from hogflare_spark.operators.partitioning import fan_out
+
+    centroids = ivf_train_centroids(
+        corpus, n_centroids, sample_mod=sample_mod, id_col=id_col, vec_col=vec_col
+    )
+    c = fan_out(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ).select("neighbor_id", "cv", ivf_assign_expr(F.col("cv"), centroids).alias("cell"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(ivf_probe_expr(F.col(vec_col), centroids, n_probe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 9).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
 
 
 def lsh_ann_topk(

@@ -249,6 +249,18 @@ def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(q, emb, TOPK, dim=64).orderBy("query_id", "rank")
 
 
+@query("llm_ann_ivf_topk")  # rows-only: approximate by construction;
+# recall vs the exact result is gated in tests/test_llm_pipeline.py
+def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hogflare_spark.operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    return ivf_ann_topk(q, emb, TOPK, n_centroids=16, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
 @query(
     "llm_lang_id",
     oracle=f"""

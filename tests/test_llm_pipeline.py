@@ -127,6 +127,34 @@ def test_lsh_ann_recall_on_clustered_data(spark):
     assert recall >= 0.8, f"LSH recall {recall} too low"
 
 
+def test_ivf_ann_recall_on_clustered_data(spark):
+    from hogflare_spark.operators.similarity import brute_force_topk, ivf_ann_topk
+
+    df = spark.createDataFrame(_clustered_vectors(dim=16))
+    q = df.where(F.col("vec_id") % 12 == 0)  # one query per cluster
+    exact = brute_force_topk(q, df, 5)
+    approx = ivf_ann_topk(q, df, 5, n_centroids=8, n_probe=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # k-means cells align with the planted clusters; probing 3 of 8 cells
+    # must recover the bulk of the true top-5
+    assert recall >= 0.8, f"IVF recall {recall} too low"
+
+
+def test_ivf_centroids_deterministic_and_unit_norm(spark):
+    import numpy as np
+
+    from hogflare_spark.operators.similarity import ivf_train_centroids
+
+    df = spark.createDataFrame(_clustered_vectors(n_clusters=4, per_cluster=6, dim=8))
+    c1 = ivf_train_centroids(df, 4)
+    c2 = ivf_train_centroids(df, 4)
+    assert c1 == c2
+    for c in c1:
+        assert abs(np.linalg.norm(c) - 1.0) < 1e-9
+
+
 def test_brute_force_topk_is_exact(spark):
     import numpy as np
 
