@@ -273,3 +273,75 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (beyond the rollup/cube gates): two independent 1-D
+# aggregates plus the grand total in ONE pass over orders — Spark expands
+# the sets with a single Expand node feeding one hash aggregate, so the
+# fact table is scanned once however many sets there are. GROUPING()
+# markers disambiguate "NULL because grouped-away" from data NULLs.
+# --------------------------------------------------------------------------
+def _grouping_sets_sql(table: str) -> str:
+    return f"""
+    SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+    FROM {table}
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus, o_orderpriority
+    """
+
+
+@query("q_grouping_sets_revenue", oracle=_grouping_sets_sql("orders"))
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(_grouping_sets_sql("v_orders_gs"))
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT (wide → long): per-priority metrics melted to (priority, metric,
+# value) rows with stack() — a generator expression, no shuffle beyond the
+# feeding aggregate. The oracle mirrors with UNION ALL (portable and
+# column-order deterministic, unlike engine-specific UNPIVOT syntax).
+# --------------------------------------------------------------------------
+@query(
+    "q_unpivot_priority_metrics",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+             CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_cust
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, metric, value FROM (
+      SELECT o_orderpriority, 'n_cust' AS metric, n_cust AS value FROM w
+      UNION ALL SELECT o_orderpriority, 'n_orders', n_orders FROM w
+      UNION ALL SELECT o_orderpriority, 'revenue', revenue FROM w
+    )
+    ORDER BY o_orderpriority, metric
+    """,
+)
+def q_unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("revenue"),
+        F.count_distinct("o_custkey").cast("double").alias("n_cust"),
+    )
+    return (
+        wide.select(
+            "o_orderpriority",
+            F.expr(
+                "stack(3, 'n_cust', n_cust, 'n_orders', n_orders, "
+                "'revenue', revenue) AS (metric, value)"
+            ),
+        )
+        .orderBy("o_orderpriority", "metric")
+    )
