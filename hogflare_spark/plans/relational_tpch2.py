@@ -345,3 +345,70 @@ def q_unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "metric")
     )
+
+
+# --------------------------------------------------------------------------
+# Range join (non-equi): orders matched to overlapping 90-day "season"
+# windows that start every 100 days — windows deliberately straddle
+# bucket edges. The naive plan is a BroadcastNestedLoopJoin (every row
+# against every range); the scalable shape used here buckets time into
+# fixed 128-day cells, explodes each season into the cells it overlaps
+# (<= 2), equi-joins on the cell id, and applies the range predicate as a
+# residual — O(rows * overlap) instead of O(rows * ranges). At 100 TB
+# with a big ranges side, the same cell key becomes the shuffle key.
+# --------------------------------------------------------------------------
+@query(
+    "q_range_join_seasons",
+    oracle="""
+    WITH seasons AS (
+      SELECT i AS season_id,
+             DATE '1995-01-01' + INTERVAL (i * 100) DAY AS season_start,
+             DATE '1995-01-01' + INTERVAL (i * 100 + 89) DAY AS season_end
+      FROM range(0, 25) t(i)
+    )
+    SELECT season_id, count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+    FROM orders JOIN seasons
+      ON o_orderdate >= season_start AND o_orderdate <= season_end
+    GROUP BY season_id ORDER BY season_id
+    """,
+)
+def q_range_join_seasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket_days = 128
+    epoch = F.lit("1995-01-01").cast("date")
+    seasons = spark.range(0, 25).select(
+        F.col("id").alias("season_id"),
+        F.date_add(epoch, (F.col("id") * 100).cast("int")).alias("season_start"),
+        F.date_add(epoch, (F.col("id") * 100 + 89).cast("int")).alias("season_end"),
+    )
+    # explode each season into the time cells it overlaps (<= 2 here)
+    cells = seasons.select(
+        "season_id",
+        "season_start",
+        "season_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.datediff("season_start", epoch) / bucket_days),
+                F.floor(F.datediff("season_end", epoch) / bucket_days),
+            )
+        ).alias("cell"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        "o_totalprice",
+        F.floor(F.datediff(F.col("o_orderdate"), epoch) / bucket_days).alias("cell"),
+    )
+    joined = orders.join(F.broadcast(cells), "cell").where(
+        (F.col("o_orderdate") >= F.col("season_start"))
+        & (F.col("o_orderdate") <= F.col("season_end"))
+    )
+    return (
+        joined.groupBy("season_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+        .orderBy("season_id")
+    )
