@@ -412,3 +412,60 @@ def q_range_join_seasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("season_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q9 shape (product-type profit by nation and year). The synthetic schema
+# has no partsupp/ps_supplycost, so cost is proxied as 10% of
+# p_retailprice per unit — the plan shape (LIKE-filtered part dim
+# broadcast into the fact, supplier→nation broadcast, two-key groupBy) is
+# the point, and all arithmetic stays in DECIMAL so the profit sums are
+# engine-exact.
+# --------------------------------------------------------------------------
+_PROFIT_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))"
+    " - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(12,2))"
+    " * CAST(0.1 AS DECIMAL(4,2))"
+)
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum({_PROFIT_SQL}) AS DOUBLE), 2) AS profit
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, o_year
+    ORDER BY supp_nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    profit = _rev_col() - (
+        F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+        * F.lit(0.1).cast("decimal(4,2)")
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit).cast("double"), 2).alias("profit"))
+        .orderBy("supp_nation", F.desc("o_year"))
+    )
