@@ -168,6 +168,49 @@ def _seed_ops(prior_persons: DataFrame) -> DataFrame:
     )
 
 
+def _two_phase_rank(allocs: DataFrame) -> DataFrame:
+    """Global dense allocation rank without a single-reducer stage (U10).
+
+    `row_number().over(Window.orderBy(...))` with no partitionBy funnels
+    every allocation through one reducer — fine at test scale, fatal on a
+    100 TB backfill allocating hundreds of millions of persons. Instead:
+
+    1. range-partition on the sort key, so partition i holds keys strictly
+       below partition i+1 (and each partition an even share);
+    2. rank locally within each range partition (the window's partitionBy
+       is the physical partition id, so no reducer sees more than one
+       partition's rows);
+    3. add the cumulative row-count of all lower partitions — computed by
+       a triangular self-join over the per-partition counts, a frame
+       bounded by cluster width (#shuffle partitions), not data size.
+
+    Keys are unique (alloc_uuid is a fresh UUID), so ranks are total and
+    deterministic regardless of where the range boundaries land. Fully
+    lazy — no driver collect, no global-order window anywhere.
+    """
+    n = allocs.sparkSession.sparkContext.defaultParallelism
+    local = (
+        allocs.repartitionByRange(n, "alloc_a", "alloc_b", "alloc_uuid")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "local_rank",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy("alloc_a", "alloc_b", "alloc_uuid")
+            ),
+        )
+    )
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("offset"))
+    )
+    return local.join(F.broadcast(offsets), "pid").select(
+        "alloc_uuid", (F.col("local_rank") + F.col("offset")).alias("rank")
+    )
+
+
 def fold_person_state(
     commands: DataFrame,
     team_id: int | None = None,
@@ -331,12 +374,8 @@ def fold_person_state(
         max_prior = folded.sparkSession.range(1).select(
             F.lit(0).cast("long").alias("_max_prior")
         )
-    id_rank = (
-        allocs.withColumn(
-            "rank", F.row_number().over(Window.orderBy("alloc_a", "alloc_b", "alloc_uuid"))
-        )
-        .crossJoin(F.broadcast(max_prior))
-        .select("alloc_uuid", (F.col("rank") + F.col("_max_prior")).alias("new_id"))
+    id_rank = _two_phase_rank(allocs).crossJoin(F.broadcast(max_prior)).select(
+        "alloc_uuid", (F.col("rank") + F.col("_max_prior")).alias("new_id")
     )
     persons = (
         folded.where(F.col("row_type") == "person")
