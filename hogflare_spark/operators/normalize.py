@@ -27,6 +27,7 @@ from collections.abc import Iterator
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -669,16 +670,209 @@ def normalize_items(decoded: DataFrame) -> DataFrame:
     )
 
 
-def decode_normalize_requests(raw: DataFrame, body_col: str = "body") -> DataFrame:
-    """Fused decode + normalize: raw request rows → COMMAND_SCHEMA rows in
-    ONE Arrow pass.
+# ---------------------------------------------------------------------------
+# JVM fast path: plain single-object capture JSON, no Python boundary
+# ---------------------------------------------------------------------------
 
-    Same semantics as `payload.decode_requests` |> `normalize_items`, minus
-    the intermediate `body_json` round trip (a full json.dumps + Arrow
-    transfer + json.loads of every item). Both stages are shuffle-free
-    per-row maps, so fusing them halves the Python-boundary cost of the
-    ingest edge — the per-event constant that multiplies by 10^11 rows at
-    100 TB.
+# printable ASCII minus backslash (\x5C): no escape sequences, no unicode —
+# Jackson's compact re-serialization is then byte-identical to Python's
+# json.dumps(..., separators=(",",":"), ensure_ascii=True)
+_FAST_SAFE_BODY_RE = r"^[\x20-\x5B\x5D-\x7E]*$"
+# any digit followed by '.', 'e' or 'E': floats / exponents re-serialize
+# differently in Java (1.23456785E7) than Python (12345678.5) — fall back.
+# Over-matches inside string values (e.g. ISO timestamps); that only costs
+# the fast path, never correctness.
+_FAST_FLOATY_RE = r"[0-9][.eE]"
+# $unset as a strict all-string JSON array (Jackson-compact form)
+_FAST_UNSET_RE = r'^\[\]$|^\["[^"]*"(,"[^"]*")*\]$'
+# $groups as a strict string→string JSON object (Jackson-compact form)
+_FAST_GROUPS_RE = r'^\{\}$|^\{"[^"]*":"[^"]*"(,"[^"]*":"[^"]*")*\}$'
+# group-type keys must survive a get_json_object bracket path + inline JSON
+_FAST_KEY_RE = r"^[0-9A-Za-z_.:@ -]*$"
+
+_FAST_KNOWN_CAPTURE = ("api_key", "event", "distinct_id", "properties", "timestamp", "context")
+
+# group_set_updates (lib.rs:430-450) as a SQL lambda over the $group_set
+# keys: type present in $groups + non-empty object props → one update entry
+_FAST_GROUP_UPDATES_EXPR = """
+CASE WHEN __gset IS NULL THEN NULL ELSE (
+  SELECT CASE WHEN size(e) > 0
+              THEN concat('[', array_join(e, ','), ']') END
+  FROM (SELECT filter(
+    transform(json_object_keys(__gset), k ->
+      CASE WHEN get_json_object(__groups, concat('$[''', k, ''']')) IS NOT NULL
+            AND get_json_object(__gset, concat('$[''', k, ''']')) LIKE '{%'
+            AND get_json_object(__gset, concat('$[''', k, ''']')) != '{}'
+      THEN concat('{"group_type":"', k,
+                  '","group_key":"',
+                  get_json_object(__groups, concat('$[''', k, ''']')),
+                  '","properties":',
+                  get_json_object(__gset, concat('$[''', k, ''']')), '}')
+      END),
+    x -> x IS NOT NULL) AS e)
+) END
+"""
+
+
+def fast_capture_path(raw: DataFrame, body_col: str = "body"):
+    """(eligibility Column over `raw`, fast COMMAND-frame builder).
+
+    The JVM expression twin of `command_row` for the dominant wire shape:
+    an uncompressed single-object JSON `/capture` body (the overwhelming
+    majority of real SDK traffic — reference extractors.rs:508-540 object
+    branch + pipeline.rs:186-209). Rows that pass eligibility produce
+    byte-identical COMMAND_SCHEMA rows to the Python kernel without
+    crossing the Python boundary; everything else falls back.
+
+    Eligibility is deliberately conservative — each guard exists because
+    the fallback differs:
+    - ASCII-printable, backslash-free body: Python escapes non-ASCII
+      (ensure_ascii) where Jackson doesn't;
+    - no digit followed by [.eE]: Java doubles re-serialize in E-notation;
+    - `try_parse_json` non-null: rejects invalid JSON AND duplicate keys
+      at any depth (Python keeps the last duplicate, Jackson the first);
+    - top-level keys ⊆ the capture struct: serde(flatten) `extra` capture
+      stays empty, so no unknown-field stash is needed;
+    - distinct_id/event JSON strings (variant check — get_json_object
+      can't distinguish `"5"` from `5`), timestamp/api_key string-or-
+      absent, properties/context object-or-absent (context also array);
+    - $unset a strict string array; $groups a strict string map.
+    """
+    cols = raw.columns
+
+    def opt(name):
+        return F.col(name) if name in cols else F.lit(None).cast("string")
+
+    body = F.col(body_col).cast("string")
+    vb = F.try_parse_json(body)
+
+    def vjson(path):
+        # raw JSON text of a subtree INCLUDING string quotes — type probe
+        # only (variant re-serialization reorders object keys)
+        return F.to_json(F.try_variant_get(vb, path, "variant"))
+
+    did_v = vjson("$.distinct_id")
+    event_v = vjson("$.event")
+    ts_v = vjson("$.timestamp")
+    api_v = vjson("$.api_key")
+    ctx_v = vjson("$.context")
+    props_v = vjson("$.properties")
+    groups_v = vjson("$['properties']['$groups']")
+
+    props_raw = F.get_json_object(body, "$.properties")
+    unset_raw = F.get_json_object(props_raw, "$['$unset']")
+    groups_raw = F.get_json_object(props_raw, "$['$groups']")
+    gset_raw = F.get_json_object(props_raw, "$['$group_set']")
+    keys = F.json_object_keys(body)
+
+    ctype = F.lower(F.coalesce(opt("content_type"), F.lit("")))
+    eligible = (
+        (F.col("endpoint") == "capture")
+        & opt("content_encoding").isNull()
+        & ~ctype.contains("form")
+        & opt("header_sent_at").isNull()
+        & opt("geo_json").isNull()
+        & opt("ip").isNull()
+        & body.isNotNull()
+        & body.rlike(_FAST_SAFE_BODY_RE)
+        & ~body.rlike(_FAST_FLOATY_RE)
+        & ~body.startswith("data=")
+        & vb.isNotNull()
+        & keys.isNotNull()
+        & F.forall(keys, lambda k: k.isin(*_FAST_KNOWN_CAPTURE))
+        & did_v.isNotNull()
+        & did_v.startswith('"')
+        & event_v.isNotNull()
+        & event_v.startswith('"')
+        & (ts_v.isNull() | ts_v.startswith('"'))
+        & (api_v.isNull() | api_v.startswith('"'))
+        & (ctx_v.isNull() | ctx_v.startswith("{") | ctx_v.startswith("["))
+        & (props_v.isNull() | props_v.startswith("{"))
+        & (unset_raw.isNull() | unset_raw.rlike(_FAST_UNSET_RE))
+        & (groups_v.isNull() | (groups_v.startswith("{") & groups_raw.rlike(_FAST_GROUPS_RE)))
+        & (
+            gset_raw.isNull()
+            | F.coalesce(
+                F.forall(F.json_object_keys(gset_raw), lambda k: k.rlike(_FAST_KEY_RE)),
+                F.lit(True),  # non-object $group_set → no updates either way
+            )
+        )
+        & F.coalesce(
+            F.forall(F.json_object_keys(groups_raw), lambda k: k.rlike(_FAST_KEY_RE)),
+            F.lit(True),
+        )
+    )
+
+    def build(fast_raw: DataFrame) -> DataFrame:
+        set_raw = F.get_json_object(props_raw, "$['$set']")
+        so_raw = F.get_json_object(props_raw, "$['$set_once']")
+        # _obj() twin: object passthrough, anything else (incl. absent) → {}
+        s_out = F.when(F.json_object_keys(set_raw).isNotNull(), set_raw).otherwise(F.lit("{}"))
+        so_out = F.when(F.json_object_keys(so_raw).isNotNull(), so_raw).otherwise(F.lit("{}"))
+        unset_out = F.coalesce(unset_raw, F.lit("[]"))
+        did = F.get_json_object(body, "$.distinct_id")
+        person_update = F.when(
+            (s_out != "{}") | (so_out != "{}") | (unset_out != "[]"),
+            F.concat(
+                F.lit('{"distinct_id":"'), did,
+                F.lit('","set":'), s_out,
+                F.lit(',"set_once":'), so_out,
+                F.lit(',"unset":'), unset_out,
+                F.lit("}"),
+            ),
+        )
+
+        staged = fast_raw.select(
+            F.col("request_seq").cast("long").alias("request_seq"),
+            F.lit(0).cast("long").alias("item_index"),
+            F.get_json_object(body, "$.event").alias("event"),
+            did.alias("distinct_id"),
+            F.get_json_object(body, "$.timestamp").alias("timestamp"),
+            props_raw.alias("properties"),
+            F.get_json_object(body, "$.context").alias("context"),
+            F.lit(None).cast("string").alias("person_properties_request"),
+            F.coalesce(F.get_json_object(body, "$.api_key"), opt("header_api_key")).alias(
+                "api_key"
+            ),
+            F.lit(None).cast("string").alias("extra"),
+            person_update.alias("person_update"),
+            F.lit(None).cast("string").alias("alias"),
+            F.lit(None).cast("string").alias("anon_distinct_id"),
+            groups_raw.alias("groups"),
+            groups_raw.alias("__groups"),
+            gset_raw.alias("__gset"),
+            F.lit(None).cast("string").alias("group_identify"),
+            F.lit("0").alias("skip_person"),
+        )
+        return staged.withColumn(
+            "group_updates", F.expr(_FAST_GROUP_UPDATES_EXPR)
+        ).select(*[f.name for f in COMMAND_SCHEMA.fields if f.name != "error"])
+
+    return eligible, build
+
+
+def decode_normalize_requests(
+    raw: DataFrame, body_col: str = "body", fast_path: bool = True
+) -> DataFrame:
+    """Fused decode + normalize: raw request rows → COMMAND_SCHEMA rows.
+
+    Two-tier execution:
+
+    1. **JVM tier** (`fast_capture_path`): plain single-object capture
+       JSON — the hot shape — handled entirely by Catalyst expressions
+       (`get_json_object` projections). No Python boundary, whole-stage
+       codegen applies, and the Python-worker cost that multiplies by
+       10^11 rows at 100 TB disappears for the majority of traffic.
+    2. **Python tier**: everything else (form/base64/gzip/batch/browser/
+       session/exotic JSON) through the Arrow-batched kernel below — same
+       semantics as `payload.decode_requests` |> `normalize_items`, fused
+       into ONE Arrow pass.
+
+    The split is two filters over the same scan (columnar parquet read of
+    the body column twice in the worst case — still far cheaper than one
+    Python pass over everything). `fast_path=False` forces everything
+    through the Python kernel; tests/test_payload_decode.py asserts the
+    two tiers produce identical rows on eligible bodies.
     """
     from hogflare_spark.sources.payload import decode_request_row
 
@@ -734,10 +928,22 @@ def decode_normalize_requests(raw: DataFrame, body_col: str = "body") -> DataFra
 
     from pyspark.sql import functions as F
 
-    if raw.isStreaming:
-        mapped = raw.mapInPandas(_run, COMMAND_SCHEMA)
+    if fast_path:
+        eligible, build = fast_capture_path(raw, body_col)
+        is_fast = F.coalesce(eligible, F.lit(False))
+        fast_df = build(raw.where(is_fast))
+        slow_raw = raw.where(~is_fast)
+    else:
+        fast_df = None
+        slow_raw = raw
+
+    if slow_raw.isStreaming:
+        mapped = slow_raw.mapInPandas(_run, COMMAND_SCHEMA)
     else:
         from hogflare_spark.operators.partitioning import fan_out
 
-        mapped = fan_out(raw).mapInPandas(_run, COMMAND_SCHEMA)
-    return mapped.where(F.col("error").isNull()).drop("error")
+        mapped = fan_out(slow_raw).mapInPandas(_run, COMMAND_SCHEMA)
+    slow_df = mapped.where(F.col("error").isNull()).drop("error")
+    return slow_df if fast_df is None else fast_df.unionByName(slow_df)
+
+
