@@ -198,10 +198,20 @@ def ingest_raw_requests(
     body_col: str = "body",
     prior_persons: DataFrame | None = None,
     prior_groups: DataFrame | None = None,
+    signing_secret: str | None = None,
 ) -> dict[str, DataFrame]:
-    """Full path: raw HTTP-shaped rows → {events, persons, groups}."""
+    """Full path: raw HTTP-shaped rows → {events, persons, groups}.
+
+    With ``signing_secret`` set, the HMAC gate (S9, reference
+    extractors.rs:320-399) runs first: unsigned/mis-signed rows are the
+    reference's 401s and never reach the pipeline.
+    """
     from hogflare_spark.operators.normalize import decode_normalize_requests
 
+    if signing_secret is not None:
+        from hogflare_spark.sources.signature import verify_signature_gate
+
+        raw, _ = verify_signature_gate(raw, signing_secret, body_col=body_col)
     commands = decode_normalize_requests(raw, body_col=body_col)
     return ingest_commands(
         commands,
