@@ -175,39 +175,46 @@ def _two_phase_rank(allocs: DataFrame) -> DataFrame:
     every allocation through one reducer — fine at test scale, fatal on a
     100 TB backfill allocating hundreds of millions of persons. Instead:
 
-    1. range-partition on the sort key, so partition i holds keys strictly
-       below partition i+1 (and each partition an even share);
-    2. rank locally within each range partition (the window's partitionBy
-       is the physical partition id, so no reducer sees more than one
-       partition's rows);
-    3. add the cumulative row-count of all lower partitions — computed by
-       a triangular self-join over the per-partition counts, a frame
-       bounded by cluster width (#shuffle partitions), not data size.
+    1. range-partition + sort on the key, so partition i holds keys
+       strictly below partition i+1 and rows are ordered within each;
+    2. read the partition-local row index straight out of
+       `monotonically_increasing_id()` (documented layout: partition id in
+       the upper 31 bits, per-partition row counter in the lower 33) — no
+       window function, so no second exchange after the range shuffle;
+    3. add the cumulative row-count of all lower partitions — a running
+       sum over one row per partition, bounded by cluster width
+       (#shuffle partitions), not data size.
 
     Keys are unique (alloc_uuid is a fresh UUID), so ranks are total and
-    deterministic regardless of where the range boundaries land. Fully
-    lazy — no driver collect, no global-order window anywhere.
+    deterministic regardless of where the range boundaries land. The tiny
+    (#allocs-row) indexed frame is cached so the counts pass and the
+    final join don't each redo the range shuffle and its sampling job.
     """
     n = allocs.sparkSession.sparkContext.defaultParallelism
+    keys = ["alloc_a", "alloc_b", "alloc_uuid"]
     local = (
-        allocs.repartitionByRange(n, "alloc_a", "alloc_b", "alloc_uuid")
-        .withColumn("pid", F.spark_partition_id())
-        .withColumn(
-            "local_rank",
-            F.row_number().over(
-                Window.partitionBy("pid").orderBy("alloc_a", "alloc_b", "alloc_uuid")
-            ),
+        allocs.repartitionByRange(n, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("mid", F.monotonically_increasing_id())
+        .select(
+            "alloc_uuid",
+            F.shiftrightunsigned("mid", 33).alias("pid"),
+            (F.col("mid").bitwiseAND(F.lit((1 << 33) - 1))).alias("local_idx"),
         )
+        .cache()
     )
     counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    offsets = (
-        counts.alias("a")
-        .join(counts.alias("b"), F.col("b.pid") < F.col("a.pid"), "left")
-        .groupBy(F.col("a.pid").alias("pid"))
-        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("offset"))
+    offsets = counts.select(
+        "pid",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
     )
     return local.join(F.broadcast(offsets), "pid").select(
-        "alloc_uuid", (F.col("local_rank") + F.col("offset")).alias("rank")
+        "alloc_uuid", (F.col("local_idx") + F.col("offset") + F.lit(1)).alias("rank")
     )
 
 
