@@ -12,9 +12,13 @@ reduce the outcome to an oracle-SQL-expressible shape:
   graph (U8/U9 co-partitioning; DuckDB oracle = recursive CTE)
 - hf_flag_eval: compiled flag evaluation (F3/F4/F5 operators + coercion)
   over customer contexts
-- hf_flag_rollout_buckets: sha1 rollout bucketing (F6) — DuckDB 1.0 has
-  no sha1, so this entry is rows-only here; bit-parity is enforced in
+- hf_flag_rollout_buckets / hf_flag_multivariate: sha1 rollout bucketing
+  and variant walks (F6/F7) — DuckDB 1.0 has no sha1, so their oracles
+  join hashlib-precomputed buckets from fixtures/flag_buckets.parquet
+  (scripts/make_flag_fixture.py); bit-parity is additionally enforced in
   tests/test_flags.py against a hashlib oracle
+- hf_flags_batch_responses: full /flags response JSON (F8) — byte-exact
+  SQL reconstruction of the kernel's sorted-keys compact serialization
 """
 
 from __future__ import annotations
@@ -324,9 +328,32 @@ def hf_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(lake_dir, ignore_errors=True)
 
 
-@query("hf_flag_multivariate")  # rows-only: variant selection walks the
-# sha1 bucket (no sha1 in DuckDB 1.0); compiled-vs-kernel equivalence is
-# enforced in tests/test_flags.py
+@query(
+    "hf_flag_multivariate",
+    # The oracle replays the variant walk in SQL over hashlib-precomputed
+    # buckets (fixtures/flag_buckets.parquet, salt "experiment-1"): gate at
+    # rollout 80, then cumulative variant thresholds control<50, test-a<80
+    # (test-b is unreachable — the 80% gate cuts the walk, a semantics the
+    # oracle must reproduce, not "fix"). value/payload are JSON-encoded to
+    # match the compiled result columns.
+    oracle="""
+    SELECT c.c_custkey,
+           'experiment-1' AS flag_key,
+           CASE WHEN fb.bucket_exp >= 80 THEN 'false'
+                WHEN fb.bucket_exp < 50 THEN '"control"'
+                ELSE '"test-a"' END AS value,
+           CASE WHEN fb.bucket_exp >= 80 THEN NULL
+                WHEN fb.bucket_exp < 50 THEN '{"cta":"none"}'
+                ELSE '{"cta":"A"}' END AS payload,
+           CASE WHEN fb.bucket_exp >= 80 THEN 'out_of_rollout'
+                ELSE 'match' END AS reason,
+           CAST(NULL AS INTEGER) AS condition_index
+    FROM customer c
+    JOIN read_parquet('/root/repo/fixtures/flag_buckets.parquet') fb
+      ON fb.custkey = c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+)
 def hf_flag_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multivariate selection (F7): cumulative variant walk over the
     deterministic rollout bucket, with per-variant payloads
@@ -359,11 +386,24 @@ def hf_flag_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey", "flag_key")
 
 
-@query("hf_flag_rollout_buckets")  # rows-only: DuckDB 1.0 lacks sha1
+@query(
+    "hf_flag_rollout_buckets",
+    oracle="""
+    SELECT c.c_custkey,
+           fb.bucket_bench AS bucket,
+           fb.bucket_bench < 30.0 AS enabled
+    FROM customer c
+    JOIN read_parquet('/root/repo/fixtures/flag_buckets.parquet') fb
+      ON fb.custkey = c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+)
 def hf_flag_rollout_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sha1 rollout bucketing over customers at 30%% — bit-parity with the
     reference's bucket (F6) is enforced against a hashlib oracle in
-    tests/test_flags.py::test_compiled_bucket_bit_parity."""
+    tests/test_flags.py::test_compiled_bucket_bit_parity. DuckDB 1.0 has
+    no sha1, so the oracle joins hashlib-precomputed buckets from
+    fixtures/flag_buckets.parquet (scripts/make_flag_fixture.py)."""
     from hogflare_spark.flags.compiler import bucket_expr
 
     cust = load_table(spark, sf_dir, "customer")
@@ -467,9 +507,49 @@ def hf_event_group_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-@query("hf_flags_batch_responses")  # rows-only: full /flags JSON response
-# shapes (F8) are pinned by pytest against the kernel; the driver checks
-# row count + schema stability here
+@query(
+    "hf_flags_batch_responses",
+    # All four _FLAG_CONFIG flags are 100%-rollout, so every response byte
+    # is determined by (segment, balance): the oracle rebuilds the exact
+    # json.dumps(sort_keys=True, separators=(",",":")) serialization the
+    # kernel emits — key-sorted maps, compact separators, the rich-building
+    # payload appearing both as an object (featureFlagPayloads) and as an
+    # escaped JSON string (flags.*.metadata.payload). The name-regex flag
+    # is always false here: the persons built below carry only
+    # segment/balance, and a missing property never matches (F4).
+    oracle="""
+    WITH ctx AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS id,
+             (c_mktsegment = 'BUILDING' AND c_acctbal >= 5000) AS rich,
+             (c_mktsegment <> 'MACHINERY') AS nm,
+             (c_acctbal < 0) AS low0,
+             (c_mktsegment = 'HOUSEHOLD') AS low1
+      FROM customer
+    )
+    SELECT id AS canonical_id,
+      '{"errorsWhileComputingFlags":false,"evaluatedAt":0,"featureFlagPayloads":'
+      || CASE WHEN rich THEN '{"rich-building":{"tier":"rich"}}' ELSE '{}' END
+      || ',"featureFlags":{"low-balance-or-household":'
+      || CASE WHEN low0 OR low1 THEN 'true' ELSE 'false' END
+      || ',"name-regex":false,"not-machinery":'
+      || CASE WHEN nm THEN 'true' ELSE 'false' END
+      || ',"rich-building":' || CASE WHEN rich THEN 'true' ELSE 'false' END
+      || '},"flags":{"low-balance-or-household":'
+      || CASE WHEN low0 THEN '{"enabled":true,"key":"low-balance-or-household","reason":{"code":"match","condition_index":0}}'
+              WHEN low1 THEN '{"enabled":true,"key":"low-balance-or-household","reason":{"code":"match","condition_index":1}}'
+              ELSE '{"enabled":false,"key":"low-balance-or-household","reason":{"code":"no_match"}}' END
+      || ',"name-regex":{"enabled":false,"key":"name-regex","reason":{"code":"no_match"}}'
+      || ',"not-machinery":'
+      || CASE WHEN nm THEN '{"enabled":true,"key":"not-machinery","reason":{"code":"match","condition_index":0}}'
+              ELSE '{"enabled":false,"key":"not-machinery","reason":{"code":"no_match"}}' END
+      || ',"rich-building":'
+      || CASE WHEN rich THEN '{"enabled":true,"key":"rich-building","metadata":{"payload":"{\\"tier\\":\\"rich\\"}"},"reason":{"code":"match","condition_index":0}}'
+              ELSE '{"enabled":false,"key":"rich-building","reason":{"code":"no_match"}}' END
+      || '},"requestId":"req-' || id || '"}' AS response
+    FROM ctx
+    ORDER BY canonical_id
+    """,
+)
 def hf_flags_batch_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-serve the /flags response for every customer-derived person —
     response shaping per lib.rs:1089-1147, evaluated table-wide (the

@@ -204,18 +204,36 @@ def ev_skew_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # approximate sketches (absent from the reference — SURVEY §2.6): HLL++
-# distinct-user estimates. rows-only for the driver (the sketch differs
-# from DuckDB's); the relative-error bound vs the exact count is gated in
-# tests/test_llm_pipeline.py-style fashion below via pytest.
+# distinct-user estimates. The raw sketch value is engine-specific (Spark
+# HLL++ ≠ DuckDB's), so the gate emits the EXACT count plus an accuracy
+# boolean (|approx-exact|/exact ≤ 5%, well above the 2% rsd) — the oracle
+# computes the exact side and asserts the bound holds, turning an
+# unverifiable sketch into a full hash-match gate that still runs the
+# approx_count_distinct operator.
 # --------------------------------------------------------------------------
-@query("ev_approx_distinct_users")  # rows-only: sketch values are
-# engine-specific; accuracy is gated in tests/test_sketches.py
+@query(
+    "ev_approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5pct,
+           count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def ev_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.count_distinct("user_id")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            exact.alias("exact_users"),
+            (
+                F.abs(approx.cast("double") - exact.cast("double"))
+                / exact.cast("double")
+                <= 0.05
+            ).alias("approx_within_5pct"),
             F.count("*").alias("n_events"),
         )
         .orderBy("event_type")
