@@ -2,12 +2,14 @@
 with typed metadata, processed by Arrow-batched pandas over mapInPandas.
 
 The Spark-side plumbing is real — schemas, partition-preserving
-mapInPandas, batch shapes, deterministic checksums. The codec layer is
-stubbed: this container ships no image/audio libraries, so `decode_*`
-raises NotImplementedError unless the caller opts into the deterministic
-fake decoder (`fake=True`), which derives plausible metadata from the
-payload bytes alone. Swapping in PIL/torchaudio later only touches
-_decode_image_real/_decode_audio_real.
+mapInPandas, batch shapes, deterministic checksums. The codec layer has
+two real stdlib decoders (PNG IHDR+CRC parse, WAV via `wave`) with PIL
+as an optional upgrade when importable (this container ships none), and
+a deterministic fake decoder (`fake=True`) that derives metadata from
+the payload bytes alone — the oracle-gated path, since the driver's
+documents table carries text stand-in payloads, not encoded media.
+Video decode stays NotImplementedError in real mode (no stdlib codec);
+swapping in torchvision/av later only touches _decode_video_real.
 
 Scale notes: media rows are large; the pipeline never shuffles them —
 mapInPandas is a narrow transformation, so feature extraction runs
@@ -82,15 +84,62 @@ def media_frame_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
 def _decode_image_real(payload: bytes) -> dict[str, Any]:
+    """Real image decode: PIL when importable, else stdlib PNG parse.
+
+    The PNG path reads width/height from the IHDR chunk and verifies its
+    CRC32 — a malformed payload raises ValueError rather than returning
+    garbage metadata.
+    """
     try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - no PIL in this container
-        raise NotImplementedError(
-            "real image decode requires pillow, which is not installed; "
-            "pass fake=True for the deterministic stub decoder"
-        ) from exc
-    raise NotImplementedError("real decode path not wired yet")  # pragma: no cover
+        import io
+
+        import PIL.Image
+
+        with PIL.Image.open(io.BytesIO(payload)) as img:
+            return {"width": img.width, "height": img.height, "n_frames": None}
+    except ImportError:
+        pass
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("unsupported image format (PNG required without PIL)")
+    if len(payload) < 33 or payload[12:16] != b"IHDR":
+        raise ValueError("truncated PNG: no IHDR chunk")
+    ihdr = payload[16:29]  # 13-byte IHDR body
+    crc_expected = struct.unpack(">I", payload[29:33])[0]
+    if zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF != crc_expected:
+        raise ValueError("PNG IHDR CRC mismatch")
+    width, height = struct.unpack(">II", ihdr[:8])
+    return {"width": int(width), "height": int(height), "n_frames": None}
+
+
+def _decode_audio_real(payload: bytes) -> dict[str, Any]:
+    """Real audio decode: stdlib `wave` (RIFF/WAVE PCM)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        return {"width": None, "height": None, "n_frames": int(wf.getnframes())}
+
+
+def _decode_video_real(payload: bytes) -> dict[str, Any]:
+    raise NotImplementedError(
+        "real video decode requires a codec library (none in stdlib); "
+        "pass fake=True for the deterministic stub decoder"
+    )
+
+
+def _real_decode(mime: str, payload: bytes) -> dict[str, Any]:
+    if mime.startswith("image/"):
+        return _decode_image_real(payload)
+    if mime.startswith("audio/"):
+        return _decode_audio_real(payload)
+    return _decode_video_real(payload)
 
 
 def _fake_decode(mime: str, payload: bytes) -> dict[str, Any]:
@@ -118,7 +167,7 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             ):
                 payload = bytes(payload)
                 decoded = (
-                    _fake_decode(mime, payload) if fake else _decode_image_real(payload)
+                    _fake_decode(mime, payload) if fake else _real_decode(mime, payload)
                 )
                 rows.append(
                     {

@@ -239,11 +239,83 @@ def test_multimodal_feature_extraction_batch_shape(spark):
             assert r["width"] is None and r["n_frames"] == len(payload) % 16000 + 1
 
 
-def test_multimodal_real_decode_is_stubbed():
-    from hogflare_spark.operators.multimodal import _decode_image_real
+def _make_png(width: int, height: int) -> bytes:
+    """Minimal valid 8-bit RGB PNG, stdlib-only (zlib + struct)."""
+    import struct
+    import zlib
 
-    with pytest.raises(NotImplementedError):
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00"
+        + bytes(b for x in range(width) for b in (x % 256, y % 256, (x + y) % 256))
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_wav(n_frames: int) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(bytes(2 * n_frames))
+    return buf.getvalue()
+
+
+def test_multimodal_real_png_wav_decode():
+    from hogflare_spark.operators.multimodal import (
+        _decode_audio_real,
+        _decode_image_real,
+        _decode_video_real,
+    )
+
+    png = _make_png(13, 7)
+    assert _decode_image_real(png) == {"width": 13, "height": 7, "n_frames": None}
+    wav = _make_wav(321)
+    assert _decode_audio_real(wav) == {"width": None, "height": None, "n_frames": 321}
+    # malformed payloads fail loudly, not with garbage metadata
+    with pytest.raises(ValueError):
         _decode_image_real(b"\x89PNG")
+    bad_crc = bytearray(png)
+    bad_crc[20] ^= 0xFF  # corrupt IHDR width byte without fixing the CRC
+    with pytest.raises(ValueError):
+        _decode_image_real(bytes(bad_crc))
+    with pytest.raises(NotImplementedError):
+        _decode_video_real(b"\x00\x00\x00\x18ftypmp42")
+
+
+def test_multimodal_real_decode_through_spark(spark):
+    """extract_features(fake=False) over genuine PNG/WAV payloads — the
+    same mapInPandas plumbing the gate uses, with the real codec layer."""
+    from hogflare_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    rows = [
+        (1, "image/png", bytearray(_make_png(32, 16)), ("t", None)),
+        (2, "audio/wav", bytearray(_make_wav(1234)), ("t", None)),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in extract_features(media, fake=False).collect()}
+    assert got[1]["width"] == 32 and got[1]["height"] == 16
+    assert got[1]["n_frames"] is None
+    assert got[2]["n_frames"] == 1234 and got[2]["width"] is None
+    assert got[1]["checksum"] == hashlib.md5(bytes(rows[0][2])).hexdigest()
 
 
 def test_frame_sample_offsets(spark):
