@@ -103,6 +103,97 @@ def test_streaming_ingest_matches_batch_fold(spark, tmp_path):
     assert "event_date" in events.columns
 
 
+def _identify(seq: int, distinct_id: str, props: dict | None = None,
+              anon: str | None = None) -> dict:
+    body: dict = {"distinct_id": distinct_id}
+    if props:
+        body["properties"] = props
+    if anon:
+        body["$anon_distinct_id"] = anon
+    return {"request_seq": seq, "endpoint": "identify", "body": json.dumps(body)}
+
+
+# The reference DO e2e scenario (reference tests/persons_do.rs:22-99:
+# identify $set/$set_once → capture $set → alias absorbs anon), extended
+# with a second merge chain, an identify auto-alias, and an $unset.
+CHAOS_OPS = [
+    _capture(1, "anon-1", {"$set": {"plan": "free"}}),
+    _identify(2, "person-1", {"$set": {"email": "person1@example.com"},
+                              "$set_once": {"created_at": "2024-01-01"}}),
+    _capture(3, "anon-1", {"$set": {"theme": "dark"}}),
+    _alias(4, "person-1", "anon-1"),
+    _capture(5, "person-1", {"$set": {"plan": "pro"}}),
+    _identify(6, "person-2", {"$set": {"email": "p2@example.com"}}, anon="anon-2"),
+    _capture(7, "anon-2", {"$set_once": {"src": "ad"}}),
+    _capture(8, "person-2", {"$unset": ["email"]}),
+    _capture(9, "anon-3", {"$set": {"solo": True}}),
+]
+
+# batch-boundary splits: all-at-once, one-op-per-batch, and two uneven
+# cuts that place each merge op at a batch edge (before/after its anon's
+# captures) — the orderings that broke the reference's DO serialization
+# are the ones worth replaying here.
+CHAOS_SPLITS = [
+    [9],
+    [1] * 9,
+    [3, 1, 1, 4],
+    [1, 4, 2, 2],
+]
+
+
+def test_streaming_chaos_batch_splits_match_batch_fold(spark, tmp_path):
+    """VERDICT r1 item 10: whatever micro-batch boundaries the stream
+    commits under, the final persons table equals the one-shot batch fold
+    over the same ordered ops."""
+    from hogflare_spark.operators.ingest import ingest_raw_requests
+    from hogflare_spark.streaming.ingest_stream import (
+        StreamingIngestJob,
+        read_request_stream,
+    )
+
+    batch_raw = spark.createDataFrame(
+        [Row(request_seq=r["request_seq"], endpoint=r["endpoint"], body=r["body"])
+         for r in CHAOS_OPS]
+    )
+    want = {
+        r["canonical_id"]: r
+        for r in ingest_raw_requests(batch_raw)["persons"].collect()
+    }
+
+    for si, split in enumerate(CHAOS_SPLITS):
+        assert sum(split) == len(CHAOS_OPS)
+        landing = str(tmp_path / f"landing{si}")
+        ckpt = str(tmp_path / f"ckpt{si}")
+        job = StreamingIngestJob(str(tmp_path / f"wh{si}"))
+        start = 0
+        for bi, size in enumerate(split):
+            _write_batch(landing, f"b{bi}.json", CHAOS_OPS[start:start + size])
+            start += size
+            job.run_available_now(read_request_stream(spark, landing), ckpt)
+
+        persons = job.read_persons(spark)
+        got = {r["canonical_id"]: r for r in persons.collect()}
+        assert set(got) == set(want), f"split {split}"
+        for cid, w in want.items():
+            g = got[cid]
+            assert sorted(g["distinct_ids"]) == sorted(w["distinct_ids"]), (split, cid)
+            assert g["properties"] == w["properties"], (split, cid)
+            assert g["properties_set_once"] == w["properties_set_once"], (split, cid)
+            assert g["version"] == w["version"], (split, cid)
+
+        # the reference's fetch_person asserts (S13 debug lookup): anon-1
+        # resolves to canonical person-1 carrying the merged state
+        p1 = persons.where(F.array_contains("distinct_ids", "anon-1")).collect()
+        assert len(p1) == 1 and p1[0]["canonical_id"] == "person-1", split
+        assert json.loads(p1[0]["properties"]["plan"]) == "pro", split
+        assert json.loads(p1[0]["properties"]["email"]) == "person1@example.com"
+        assert json.loads(p1[0]["properties_set_once"]["created_at"]) == "2024-01-01"
+        # identify auto-alias merged anon-2 into person-2; email later unset
+        p2 = got["person-2"]
+        assert "anon-2" in p2["distinct_ids"] and "email" not in p2["properties"]
+        assert json.loads(p2["properties_set_once"]["src"]) == "ad"
+
+
 def test_streaming_sequential_ids_continue_across_batches(spark, tmp_path):
     from hogflare_spark.streaming.ingest_stream import (
         StreamingIngestJob,
