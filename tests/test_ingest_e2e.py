@@ -187,3 +187,58 @@ def test_groups_state(tables):
     team = groups[("team", "team-42")]
     assert team["version"] == 1
     assert json.loads(team["properties"]["members"]) == 3
+
+
+def test_geo_enrichment_end_to_end(spark):
+    """P10 e2e (VERDICT r1 missing #5): a raw row carrying the full
+    cf/$geoip_* enrichment bag (extractors.rs:82-178) lands in the
+    emitted event's properties — merged with setdefault semantics, so a
+    payload-supplied key beats the request-geo value (pipeline.rs:414-433)
+    and $ip comes from the connecting-ip column only when the payload
+    didn't set one."""
+    from hogflare_spark.operators.ingest import ingest_raw_requests
+
+    geo_bag = {
+        "$geoip_country_code": "DE",
+        "$geoip_city_name": "Berlin",
+        "$geoip_continent_code": "EU",
+        "$geoip_latitude": 52.52,
+        "$geoip_longitude": 13.405,
+        "$geoip_postal_code": "10117",
+        "$geoip_subdivision_1_code": "BE",
+        "$geoip_subdivision_1_name": "Berlin",
+        "$geoip_time_zone": "Europe/Berlin",
+        "cf_ray": "8f2a-TXL",
+        "cf_asn": 13335,
+        "cf_as_organization": "Cloudflare",
+        "cf_colo": "TXL",
+    }
+    body = {
+        "event": "geo-ev",
+        "distinct_id": "geo-user",
+        # payload already claims a country: enrichment must NOT overwrite
+        "properties": {"$geoip_country_code": "XX", "source": "sdk"},
+    }
+    raw = spark.createDataFrame(
+        [(1, "capture", json.dumps(body), json.dumps(geo_bag), "203.0.113.7"),
+         # second row: payload sets its own $ip — connecting-ip loses
+         (2, "capture",
+          json.dumps({"event": "geo-ev", "distinct_id": "geo-user",
+                      "properties": {"$ip": "10.0.0.1"}}),
+          None, "203.0.113.7")],
+        "request_seq long, endpoint string, body string, geo_json string, ip string",
+    )
+    events = {r["request_seq"]: r.asDict()
+              for r in ingest_raw_requests(raw)["events"].collect()}
+
+    props = json.loads(events[1]["properties"])
+    assert props["$geoip_country_code"] == "XX"  # payload wins
+    assert props["source"] == "sdk"
+    assert props["$ip"] == "203.0.113.7"
+    for k, v in geo_bag.items():
+        if k != "$geoip_country_code":
+            assert props[k] == v, k
+
+    props2 = json.loads(events[2]["properties"])
+    assert props2["$ip"] == "10.0.0.1"  # payload $ip beats connecting-ip
+    assert "$geoip_country_code" not in props2  # no geo bag on this row
