@@ -69,27 +69,49 @@ def main() -> None:
         except Exception:
             pass
 
+    # Timed loop is per-query crash-proof: one broken plan must not cost
+    # the timings of the healthy ones, and the JSON line must always print.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.time()
-        df = plans.QUERIES[name](spark, sf_dir)
-        df.collect()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            df = plans.QUERIES[name](spark, sf_dir)
+            df.collect()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record and keep going
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
-    spark.stop()
+    out: dict = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    try:
+        spark.stop()
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — the JSON line must always print
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": 0.0,
+                    "unit": "sec",
+                    "queries": {},
+                    "err": f"{type(exc).__name__}: {exc}"[:300],
+                }
+            )
+        )
+        sys.exit(1)

@@ -21,7 +21,6 @@ and created_at come from person_store.py's deterministic scheme.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,36 +29,33 @@ from hogflare_spark.schemas import EVENT_COLUMNS
 DEFAULT_GROUP_TYPES: tuple[str | None, ...] = (None, None, None, None, None)
 
 
-def _json_str(s: str) -> str:
-    import json
+def _json_string_literal(col):
+    """Arbitrary string column → its JSON string literal (quoted, escaped),
+    as a pure JVM expression: serialize a one-entry map and slice the
+    value back out. `to_json(map("x", s))` = `{"x":<literal>}`, so the
+    literal is chars 6 .. len-1. Jackson handles quotes/backslashes/control
+    chars; divergence from Python's json.dumps: non-ASCII stays UTF-8
+    rather than \\uXXXX-escaped (byte-different, JSON-equivalent)."""
+    j = F.to_json(F.create_map(F.lit("x"), col))
+    return F.substring(j, 6, F.length(j) - F.lit(6))
 
-    return json.dumps(s)
 
-
-def _assemble_json_object():
-    """array<struct<k,v-json>> → one JSON object string (raw values).
-
-    Scalar pandas UDF (Arrow-batched); runs only on events that touch
-    groups, off the relational hot path.
-    """
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import StringType
-
-    @pandas_udf(StringType())
-    def _assemble(entries: pd.Series) -> pd.Series:
-        out = []
-        for arr in entries:
-            if arr is None or len(arr) == 0:
-                out.append(None)
-                continue
-            parts = []
-            for e in arr:
-                k, v = e["k"], e["v"]
-                parts.append(f"{_json_str(k)}:{v}")
-            out.append("{" + ",".join(parts) + "}")
-        return pd.Series(out)
-
-    return _assemble
+def _assemble_json_object(entries):
+    """array<struct<k,v-json>> → one JSON object string, splicing the
+    already-serialized v fragments raw. Whole-stage-codegen expressions
+    only — r2's Arrow pandas UDF removed so event assembly for
+    group-touching events never leaves the JVM."""
+    body = F.concat_ws(
+        ",",
+        F.transform(
+            entries,
+            lambda e: F.concat(_json_string_literal(e["k"]), F.lit(":"), e["v"]),
+        ),
+    )
+    return F.when(
+        entries.isNotNull() & (F.size(entries) > 0),
+        F.concat(F.lit("{"), body, F.lit("}")),
+    )
 
 
 def ingest_commands(
@@ -85,7 +81,6 @@ def ingest_commands(
     seq = ["request_seq", "item_index"]
 
     # ---- group_properties: JSON object of present groups per event --------
-    assemble = _assemble_json_object()
     gprops = (
         group_results.where(F.col("present"))
         .groupBy(*seq)
@@ -94,7 +89,7 @@ def ingest_commands(
                 F.collect_list(F.struct(F.col("group_type").alias("k"), F.col("props").alias("v")))
             ).alias("entries")
         )
-        .select(*seq, assemble(F.col("entries")).alias("group_properties"))
+        .select(*seq, _assemble_json_object(F.col("entries")).alias("group_properties"))
     )
 
     # ---- group slots ------------------------------------------------------

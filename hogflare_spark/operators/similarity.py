@@ -235,26 +235,34 @@ def _probe_buckets(bucket: Column, num_planes: int, probe_dist: int) -> Column:
 def ivf_train_centroids(
     corpus: DataFrame,
     n_centroids: int,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_sample: int = 100_000,
 ) -> list[list[float]]:
     """Deterministic spherical k-means on a driver-side sample → centroids.
 
     IVF training the way the ANN literature does it (FAISS/IVF, Jégou et
     al. 2011): train the coarse quantizer on a bounded SAMPLE, broadcast
-    the centroids, assign the full corpus distributedly. At 100 TB the
-    sample stays O(100k) rows via `sample_mod` — the only collect in the
-    pipeline, and it is corpus-size-independent by construction.
+    the centroids, assign the full corpus distributedly. The sample is the
+    only collect in the pipeline and it is bounded BY DEFAULT: when
+    `sample_mod` is not given it is derived from a distributed count so at
+    most ~`max_sample` rows reach the driver — no full-corpus collect at
+    any corpus size. Pass `sample_mod` explicitly to pin the stride.
 
     Deterministic: sample = ids % sample_mod == 0, sorted by id; init =
     first n_centroids sample vectors; Lloyd updates with numpy; an emptied
     cell keeps its previous centroid. All vectors L2-normalized so
     max-dot-product assignment == cosine assignment.
     """
+    import math
+
     import numpy as np
 
+    if sample_mod is None:
+        n = corpus.count()  # metadata-cheap scan; a scalar to the driver
+        sample_mod = max(1, math.ceil(n / max_sample))
     rows = (
         corpus.where(F.col(id_col) % sample_mod == 0)
         .select(id_col, vec_col)
@@ -329,7 +337,7 @@ def ivf_ann_topk(
     k: int,
     n_centroids: int = 16,
     n_probe: int = 4,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

@@ -111,11 +111,14 @@ def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # cast("timestamp") first: no-op on TimestampType, legal on
+    # TIMESTAMP_NTZ (UTC session tz), so the epoch-seconds arithmetic is
+    # valid whichever encoding the lake's reader produced.
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    prev_s = F.lag("ts").over(w).cast("timestamp").cast("long")
     marked = ev.withColumn(
         "new_session",
-        F.when(
-            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") <= 1800, F.lit(0)
-        ).otherwise(F.lit(1)),
+        F.when(ts_s - prev_s <= 1800, F.lit(0)).otherwise(F.lit(1)),
     )
     sessions = marked.withColumn("session_seq", F.sum("new_session").over(wsum))
     return (

@@ -23,6 +23,8 @@ reduce the outcome to an oracle-SQL-expressible shape:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -64,9 +66,10 @@ def _capture_requests_from_events(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query(
-    "hf_person_fold_state",
-    oracle="""
+# Shared by hf_person_fold_state (single-batch fold) and
+# hf_streaming_person_fold (micro-batch incremental fold): both must
+# converge to the same final persons table.
+_PERSON_FOLD_ORACLE = """
     WITH k_events AS (
       SELECT user_id, event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
       FROM events
@@ -80,8 +83,10 @@ def _capture_requests_from_events(spark: SparkSession, sf_dir: str) -> DataFrame
            CASE WHEN last_k % 2 = 0 THEN last_k END AS temp_last,
            (SELECT count(*) FROM k_events e WHERE e.user_id = lasts.user_id) AS version
     FROM lasts ORDER BY user_id
-    """,
-)
+    """
+
+
+@query("hf_person_fold_state", oracle=_PERSON_FOLD_ORACLE)
 def hf_person_fold_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the full ingest fold and reads back the persons table."""
     from hogflare_spark.operators.ingest import ingest_raw_requests
@@ -95,6 +100,68 @@ def hf_person_fold_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("properties", "temp").cast("long").alias("temp_last"),
         F.col("version").alias("version"),
     ).orderBy("user_id")
+
+
+@query("hf_streaming_person_fold", oracle=_PERSON_FOLD_ORACLE)
+def hf_streaming_person_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-gate query: replay the capture-request stream as THREE
+    Structured Streaming micro-batches (file source + foreachBatch
+    incremental fold, `streaming/ingest_stream.py`) and read back the final
+    persons state table.
+
+    The oracle is identical to hf_person_fold_state's — the incremental
+    fold seeded with prior state per micro-batch must converge to exactly
+    the single-batch fold when cross-batch arrival order respects
+    request_seq (reference semantics: per-request sequencing,
+    /root/reference/src/persons.rs:488-541). Splits are request_seq-range
+    thirds, so the global replay order is preserved.
+    """
+    import shutil
+    import tempfile
+
+    from hogflare_spark.streaming.ingest_stream import (
+        StreamingIngestJob,
+        read_request_stream,
+    )
+
+    raw = _capture_requests_from_events(spark, sf_dir)
+    # Range-split into three micro-batches on request_seq. approxQuantile
+    # is a tiny driver-side scalar (two doubles), not a data collect.
+    lo, hi = raw.approxQuantile("request_seq", [1.0 / 3, 2.0 / 3], 0.001)
+    chunks = [
+        raw.where(F.col("request_seq") <= F.lit(int(lo))),
+        raw.where(
+            (F.col("request_seq") > F.lit(int(lo)))
+            & (F.col("request_seq") <= F.lit(int(hi)))
+        ),
+        raw.where(F.col("request_seq") > F.lit(int(hi))),
+    ]
+
+    work = tempfile.mkdtemp(prefix="hf_stream_gate_")
+    landing = os.path.join(work, "landing")
+    ckpt = os.path.join(work, "ckpt")
+    warehouse = os.path.join(work, "warehouse")
+    job = StreamingIngestJob(warehouse)
+    try:
+        for chunk in chunks:
+            # append new files into the landing dir, then drain: the stream
+            # checkpoint has already seen the earlier files, so each drain
+            # processes exactly this chunk as one (or more) micro-batches.
+            chunk.write.mode("append").json(landing)
+            job.run_available_now(read_request_stream(spark, landing), ckpt)
+        persons = job.read_persons(spark)
+        result = persons.select(
+            F.col("canonical_id").cast("long").alias("user_id"),
+            F.element_at("properties", "k").cast("long").alias("k_last"),
+            F.element_at("properties_set_once", "first_k").cast("long").alias("k_first"),
+            F.element_at("properties", "temp").cast("long").alias("temp_last"),
+            F.col("version").alias("version"),
+        ).orderBy("user_id")
+        # materialize before the temp warehouse disappears
+        result = result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return result
 
 
 @query(

@@ -146,7 +146,14 @@ def ev_asof_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "touch_type",
             (
-                (F.unix_micros("ts") - F.unix_micros("touch_ts")) / 1000
+                # cast("timestamp") is a no-op on TimestampType and legal on
+                # TIMESTAMP_NTZ (read in the UTC session tz), so this stays
+                # valid whichever encoding the lake's reader produced.
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("touch_ts").cast("timestamp"))
+                )
+                / 1000
             ).cast("long").alias("ms_since_touch"),
         )
         .orderBy("event_id")

@@ -32,23 +32,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): a session built without
-        # session.py's conf (e.g. the driver's own harness) would fail the
-        # scan outright, so set the runtime-settable conf defensively, and
-        # pin UTC so timestamp arithmetic matches the DuckDB oracle.
+        # The lake's events.ts encoding has shifted between driver rounds:
+        # TIMESTAMP(NANOS) (r1) and timestamp[us] with no timezone (r2+),
+        # which Spark 4 infers as TIMESTAMP_NTZ. Query code downstream uses
+        # unix_micros / bigint casts that require a zoned TIMESTAMP, so
+        # defend against both encodings: nanosAsLong keeps a NANOS scan from
+        # failing outright, inferTimestampNTZ=false makes a tz-less
+        # timestamp[us] column arrive as TimestampType, and UTC session time
+        # keeps arithmetic identical to the DuckDB oracle. All three confs
+        # are runtime-settable, so this holds even under the driver's own
+        # SparkSession (built without session.py).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; with nanosAsLong (set in session.py) it arrives as
-        # long ns-since-epoch. Integer `div` (not float /) keeps full
-        # precision above 2^53, then truncate to micros like DuckDB does.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # NANOS lake + nanosAsLong: long ns-since-epoch. Integer `div`
+            # (not float /) keeps full precision above 2^53, then truncate
+            # to micros like DuckDB does.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # Belt-and-braces: if NTZ still slips through (e.g. a cached
+            # scan planned before the conf flip), cast to zoned timestamp —
+            # NTZ→TIMESTAMP reads the naive value in the session timezone,
+            # which is pinned to UTC above, so instants are preserved.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

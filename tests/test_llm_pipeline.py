@@ -155,6 +155,23 @@ def test_ivf_centroids_deterministic_and_unit_norm(spark):
         assert abs(np.linalg.norm(c) - 1.0) < 1e-9
 
 
+def test_ivf_default_sample_is_bounded(spark):
+    """With default args the trainer must never collect the whole corpus:
+    the derived stride keeps the driver-side sample within max_sample."""
+    from hogflare_spark.operators.similarity import ivf_train_centroids
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 11)]) for i in range(1000)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_train_centroids(df, 4, max_sample=50)
+    assert len(cents) == 4
+    # derived stride must be ceil(1000/50) = 20: the default-args result
+    # equals the explicit bounded stride and differs from a full collect
+    assert cents == ivf_train_centroids(df, 4, sample_mod=20)
+    assert cents != ivf_train_centroids(df, 4, sample_mod=1)
+
+
 def test_brute_force_topk_is_exact(spark):
     import numpy as np
 
