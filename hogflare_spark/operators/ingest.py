@@ -64,18 +64,22 @@ def ingest_commands(
     group_types: tuple[str | None, ...] = DEFAULT_GROUP_TYPES,
     prior_persons: DataFrame | None = None,
     prior_groups: DataFrame | None = None,
+    person_fast_path: bool | str = "auto",
 ) -> dict[str, DataFrame]:
     """Ingest-command rows (normalize.COMMAND_SCHEMA) → governed tables.
 
     Returns {"events": ..., "persons": ..., "groups": ...}. The prior_*
     frames seed the state folds (streaming incremental processing).
+    `person_fast_path` is forwarded to fold_person_state (see its doc).
     """
     from hogflare_spark.operators.group_state import fold_group_state
     from hogflare_spark.operators.person_state import fold_person_state
 
     commands = commands.cache()
 
-    snapshots, persons = fold_person_state(commands, team_id, prior_persons)
+    snapshots, persons = fold_person_state(
+        commands, team_id, prior_persons, fast_path=person_fast_path
+    )
     group_results, groups_table = fold_group_state(commands, prior_groups)
 
     seq = ["request_seq", "item_index"]
@@ -194,6 +198,7 @@ def ingest_raw_requests(
     prior_persons: DataFrame | None = None,
     prior_groups: DataFrame | None = None,
     signing_secret: str | None = None,
+    person_fast_path: bool | str = "auto",
 ) -> dict[str, DataFrame]:
     """Full path: raw HTTP-shaped rows → {events, persons, groups}.
 
@@ -214,6 +219,7 @@ def ingest_raw_requests(
         group_types=group_types,
         prior_persons=prior_persons,
         prior_groups=prior_groups,
+        person_fast_path=person_fast_path,
     )
 
 

@@ -218,10 +218,14 @@ def _two_phase_rank(allocs: DataFrame) -> DataFrame:
     )
 
 
+FAST_PATH_MIN_COMMANDS = 1_000_000
+
+
 def fold_person_state(
     commands: DataFrame,
     team_id: int | None = None,
     prior_persons: DataFrame | None = None,
+    fast_path: bool | str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (snapshots, persons).
 
@@ -234,8 +238,23 @@ def fold_person_state(
     their distinct_ids contribute identity edges so ops touching any of a
     record's ids land in its component, and their sequential ids survive
     (new allocations continue above the prior max).
+
+    `fast_path`: "auto" (default) routes alias-free components through the
+    pure-JVM fold (person_fast.py) only when the batch is large enough
+    (>= FAST_PATH_MIN_COMMANDS rows) for the expression pipeline's extra
+    stages to beat the Python replay — measured at sf0.1/local[32] the
+    Python kernel wins below ~10^6 ops (its per-row cost is the
+    bottleneck only at cluster scale), so small batches keep the simpler
+    single-shuffle plan. True forces the JVM path (the
+    hf_person_fold_fast driver gate and the differential tests in
+    tests/test_person_fast.py), False forces the Python replay.
     """
     from hogflare_spark.operators.identity import connected_components
+
+    if fast_path == "auto":
+        # commands is cached by ingest_commands; the count is one cached
+        # scan and the materialization is work every consumer needs anyway
+        fast_path = commands.count() >= FAST_PATH_MIN_COMMANDS
 
     ops = derive_person_ops(commands)
     if prior_persons is not None:
@@ -357,11 +376,60 @@ def fold_person_state(
     # HashPartitioning satisfies the groupBy's distribution so no second
     # shuffle is added.
     n_fold = ops_with_comp.sparkSession.sparkContext.defaultParallelism
-    folded = (
-        ops_with_comp.repartition(n_fold, "comp")
-        .groupBy("comp")
-        .applyInPandas(_replay, _FOLD_OUT)
-    )
+    partitioned = ops_with_comp.repartition(n_fold, "comp")
+
+    if fast_path:
+        # Alias-free components whose fragments pass the byte-parity
+        # guards fold in pure JVM expressions (person_fast.py); only
+        # components with alias/seed ops — or unsafe fragments — pay the
+        # Python replay. The component flag is a partition-local window
+        # (same hash partitioning, no extra exchange).
+        from hogflare_spark.operators.person_fast import (
+            fast_person_fold,
+            op_fast_eligible,
+        )
+
+        wc = Window.partitionBy("comp")
+        # localCheckpoint (NOT cache): the fast pipeline fans this frame
+        # out to four consumers that self-join (probes = ops × core ×
+        # keys). Self-join deduplication re-labels expression ids, which
+        # defeats CacheManager's sameResult lookup — with .cache() the
+        # decode/normalize/CC sub-DAG silently re-executed per branch
+        # (observed: raw FileScans with pushed eligibility filters in the
+        # executed plan). A localCheckpoint pins the rows to a concrete
+        # RDD-backed node that every branch shares and preserves the
+        # (comp) hash partitioning for the downstream windows. Narrow op
+        # rows — at 100 TB this is the op projection of the batch, the
+        # same data the Python replay buffered per group.
+        flagged = partitioned.withColumn(
+            "_fast",
+            F.min(F.when(op_fast_eligible(), 1).otherwise(0)).over(wc) == 1,
+        ).localCheckpoint(eager=True)
+        slow_ops = flagged.where(~F.col("_fast")).drop("_fast")
+        fast_ops = flagged.where(F.col("_fast"))
+        # flagged is materialized, so one grouped count is a single
+        # cached-scan job; skipping an empty branch avoids spinning 32
+        # Python workers (slow) or a dozen no-op stages (fast) for zero
+        # rows — the common cases are all-fast (plain capture traffic)
+        # and all-slow (seeded streaming batches).
+        counts = {
+            r["_fast"]: r["count"]
+            for r in flagged.groupBy("_fast").count().collect()
+        }
+        branches = []
+        if counts.get(False, 0):
+            branches.append(
+                slow_ops.groupBy("comp").applyInPandas(_replay, _FOLD_OUT)
+            )
+        if counts.get(True, 0):
+            branches.append(fast_person_fold(fast_ops, _FOLD_OUT))
+        if not branches:
+            branches = [flagged.sparkSession.createDataFrame([], _FOLD_OUT)]
+        folded = branches[0]
+        for b in branches[1:]:
+            folded = folded.unionByName(b)
+    else:
+        folded = partitioned.groupBy("comp").applyInPandas(_replay, _FOLD_OUT)
     folded = folded.cache()
 
     snapshots = folded.where(F.col("row_type") == "snapshot").select(

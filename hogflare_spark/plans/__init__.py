@@ -37,10 +37,11 @@ def query(name: str, oracle: str | None = None):
 # query stayed hash-green in CORRECTNESS_r01 and r02 and remains
 # registered, pytest-covered (tests/test_oracle_parity.py), and runnable —
 # only its driver-grading slot is ceded. Family coverage after demotion:
-# scan/filter/agg → q1,q6; star joins → q3,q5,q10; semi/anti → q4,
-# q_semi_anti; outer → q13; correlated/scalar subquery →
-# q_correlated_above_avg; grouping → q_rollup,q_grouping_sets.
+# scan/filter/agg → q1,q6; star joins → q3,q5,q10; semi/anti →
+# q_semi_anti (semi AND anti in one gate); outer → q13; correlated/scalar
+# subquery → q_correlated_above_avg; grouping → q_rollup,q_grouping_sets.
 DEMOTED_AFTER_GRADING_WINDOW = (
+    "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",

@@ -102,6 +102,27 @@ def hf_person_fold_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+@query("hf_person_fold_fast", oracle=_PERSON_FOLD_ORACLE)
+def hf_person_fold_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fold with the JVM expression path FORCED for alias-free
+    components (operators/person_fast.py) — the at-scale mode that keeps
+    the $set/$set_once/$unset state machine in whole-stage codegen. The
+    driver validates it against the identical oracle as the Python-replay
+    gate; fold_person_state's auto mode only engages it above
+    FAST_PATH_MIN_COMMANDS rows, so this gate pins it at sf scale."""
+    from hogflare_spark.operators.ingest import ingest_raw_requests
+
+    raw = _capture_requests_from_events(spark, sf_dir)
+    persons = ingest_raw_requests(raw, person_fast_path=True)["persons"]
+    return persons.select(
+        F.col("canonical_id").cast("long").alias("user_id"),
+        F.element_at("properties", "k").cast("long").alias("k_last"),
+        F.element_at("properties_set_once", "first_k").cast("long").alias("k_first"),
+        F.element_at("properties", "temp").cast("long").alias("temp_last"),
+        F.col("version").alias("version"),
+    ).orderBy("user_id")
+
+
 @query("hf_streaming_person_fold", oracle=_PERSON_FOLD_ORACLE)
 def hf_streaming_person_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-gate query: replay the capture-request stream as THREE
