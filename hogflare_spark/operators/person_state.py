@@ -168,8 +168,14 @@ def _seed_ops(prior_persons: DataFrame) -> DataFrame:
     )
 
 
-def _two_phase_rank(allocs: DataFrame) -> DataFrame:
+def _two_phase_rank(allocs: DataFrame, small_batch: bool = False) -> DataFrame:
     """Global dense allocation rank without a single-reducer stage (U10).
+
+    `small_batch=True` (decided from the same commands-count used by the
+    fold's auto fast-path switch) takes a plain global row_number instead:
+    below ~10^6 allocations one reducer sorting the whole set is cheaper
+    than the range shuffle + sampling pass + offset join, and the output
+    is identical (the key is unique and totally ordered either way).
 
     `row_number().over(Window.orderBy(...))` with no partitionBy funnels
     every allocation through one reducer — fine at test scale, fatal on a
@@ -192,6 +198,11 @@ def _two_phase_rank(allocs: DataFrame) -> DataFrame:
     """
     n = allocs.sparkSession.sparkContext.defaultParallelism
     keys = ["alloc_a", "alloc_b", "alloc_uuid"]
+    if small_batch:
+        w = Window.orderBy(*keys)
+        return allocs.select(
+            "alloc_uuid", F.row_number().over(w).cast("long").alias("rank")
+        )
     local = (
         allocs.repartitionByRange(n, *keys)
         .sortWithinPartitions(*keys)
@@ -251,10 +262,13 @@ def fold_person_state(
     """
     from hogflare_spark.operators.identity import connected_components
 
+    small_batch = False
     if fast_path == "auto":
         # commands is cached by ingest_commands; the count is one cached
         # scan and the materialization is work every consumer needs anyway
-        fast_path = commands.count() >= FAST_PATH_MIN_COMMANDS
+        n_commands = commands.count()
+        fast_path = n_commands >= FAST_PATH_MIN_COMMANDS
+        small_batch = n_commands < FAST_PATH_MIN_COMMANDS
 
     ops = derive_person_ops(commands)
     if prior_persons is not None:
@@ -449,7 +463,7 @@ def fold_person_state(
         max_prior = folded.sparkSession.range(1).select(
             F.lit(0).cast("long").alias("_max_prior")
         )
-    id_rank = _two_phase_rank(allocs).crossJoin(F.broadcast(max_prior)).select(
+    id_rank = _two_phase_rank(allocs, small_batch).crossJoin(F.broadcast(max_prior)).select(
         "alloc_uuid", (F.col("rank") + F.col("_max_prior")).alias("new_id")
     )
     persons = (

@@ -135,6 +135,43 @@ def embedding_near_dup_pairs(
     )
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    force_exact: bool = False,
+) -> DataFrame:
+    """Strategy-selecting facade for embedding near-dup detection — the
+    entry point users should call.
+
+    `force_exact=True` → the exact block-partitioned O(n²/B) join at any
+    threshold (an explicit, auditable opt-in to quadratic compare).
+    Otherwise threshold >= 0.8 → `lsh_near_dup_pairs` (sub-quadratic:
+    banded hyperplane LSH candidates + exact verify; recall > 0.99 at
+    0.8+, precision 1.0; `dim` required). Below 0.8 the collision
+    probability math stops pruning, so without force_exact this raises —
+    at corpus scale an accidental quadratic compare is an outage, not a
+    slow query.
+    """
+    if force_exact:
+        return embedding_near_dup_pairs(
+            df, threshold, id_col=id_col, vec_col=vec_col
+        )
+    if threshold >= 0.8:
+        if dim is None:
+            raise ValueError("dim is required for the LSH near-dup path")
+        return lsh_near_dup_pairs(
+            df, threshold, dim=dim, id_col=id_col, vec_col=vec_col
+        )
+    raise ValueError(
+        f"threshold {threshold} < 0.8 defeats LSH recall; the exact "
+        "path is O(n^2/blocks) — pass force_exact=True if the corpus "
+        "size makes that acceptable"
+    )
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float,

@@ -35,7 +35,6 @@ from hogflare_spark.operators.multimodal import (
 )
 from hogflare_spark.operators.similarity import (
     brute_force_topk,
-    embedding_near_dup_pairs,
     lsh_ann_topk,
 )
 from hogflare_spark.plans import BENCH_EXTRA, query
@@ -206,8 +205,12 @@ def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hogflare_spark.operators.similarity import near_dup_pairs
+
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(emb, EMBED_THRESHOLD)
+    # force_exact: the fixture plants pairs epsilon above 0.4 where LSH
+    # recall is hopeless; the facade makes the quadratic choice explicit
+    pairs = near_dup_pairs(emb, EMBED_THRESHOLD, force_exact=True)
     return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim")).orderBy(
         "id_a", "id_b"
     )

@@ -172,6 +172,31 @@ def test_ivf_default_sample_is_bounded(spark):
     assert cents != ivf_train_centroids(df, 4, sample_mod=1)
 
 
+def test_near_dup_facade_strategy_selection(spark):
+    import pytest as _pytest
+
+    from hogflare_spark.operators.similarity import near_dup_pairs
+
+    df = spark.createDataFrame(_clustered_vectors(n_clusters=2, per_cluster=4, dim=8))
+    # low threshold without explicit opt-in must refuse (quadratic guard)
+    with _pytest.raises(ValueError, match="force_exact"):
+        near_dup_pairs(df, 0.4)
+    # low + force_exact → exact blocked join runs
+    assert near_dup_pairs(df, 0.4, force_exact=True).count() > 0
+    # high threshold without dim → LSH path needs hyperplanes
+    with _pytest.raises(ValueError, match="dim"):
+        near_dup_pairs(df, 0.9)
+    # high threshold → LSH path, precision 1.0 vs exact
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(df, 0.9, force_exact=True).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]) for r in near_dup_pairs(df, 0.9, dim=8).collect()
+    }
+    assert approx <= exact
+
+
 def test_brute_force_topk_is_exact(spark):
     import numpy as np
 
