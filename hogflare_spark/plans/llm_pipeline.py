@@ -216,9 +216,7 @@ def llm_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_ann_topk",
-    oracle=f"""
+_ANN_TOPK_ORACLE = f"""
     WITH cos AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              round({_cos_sql('a.embedding', 'b.embedding')}, 9) AS sim
@@ -233,8 +231,10 @@ def llm_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
     FROM r WHERE rank <= {TOPK}
     ORDER BY query_id, rank
-    """,
-)
+    """
+
+
+@query("llm_ann_topk", oracle=_ANN_TOPK_ORACLE)
 def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") % 50 == 0)
@@ -244,24 +244,38 @@ def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@query("llm_ann_lsh_topk")  # rows-only: approximate by construction;
-# recall vs the exact result is gated in tests/test_llm_pipeline.py
-def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("llm_ann_lsh_exhaustive", oracle=_ANN_TOPK_ORACLE)
+def llm_ann_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN machinery under an ORACLED gate: with num_planes=2 and
+    probe_dist=2 the multi-probe set covers all 2^2 buckets, so candidate
+    generation is provably exhaustive and the full pipeline (signature,
+    banding, probe join, exact rerank) must equal brute force bit-for-bit
+    — the hash/bucket/join plumbing is verified exactly. The APPROXIMATE
+    regime (default planes/probes, recall < 1) is gated separately by the
+    recall tests in tests/test_llm_pipeline.py, which is the right tool
+    for a probabilistic property."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") % 50 == 0)
-    return lsh_ann_topk(q, emb, TOPK, dim=64).orderBy("query_id", "rank")
+    out = lsh_ann_topk(q, emb, TOPK, dim=64, num_planes=2, probe_dist=2)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim")
+    ).orderBy("query_id", "rank")
 
 
-@query("llm_ann_ivf_topk")  # rows-only: approximate by construction;
-# recall vs the exact result is gated in tests/test_llm_pipeline.py
-def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("llm_ann_ivf_exhaustive", oracle=_ANN_TOPK_ORACLE)
+def llm_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN machinery under an ORACLED gate: n_probe == n_centroids
+    probes every cell, so training, assignment, probing and rerank must
+    reproduce brute force exactly. Approximate-regime recall (n_probe <
+    n_centroids) is gated in tests/test_llm_pipeline.py."""
     from hogflare_spark.operators.similarity import ivf_ann_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") % 50 == 0)
-    return ivf_ann_topk(q, emb, TOPK, n_centroids=16, n_probe=4).orderBy(
-        "query_id", "rank"
-    )
+    out = ivf_ann_topk(q, emb, TOPK, n_centroids=8, n_probe=8)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim")
+    ).orderBy("query_id", "rank")
 
 
 @query(
