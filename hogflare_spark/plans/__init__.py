@@ -43,6 +43,7 @@ def query(name: str, oracle: str | None = None):
 DEMOTED_AFTER_GRADING_WINDOW = (
     "q4_order_priority",
     "q7_volume_shipping",
+    "q10_returned_items",
     "q8_market_share",
     "q9_product_profit",
     "q14_promo_revenue",

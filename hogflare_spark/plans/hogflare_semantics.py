@@ -186,6 +186,93 @@ def hf_streaming_person_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_stream_windowed_counts",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('minute', ts) AS window_start, event_type AS event
+      FROM events
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS watermark FROM events)
+    SELECT window_start,
+           window_start + INTERVAL 1 MINUTE AS window_end,
+           event,
+           count(*) AS n
+    FROM b
+    WHERE window_start + INTERVAL 1 MINUTE <= (SELECT watermark FROM wm)
+    GROUP BY window_start, event
+    ORDER BY window_start, event
+    """,
+)
+def ev_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming window gate: replay the events table as THREE
+    ascending event-time micro-batches through `windowed_event_counts`
+    (1-minute tumbling windows, 10-minute watermark, append mode) and
+    return everything the stream emitted.
+
+    Determinism: chunks are ts-range thirds in ascending order, so no row
+    is ever behind the watermark (zero late drops) and the final
+    emitted set is exactly the windows whose end <= max(ts) - 10min —
+    which is what the SQL oracle computes. This gates the late-data
+    policy the reference never had (SURVEY.md §2.6 streaming row): the
+    watermark advances across micro-batches via the stream checkpoint,
+    closed windows are evicted from the state store and appended to the
+    sink, and the still-open tail is withheld.
+    """
+    import shutil
+    import tempfile
+
+    from hogflare_spark.streaming.ingest_stream import windowed_event_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").alias("created_at"), F.col("event_type").alias("event")
+    )
+    # epoch-second split points (approxQuantile needs a numeric column);
+    # tiny driver-side scalars, not a data collect
+    evs = ev.withColumn("created_at_s", F.col("created_at").cast("long"))
+    lo, hi = evs.approxQuantile("created_at_s", [1.0 / 3, 2.0 / 3], 0.001)
+    chunks = [
+        evs.where(F.col("created_at_s") <= F.lit(int(lo))),
+        evs.where(
+            (F.col("created_at_s") > F.lit(int(lo)))
+            & (F.col("created_at_s") <= F.lit(int(hi)))
+        ),
+        evs.where(F.col("created_at_s") > F.lit(int(hi))),
+    ]
+
+    work = tempfile.mkdtemp(prefix="ev_stream_win_")
+    landing = os.path.join(work, "landing")
+    ckpt = os.path.join(work, "ckpt")
+    out_dir = os.path.join(work, "out")
+    try:
+        for chunk in chunks:
+            chunk.select("created_at", "event").write.mode("append").parquet(landing)
+            stream = (
+                spark.readStream.schema("created_at timestamp, event string")
+                .parquet(landing)
+            )
+            q = (
+                windowed_event_counts(stream)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        emitted = (
+            spark.read.schema(
+                "window_start timestamp, window_end timestamp, event string, n long"
+            )
+            .parquet(out_dir)
+            .orderBy("window_start", "event")
+        )
+        return emitted.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "hf_group_fold_state",
     oracle="""
     SELECT event_type AS group_key,
