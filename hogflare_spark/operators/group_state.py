@@ -179,7 +179,9 @@ def _seed_group_ops(prior_groups: DataFrame) -> DataFrame:
 
 
 def fold_group_state(
-    commands: DataFrame, prior_groups: DataFrame | None = None
+    commands: DataFrame,
+    prior_groups: DataFrame | None = None,
+    fast_path: bool | str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (results, groups_table).
 
@@ -191,7 +193,17 @@ def fold_group_state(
 
     `prior_groups` (streaming incremental folds): GROUP_SCHEMA frame seeded
     into the replay before this batch's ops.
+
+    `fast_path` mirrors fold_person_state's knob: "auto" engages the
+    pure-JVM LWW fold (group_fast.py) for guard-passing cells only above
+    FAST_PATH_MIN_COMMANDS rows; True forces it (the hf_event_group_props
+    driver gate); False forces the Python replay.
     """
+    from hogflare_spark.operators.person_state import FAST_PATH_MIN_COMMANDS
+
+    if fast_path == "auto":
+        fast_path = commands.count() >= FAST_PATH_MIN_COMMANDS
+
     ops = derive_group_ops(commands)
     if prior_groups is not None:
         ops = ops.unionByName(_seed_group_ops(prior_groups))
@@ -273,11 +285,49 @@ def fold_group_state(
     # matching note in person_state.fold_person_state (AQE would coalesce
     # this to 1-4 partitions by bytes)
     n_fold = ops.sparkSession.sparkContext.defaultParallelism
-    folded = (
-        ops.repartition(n_fold, "group_type", "group_key")
-        .groupBy("group_type", "group_key")
-        .applyInPandas(_replay, _FOLD_OUT)
-    )
+    partitioned = ops.repartition(n_fold, "group_type", "group_key")
+
+    if fast_path:
+        from pyspark.sql import Window
+
+        from hogflare_spark.operators.group_fast import (
+            fast_group_fold,
+            group_op_fast_eligible,
+        )
+
+        wc = Window.partitionBy("group_type", "group_key")
+        # localCheckpoint, not cache: the fast pipeline self-joins this
+        # frame (probes × core × keys) and self-join dedup defeats the
+        # cache lookup — see person_state.fold_person_state.
+        flagged = partitioned.withColumn(
+            "_fast",
+            F.min(F.when(group_op_fast_eligible(), 1).otherwise(0)).over(wc) == 1,
+        ).localCheckpoint(eager=True)
+        counts = {
+            r["_fast"]: r["count"]
+            for r in flagged.groupBy("_fast").count().collect()
+        }
+        branches = []
+        if counts.get(False, 0):
+            branches.append(
+                flagged.where(~F.col("_fast"))
+                .drop("_fast")
+                .groupBy("group_type", "group_key")
+                .applyInPandas(_replay, _FOLD_OUT)
+            )
+        if counts.get(True, 0):
+            branches.append(
+                fast_group_fold(flagged.where(F.col("_fast")), _FOLD_OUT)
+            )
+        if not branches:
+            branches = [flagged.sparkSession.createDataFrame([], _FOLD_OUT)]
+        folded = branches[0]
+        for b in branches[1:]:
+            folded = folded.unionByName(b)
+    else:
+        folded = partitioned.groupBy("group_type", "group_key").applyInPandas(
+            _replay, _FOLD_OUT
+        )
     folded = folded.cache()
 
     results = folded.where(F.col("row_type") == "result").select(

@@ -65,12 +65,14 @@ def ingest_commands(
     prior_persons: DataFrame | None = None,
     prior_groups: DataFrame | None = None,
     person_fast_path: bool | str = "auto",
+    group_fast_path: bool | str = "auto",
 ) -> dict[str, DataFrame]:
     """Ingest-command rows (normalize.COMMAND_SCHEMA) → governed tables.
 
     Returns {"events": ..., "persons": ..., "groups": ...}. The prior_*
     frames seed the state folds (streaming incremental processing).
-    `person_fast_path` is forwarded to fold_person_state (see its doc).
+    `person_fast_path` / `group_fast_path` are forwarded to the state
+    folds (see fold_person_state / fold_group_state docs).
     """
     from hogflare_spark.operators.group_state import fold_group_state
     from hogflare_spark.operators.person_state import fold_person_state
@@ -80,7 +82,9 @@ def ingest_commands(
     snapshots, persons = fold_person_state(
         commands, team_id, prior_persons, fast_path=person_fast_path
     )
-    group_results, groups_table = fold_group_state(commands, prior_groups)
+    group_results, groups_table = fold_group_state(
+        commands, prior_groups, fast_path=group_fast_path
+    )
 
     seq = ["request_seq", "item_index"]
 
@@ -199,6 +203,7 @@ def ingest_raw_requests(
     prior_groups: DataFrame | None = None,
     signing_secret: str | None = None,
     person_fast_path: bool | str = "auto",
+    group_fast_path: bool | str = "auto",
 ) -> dict[str, DataFrame]:
     """Full path: raw HTTP-shaped rows → {events, persons, groups}.
 
@@ -220,6 +225,7 @@ def ingest_raw_requests(
         prior_persons=prior_persons,
         prior_groups=prior_groups,
         person_fast_path=person_fast_path,
+        group_fast_path=group_fast_path,
     )
 
 

@@ -122,6 +122,33 @@ def _op_time(ts: F.Column, seq_linear: F.Column) -> F.Column:
     )
 
 
+def _obj_json(entries) -> F.Column:
+    """array<struct<grp,pos,frag>> (nulls pre-filtered by collect_list) →
+    compact JSON object text. sort = (grp, pos) lexicographic → kernel
+    dict order. concat_ws treats a NULL array as empty, so an entity with
+    no touched keys serializes as '{}' like json.dumps({})."""
+    entries = F.col(entries) if isinstance(entries, str) else entries
+    return F.concat(
+        F.lit("{"),
+        F.concat_ws(",", F.transform(F.array_sort(entries), lambda e: e["frag"])),
+        F.lit("}"),
+    )
+
+
+def safe_fragment_guard(col: F.Column) -> F.Column:
+    """True iff a compact JSON-object fragment re-serializes byte-
+    identically through variant/Jackson vs Python json.loads→dumps:
+    printable-ASCII backslash-free, no floats, no >int64 ints, scalar
+    values only (no nested containers)."""
+    return (
+        col.rlike(_SAFE_ASCII_RE)
+        & ~col.rlike(_FLOATY_RE)
+        & ~col.rlike(_BIGINT_RE)
+        & ~col.contains(":{")
+        & ~col.contains(":[")
+    )
+
+
 def fast_person_fold(fast_ops: DataFrame, fold_out_schema) -> DataFrame:
     """Alias-free ops (derive_person_ops columns + `comp`, hash-partitioned
     by comp) → _FOLD_OUT rows (snapshot / person / alloc), byte-identical
@@ -269,18 +296,6 @@ def fast_person_fold(fast_ops: DataFrame, fold_out_schema) -> DataFrame:
         .where(F.col("_rn") == 1)
         .select("comp", "k", "pv", "pp", "ov", "op_")
     )
-
-    def _obj_json(entries) -> F.Column:
-        # entries: array<struct<grp,pos,frag>> (nulls already filtered by
-        # collect_list); sort = (grp, pos) lexicographic → kernel dict
-        # order. concat_ws treats a NULL array as empty, so a person with
-        # no touched keys serializes as '{}' like json.dumps({}).
-        entries = F.col(entries) if isinstance(entries, str) else entries
-        return F.concat(
-            F.lit("{"),
-            F.concat_ws(",", F.transform(F.array_sort(entries), lambda e: e["frag"])),
-            F.lit("}"),
-        )
 
     # persons-table maps keep values JSON-ENCODED (kernel double-encodes:
     # json.dumps({k: json.dumps(v)}) — person_state.py _replay person rows)

@@ -673,7 +673,10 @@ def hf_event_group_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("capture").alias("endpoint"),
         body.alias("body"),
     )
-    events = ingest_raw_requests(raw)["events"]
+    # group_fast_path=True: this gate pins the JVM LWW fold
+    # (operators/group_fast.py) under the driver oracle at sf scale;
+    # hf_group_fold_state keeps grading the Python replay via auto mode.
+    events = ingest_raw_requests(raw, group_fast_path=True)["events"]
     return events.select(
         F.col("request_seq").alias("event_id"),
         F.get_json_object("group_properties", "$.segment.k").cast("long").alias(

@@ -1,0 +1,99 @@
+"""Differential tests for the JVM fast-path group fold (group_fast.py):
+fold_group_state(fast_path=True) must match the Python replay
+byte-for-byte — eligible cells via expressions, ineligible via fallback."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row
+
+from hogflare_spark.operators.group_state import fold_group_state
+from hogflare_spark.operators.normalize import decode_normalize_requests
+
+
+def _raw(bodies, endpoint="capture"):
+    rows = []
+    for i, b in enumerate(bodies):
+        ep = b.pop("__endpoint", endpoint)
+        rows.append(Row(request_seq=i, endpoint=ep, body=json.dumps(b)))
+    return rows
+
+
+def _gi(gtype, gkey, props):
+    return {
+        "__endpoint": "groupidentify",
+        "group_type": gtype,
+        "group_key": gkey,
+        "properties": props,
+    }
+
+
+def _cap(did, groups=None, gset=None):
+    props = {}
+    if groups:
+        props["$groups"] = groups
+    if gset:
+        props["$group_set"] = gset
+    return {"event": "ev", "distinct_id": did, "properties": props}
+
+
+def _both(spark, bodies):
+    cmds = decode_normalize_requests(spark.createDataFrame(_raw(bodies)))
+    rf, gf = fold_group_state(cmds, fast_path=True)
+    rs, gs = fold_group_state(cmds, fast_path=False)
+    return (
+        sorted(tuple(r) for r in rf.collect()),
+        sorted(tuple(r) for r in gf.collect()),
+        sorted(tuple(r) for r in rs.collect()),
+        sorted(tuple(r) for r in gs.collect()),
+    )
+
+
+def _assert_identical(spark, bodies):
+    rf, gf, rs, gs = _both(spark, bodies)
+    assert rf == rs
+    assert gf == gs
+
+
+def test_lww_hydration_and_echo_match_kernel(spark):
+    _assert_identical(
+        spark,
+        [
+            _gi("org", "acme", {"plan": "free", "seats": 1}),
+            _cap("u1", groups={"org": "acme"}),  # hydrates current state
+            _gi("org", "acme", {"plan": "pro"}),  # LWW overwrite
+            _cap("u2", groups={"org": "acme"}, gset={"org": {"seats": 9}}),
+            _gi("org", "other", None),  # gi_lookup on absent record
+            _cap("u3", groups={"org": "ghost"}),  # lookup, absent
+            _gi("team", "t1", {}),  # empty-object update: creates, version 1
+            _cap("u4", groups={"team": "t1"}),  # hydrates '{}'
+        ],
+    )
+
+
+def test_ineligible_payloads_fall_back_identically(spark):
+    _assert_identical(
+        spark,
+        [
+            _gi("org", "a", {"rate": 1.5}),  # float → fallback
+            _gi("org", "b", {"cfg": {"deep": 1}}),  # nested → fallback
+            _gi("org", "c", {"name": 'quo"ted'}),  # escape → fallback
+            _gi("org", "d", {"n": 12345678901234567890}),  # >int64 → fallback
+            _gi("org", "e", {"ok": 1}),  # eligible cell coexists
+            _cap("u", groups={"org": "a"}),
+        ],
+    )
+
+
+def test_eligible_cells_take_jvm_path(spark):
+    cmds = decode_normalize_requests(
+        spark.createDataFrame(_raw([_gi("org", "a", {"k": 1})]))
+    )
+    results, groups = fold_group_state(cmds, fast_path=True)
+    plan = groups._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    rows = groups.collect()
+    assert len(rows) == 1 and rows[0]["version"] == 1
+    res = results.collect()
+    assert len(res) == 1 and res[0]["props"] == '{"k":1}' and res[0]["echo"]
