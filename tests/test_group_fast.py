@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import Row
 
 from hogflare_spark.operators.group_state import fold_group_state
@@ -97,3 +99,59 @@ def test_eligible_cells_take_jvm_path(spark):
     assert len(rows) == 1 and rows[0]["version"] == 1
     res = results.collect()
     assert len(res) == 1 and res[0]["props"] == '{"k":1}' and res[0]["echo"]
+
+
+_GTYPES = ["org", "team"]
+_GKEYS = ["a", "b"]
+_PKEYS = ["k1", "k2"]
+
+_group_op = st.one_of(
+    st.fixed_dictionaries(
+        {
+            "op": st.just("gi"),
+            "gtype": st.sampled_from(_GTYPES),
+            "gkey": st.sampled_from(_GKEYS),
+            "props": st.one_of(
+                st.none(),
+                st.dictionaries(
+                    st.sampled_from(_PKEYS), st.integers(0, 9), max_size=2
+                ),
+            ),
+        }
+    ),
+    st.fixed_dictionaries(
+        {
+            "op": st.just("cap"),
+            "gtype": st.sampled_from(_GTYPES),
+            "gkey": st.sampled_from(_GKEYS),
+            "gset": st.one_of(
+                st.none(),
+                st.dictionaries(
+                    st.sampled_from(_PKEYS), st.integers(0, 9), min_size=1, max_size=2
+                ),
+            ),
+        }
+    ),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_group_op, min_size=1, max_size=10))
+def test_fast_group_fold_property_matches_replay(spark, ops):
+    """Randomized differential: for arbitrary gi/capture interleavings the
+    forced-JVM group fold must equal the Python replay byte-for-byte on
+    both hydration results and the final groups table."""
+    bodies = []
+    for o in ops:
+        if o["op"] == "gi":
+            bodies.append(_gi(o["gtype"], o["gkey"], o["props"]))
+        else:
+            gset = {o["gtype"]: o["gset"]} if o["gset"] is not None else None
+            bodies.append(_cap("u", groups={o["gtype"]: o["gkey"]}, gset=gset))
+    rf, gf, rs, gs = _both(spark, bodies)
+    assert rf == rs, f"results diverged for ops={ops}"
+    assert gf == gs, f"groups table diverged for ops={ops}"
