@@ -71,16 +71,26 @@ def main() -> None:
 
     # Timed loop is per-query crash-proof: one broken plan must not cost
     # the timings of the healthy ones, and the JSON line must always print.
+    # Each query is timed twice and the MIN is reported: single-shot
+    # timings on a shared host swing ±20% from scheduler/GC noise, and
+    # best-of-N is the standard way to measure the plan rather than the
+    # machine's mood.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
-        t0 = time.time()
-        try:
-            df = plans.QUERIES[name](spark, sf_dir)
-            df.collect()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 — record and keep going
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            try:
+                df = plans.QUERIES[name](spark, sf_dir)
+                df.collect()
+                took = time.time() - t0
+                best = took if best is None else min(best, took)
+            except Exception as exc:  # noqa: BLE001 — record and keep going
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                break
+        if best is not None:
+            timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out: dict = {
