@@ -194,15 +194,21 @@ def fold_group_state(
     `prior_groups` (streaming incremental folds): GROUP_SCHEMA frame seeded
     into the replay before this batch's ops.
 
-    `fast_path` mirrors fold_person_state's knob: "auto" engages the
-    pure-JVM LWW fold (group_fast.py) for guard-passing cells only above
-    FAST_PATH_MIN_COMMANDS rows; True forces it (the hf_event_group_props
-    driver gate); False forces the Python replay.
+    `fast_path` mirrors fold_person_state's knob: "auto" uses the Python
+    replay unless person_state.FAST_PATH_MIN_COMMANDS is configured and
+    exceeded (measured: the replay wins at every locally measurable
+    size — see scripts/fold_crossover.py); True forces the pure-JVM LWW
+    fold (group_fast.py — the memory-robust / Python-less-executor mode,
+    pinned by the hf_event_group_props driver gate); False forces the
+    replay.
     """
     from hogflare_spark.operators.person_state import FAST_PATH_MIN_COMMANDS
 
     if fast_path == "auto":
-        fast_path = commands.count() >= FAST_PATH_MIN_COMMANDS
+        fast_path = (
+            FAST_PATH_MIN_COMMANDS is not None
+            and commands.count() >= FAST_PATH_MIN_COMMANDS
+        )
 
     ops = derive_group_ops(commands)
     if prior_groups is not None:

@@ -229,7 +229,22 @@ def _two_phase_rank(allocs: DataFrame, small_batch: bool = False) -> DataFrame:
     )
 
 
-FAST_PATH_MIN_COMMANDS = 1_000_000
+# Auto-mode threshold for the JVM expression fold. None = auto never
+# engages it: measured head-to-head (scripts/fold_crossover.py, local[32],
+# 3 keys/op), the Arrow+Python replay wins at every size we can measure —
+# 4s vs 9s at 100k ops, 16s vs 31s at 2M ops — because the expression
+# path's as-of snapshot assembly pays two extra exchanges and three wide
+# sorts over an ops×keys frame while the replay pays C-speed dict work
+# in one exchange. The JVM path stays available as fast_path=True: its
+# at-scale advantage is MEMORY ROBUSTNESS, not throughput — the replay
+# must hold each identity component's full op list in a pandas frame
+# (one mega-component = one OOM-able task) where the expression fold
+# streams through spillable sorts; it is also the only option on
+# executors without Python runtimes.
+FAST_PATH_MIN_COMMANDS: int | None = None
+# Above this, the allocation rank uses the range-partitioned two-phase
+# scheme; below it, a single-reducer sort of #persons rows is cheaper.
+RANK_TWO_PHASE_MIN_COMMANDS = 1_000_000
 
 
 def fold_person_state(
@@ -250,15 +265,15 @@ def fold_person_state(
     record's ids land in its component, and their sequential ids survive
     (new allocations continue above the prior max).
 
-    `fast_path`: "auto" (default) routes alias-free components through the
-    pure-JVM fold (person_fast.py) only when the batch is large enough
-    (>= FAST_PATH_MIN_COMMANDS rows) for the expression pipeline's extra
-    stages to beat the Python replay — measured at sf0.1/local[32] the
-    Python kernel wins below ~10^6 ops (its per-row cost is the
-    bottleneck only at cluster scale), so small batches keep the simpler
-    single-shuffle plan. True forces the JVM path (the
-    hf_person_fold_fast driver gate and the differential tests in
-    tests/test_person_fast.py), False forces the Python replay.
+    `fast_path`: "auto" (default) uses the Arrow+Python replay unless
+    FAST_PATH_MIN_COMMANDS is configured and exceeded — head-to-head
+    measurement (scripts/fold_crossover.py) shows the replay beats the
+    JVM expression fold at every locally measurable size, so auto
+    defaults to the replay. True forces the JVM path
+    (person_fast.py) — the memory-robust mode for components too large
+    to buffer in pandas and for Python-less executors; pinned by the
+    hf_person_fold_fast driver gate and tests/test_person_fast.py.
+    False forces the Python replay.
     """
     from hogflare_spark.operators.identity import connected_components
 
@@ -267,8 +282,11 @@ def fold_person_state(
         # commands is cached by ingest_commands; the count is one cached
         # scan and the materialization is work every consumer needs anyway
         n_commands = commands.count()
-        fast_path = n_commands >= FAST_PATH_MIN_COMMANDS
-        small_batch = n_commands < FAST_PATH_MIN_COMMANDS
+        fast_path = (
+            FAST_PATH_MIN_COMMANDS is not None
+            and n_commands >= FAST_PATH_MIN_COMMANDS
+        )
+        small_batch = n_commands < RANK_TWO_PHASE_MIN_COMMANDS
 
     ops = derive_person_ops(commands)
     if prior_persons is not None:

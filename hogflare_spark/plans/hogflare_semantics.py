@@ -105,11 +105,13 @@ def hf_person_fold_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("hf_person_fold_fast", oracle=_PERSON_FOLD_ORACLE)
 def hf_person_fold_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same fold with the JVM expression path FORCED for alias-free
-    components (operators/person_fast.py) — the at-scale mode that keeps
-    the $set/$set_once/$unset state machine in whole-stage codegen. The
-    driver validates it against the identical oracle as the Python-replay
-    gate; fold_person_state's auto mode only engages it above
-    FAST_PATH_MIN_COMMANDS rows, so this gate pins it at sf scale."""
+    components (operators/person_fast.py) — the memory-robust mode that
+    keeps the $set/$set_once/$unset state machine in whole-stage codegen
+    (spillable sorts instead of per-component pandas buffers). The
+    driver validates it against the identical oracle as the
+    Python-replay gate; auto mode prefers the replay (measured faster
+    locally, scripts/fold_crossover.py), so this gate is what pins the
+    JVM path at sf scale."""
     from hogflare_spark.operators.ingest import ingest_raw_requests
 
     raw = _capture_requests_from_events(spark, sf_dir)
