@@ -101,6 +101,24 @@ CORPUS = [
 # index 7 is actually eligible (ISO timestamp has no digit-followed-by-[.eE])
 CORPUS[7] = (CORPUS[7][0], True)
 
+# canonical-lane regression cases (the cheap regex lane added in round 3)
+CORPUS += [
+    # permuted top-level key order: misses the canonical lane, must still
+    # be eligible via the deep variant probes
+    ('{"distinct_id":"u1","event":"pageview"}', True),
+    ('{"properties":{"k":1},"event":"ev","distinct_id":"u"}', True),
+    # the canonical regex's one structural hole: a trailing top-level key
+    # whose value makes the body end in "}}" — the exact-key-set check
+    # must reject the lane and the deep lane must route it to Python
+    # (unknown field => extra stash)
+    ('{"event":"e","distinct_id":"u","properties":{"a":1},"custom":{}}', False),
+    # braces inside string values of properties (SAFE: no quotes/escapes)
+    ('{"event":"e","distinct_id":"u","properties":{"s":"a{b}c}"}}', True),
+    # canonical order with strict-shape $unset + $set: admitted by the
+    # lane itself (conditional special-key checks fire via contains)
+    ('{"event":"e","distinct_id":"u","properties":{"$unset":["a"],"$set":{"x":1}}}', True),
+]
+
 
 def _raw_frame(spark, bodies):
     return spark.createDataFrame(
