@@ -56,13 +56,15 @@ def _cc_loop(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
+    if e.isEmpty():
+        # no edges at all (common: ingest batches without alias ops) — skip
+        # the symmetrize/dedup shuffle AND the fixpoint loop entirely; the
+        # empty check itself is one short-circuiting scan of the (cached)
+        # command projection
+        return e.select(F.col("src").alias("id"), F.col("dst").alias("comp"))
     # undirected: both directions, deduped
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     sym = sym.repartition("src").localCheckpoint(eager=True)
-    if sym.isEmpty():
-        # no edges at all (common: ingest batches without alias ops) — skip
-        # the fixpoint loop entirely
-        return sym.select(F.col("src").alias("id"), F.col("dst").alias("comp"))
 
     labels = (
         sym.select(F.col("src").alias("id"))
