@@ -98,6 +98,11 @@ def op_fast_eligible() -> F.Column:
         & F.col("emit")
         & F.col("distinct_id").isNotNull()
         & F.col("distinct_id").rlike(_SAFE_ASCII_RE)
+        # distinct_id is an already-DECODED string (unlike the update,
+        # whose JSON text would need a rejected backslash to embed a
+        # quote), so a literal '"' passes the ASCII guard yet would be
+        # spliced unescaped into the distinct_ids JSON array below.
+        & ~F.col("distinct_id").contains('"')
         & (F.col("timestamp").isNull() | F.col("timestamp").rlike(_ISO_TS_RE))
         & upd_ok
     )

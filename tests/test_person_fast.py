@@ -107,6 +107,28 @@ def test_ineligible_payloads_fall_back_identically(spark):
     )
 
 
+def test_quoted_distinct_id_falls_back_identically(spark):
+    # a literal '"' in distinct_id survives JSON decoding as a plain char
+    # (the update-text guard never sees it) — it must be routed to the
+    # Python replay, never spliced raw into the distinct_ids JSON array
+    _assert_identical(
+        spark,
+        [
+            _capture('a"b'),  # ensure-only: update is null, worst case
+            _capture('a"b', {"$set": {"k": 1}}),
+            _capture('plain', {"$set": {"k": 2}}),  # stays fast-eligible
+        ],
+    )
+    # and the replay result is the real id, not corrupted JSON
+    cmds = decode_normalize_requests(
+        spark.createDataFrame(_raw([_capture('a"b')]))
+    )
+    _, persons = fold_person_state(cmds, fast_path=True)
+    row = persons.collect()[0]
+    ids = row["distinct_ids"]
+    assert (json.loads(ids) if isinstance(ids, str) else list(ids)) == ['a"b']
+
+
 def test_alias_components_fall_back_and_match(spark):
     bodies = [
         _capture("a", {"$set": {"k": 1}}),
