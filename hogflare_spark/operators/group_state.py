@@ -197,18 +197,32 @@ def fold_group_state(
     `fast_path` mirrors fold_person_state's knob: "auto" uses the Python
     replay unless person_state.FAST_PATH_MIN_COMMANDS is configured and
     exceeded (measured: the replay wins at every locally measurable
-    size — see scripts/fold_crossover.py); True forces the pure-JVM LWW
+    size — see scripts/fold_crossover.py), except that individual cells
+    whose op count reaches person_state.MEGA_COMPONENT_MIN_OPS route to
+    the JVM fold for memory robustness; True forces the pure-JVM LWW
     fold (group_fast.py — the memory-robust / Python-less-executor mode,
     pinned by the hf_event_group_props driver gate); False forces the
     replay.
     """
-    from hogflare_spark.operators.person_state import FAST_PATH_MIN_COMMANDS
+    from hogflare_spark.operators import person_state
 
     if fast_path == "auto":
-        fast_path = (
-            FAST_PATH_MIN_COMMANDS is not None
-            and commands.count() >= FAST_PATH_MIN_COMMANDS
-        )
+        n_commands = commands.count()
+        if (
+            person_state.FAST_PATH_MIN_COMMANDS is not None
+            and n_commands >= person_state.FAST_PATH_MIN_COMMANDS
+        ):
+            fast_path = True
+        elif n_commands * 8 >= person_state.MEGA_COMPONENT_MIN_OPS:
+            # per-cell routing (see person_state.MEGA_COMPONENT_MIN_OPS):
+            # oversized (group_type, group_key) cells take the JVM fold,
+            # the rest keep the Python replay. One command derives a
+            # handful of group ops (≤ group-slot count of updates +
+            # lookups), so ×8 bounds the op count from the command count
+            # well enough to skip the flag pass on small batches.
+            fast_path = "mega"
+        else:
+            fast_path = False
 
     ops = derive_group_ops(commands)
     if prior_groups is not None:
@@ -305,10 +319,19 @@ def fold_group_state(
         # localCheckpoint, not cache: the fast pipeline self-joins this
         # frame (probes × core × keys) and self-join dedup defeats the
         # cache lookup — see person_state.fold_person_state.
-        flagged = partitioned.withColumn(
-            "_fast",
-            F.min(F.when(group_op_fast_eligible(), 1).otherwise(0)).over(wc) == 1,
-        ).localCheckpoint(eager=True)
+        eligible = (
+            F.min(F.when(group_op_fast_eligible(), 1).otherwise(0)).over(wc) == 1
+        )
+        if fast_path == "mega":
+            # only cells whose op count reaches the mega threshold take
+            # the JVM fold; partition-local count, no extra exchange
+            eligible = eligible & (
+                F.count(F.lit(1)).over(wc)
+                >= F.lit(person_state.MEGA_COMPONENT_MIN_OPS)
+            )
+        flagged = partitioned.withColumn("_fast", eligible).localCheckpoint(
+            eager=True
+        )
         counts = {
             r["_fast"]: r["count"]
             for r in flagged.groupBy("_fast").count().collect()

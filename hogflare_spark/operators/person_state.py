@@ -229,8 +229,9 @@ def _two_phase_rank(allocs: DataFrame, small_batch: bool = False) -> DataFrame:
     )
 
 
-# Auto-mode threshold for the JVM expression fold. None = auto never
-# engages it: measured head-to-head (scripts/fold_crossover.py, local[32],
+# Auto-mode threshold for engaging the JVM expression fold for EVERY
+# eligible component. None = auto only engages it per-component via
+# MEGA_COMPONENT_MIN_OPS below: measured head-to-head (scripts/fold_crossover.py, local[32],
 # 3 keys/op), the Arrow+Python replay wins at every size we can measure —
 # 4s vs 9s at 100k ops, 16s vs 31s at 2M ops — because the expression
 # path's as-of snapshot assembly pays two extra exchanges and three wide
@@ -245,6 +246,14 @@ FAST_PATH_MIN_COMMANDS: int | None = None
 # Above this, the allocation rank uses the range-partitioned two-phase
 # scheme; below it, a single-reducer sort of #persons rows is cheaper.
 RANK_TWO_PHASE_MIN_COMMANDS = 1_000_000
+# Mega-component escape hatch for auto mode: a component whose op count
+# reaches this is routed to the JVM expression fold even though the
+# Python replay is faster for normal components — the replay buffers a
+# component's ENTIRE op list as one pandas frame (one hot distinct_id
+# with millions of ops = one OOM-able task), while the expression fold
+# streams through spillable sorts. Throughput-vs-robustness crossover,
+# not a measured speed crossover (see FAST_PATH_MIN_COMMANDS above).
+MEGA_COMPONENT_MIN_OPS = 500_000
 
 
 def fold_person_state(
@@ -269,7 +278,10 @@ def fold_person_state(
     FAST_PATH_MIN_COMMANDS is configured and exceeded — head-to-head
     measurement (scripts/fold_crossover.py) shows the replay beats the
     JVM expression fold at every locally measurable size, so auto
-    defaults to the replay. True forces the JVM path
+    defaults to the replay — EXCEPT that individual eligible components
+    whose op count reaches MEGA_COMPONENT_MIN_OPS are routed to the JVM
+    fold for memory robustness (the replay would buffer the whole
+    component as one pandas frame). True forces the JVM path
     (person_fast.py) — the memory-robust mode for components too large
     to buffer in pandas and for Python-less executors; pinned by the
     hf_person_fold_fast driver gate and tests/test_person_fast.py.
@@ -282,11 +294,18 @@ def fold_person_state(
         # commands is cached by ingest_commands; the count is one cached
         # scan and the materialization is work every consumer needs anyway
         n_commands = commands.count()
-        fast_path = (
-            FAST_PATH_MIN_COMMANDS is not None
-            and n_commands >= FAST_PATH_MIN_COMMANDS
-        )
         small_batch = n_commands < RANK_TWO_PHASE_MIN_COMMANDS
+        if FAST_PATH_MIN_COMMANDS is not None and n_commands >= FAST_PATH_MIN_COMMANDS:
+            fast_path = True
+        elif n_commands * 2 >= MEGA_COMPONENT_MIN_OPS:
+            # per-component routing: replay for normal components, JVM
+            # fold for oversized ones. One command derives at most two
+            # person ops, so below half the per-component threshold no
+            # component can possibly be mega — skip the flag pass and
+            # its localCheckpoint entirely.
+            fast_path = "mega"
+        else:
+            fast_path = False
 
     ops = derive_person_ops(commands)
     if prior_persons is not None:
@@ -433,10 +452,19 @@ def fold_person_state(
         # (comp) hash partitioning for the downstream windows. Narrow op
         # rows — at 100 TB this is the op projection of the batch, the
         # same data the Python replay buffered per group.
-        flagged = partitioned.withColumn(
-            "_fast",
-            F.min(F.when(op_fast_eligible(), 1).otherwise(0)).over(wc) == 1,
-        ).localCheckpoint(eager=True)
+        eligible = F.min(F.when(op_fast_eligible(), 1).otherwise(0)).over(wc) == 1
+        if fast_path == "mega":
+            # auto mode's robustness routing: only components whose op
+            # count reaches MEGA_COMPONENT_MIN_OPS take the JVM fold;
+            # everything else keeps the measured-faster Python replay.
+            # The count is a partition-local window over the same hash
+            # partitioning — no extra exchange.
+            eligible = eligible & (
+                F.count(F.lit(1)).over(wc) >= F.lit(MEGA_COMPONENT_MIN_OPS)
+            )
+        flagged = partitioned.withColumn("_fast", eligible).localCheckpoint(
+            eager=True
+        )
         slow_ops = flagged.where(~F.col("_fast")).drop("_fast")
         fast_ops = flagged.where(F.col("_fast"))
         # flagged is materialized, so one grouped count is a single
