@@ -28,11 +28,21 @@ delegates maintenance to the platform. Here the engine owns the sink:
 from __future__ import annotations
 
 import os
+import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed since this writer's merge base was read.
+
+    The Iceberg-style optimistic-concurrency signal: the caller must
+    re-read the table and redo its merge (upsert_table does this
+    automatically)."""
 
 
 def append_events(events: DataFrame, events_dir: str) -> None:
@@ -102,13 +112,64 @@ def expire_versions(root: str, keep_last: int = 2) -> list[int]:
     return to_drop
 
 
-def _commit_version(df: DataFrame, root: str) -> int:
-    version = (_latest_version(root) or 0) + 1
+def _claim_version(root: str, start: int) -> int:
+    """Claim an exclusive version directory via atomic mkdir (POSIX:
+    mkdir fails-if-exists atomically). Two concurrent writers can never
+    claim the same version, so in-flight data files are never shared."""
+    os.makedirs(root, exist_ok=True)
+    v = start
+    while True:
+        try:
+            os.mkdir(os.path.join(root, f"v={v}"))
+            return v
+        except FileExistsError:
+            v += 1
+
+
+@contextmanager
+def _commit_lock(root: str, timeout: float = 60.0):
+    """Short mutual-exclusion window around the pointer swing only (the
+    parquet write happens outside, in the writer's claimed directory).
+    O_CREAT|O_EXCL is the POSIX analogue of an object store's conditional
+    PUT (If-None-Match: *) — see CATALOG.md for the R2/S3 mapping."""
+    path = os.path.join(root, "_COMMIT.lock")
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"commit lock on {root} not released")
+            time.sleep(0.02)
+    try:
+        yield
+    finally:
+        os.close(fd)
+        os.unlink(path)
+
+
+def _commit_version(df: DataFrame, root: str, base_version: int | None) -> int:
+    """Write df as a new claimed version, then atomically swing _LATEST —
+    iff the table is still at `base_version` (the version the caller's
+    merge was computed against). Otherwise the claimed directory is
+    removed and CommitConflict raised: committing would silently drop the
+    concurrent writer's rows (lost update). Readers only ever follow the
+    pointer, which moves via rename — they never observe partial data."""
+    version = _claim_version(root, (base_version or 0) + 1)
     df.write.mode("overwrite").parquet(os.path.join(root, f"v={version}"))
-    tmp = os.path.join(root, "_LATEST.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(version))
-    os.replace(tmp, os.path.join(root, "_LATEST"))
+    with _commit_lock(root):
+        if _latest_version(root) != base_version:
+            import shutil
+
+            shutil.rmtree(os.path.join(root, f"v={version}"), ignore_errors=True)
+            raise CommitConflict(
+                f"{root}: table moved past base version {base_version}"
+            )
+        tmp = os.path.join(root, f"_LATEST.tmp.{version}")
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, os.path.join(root, "_LATEST"))
     return version
 
 
@@ -118,6 +179,7 @@ def upsert_table(
     root: str,
     key_cols: list[str],
     schema=None,
+    max_retries: int = 10,
 ) -> int:
     """MERGE-equivalent: rows from `updates` replace current rows with the
     same key; unmatched current rows survive. Returns the new version.
@@ -126,17 +188,28 @@ def upsert_table(
     both sides shuffle on the key, which is exactly Iceberg's merge-on-read
     write amplification; at 100 TB you'd partition the dimension tables by
     a key hash so the anti join co-partitions.
+
+    Concurrency: optimistic, like an Iceberg commit. The merge base's
+    version is validated under the commit lock; a conflicting commit
+    re-reads the new current table and redoes the merge, so interleaved
+    upserts serialize and neither one's rows are lost.
     """
-    current = read_table(spark, root, schema)
-    if current is None:
-        merged = updates
-    else:
-        merged = current.join(
-            updates.select(*key_cols).distinct(), key_cols, "left_anti"
-        ).unionByName(updates)
-    # materialize before overwriting the directory the plan reads from
-    merged = merged.localCheckpoint(eager=True)
-    return _commit_version(merged, root)
+    for _ in range(max_retries):
+        base = _latest_version(root)
+        current = None if base is None else read_table(spark, root, schema, base)
+        if current is None:
+            merged = updates
+        else:
+            merged = current.join(
+                updates.select(*key_cols).distinct(), key_cols, "left_anti"
+            ).unionByName(updates)
+        # materialize before overwriting the directory the plan reads from
+        merged = merged.localCheckpoint(eager=True)
+        try:
+            return _commit_version(merged, root, base)
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"{root}: upsert lost {max_retries} commit races")
 
 
 # ---------------------------------------------------------------------------
