@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hogflare_spark.functions import text as T
-from hogflare_spark.functions.hashing import M31, h60_sql
+from hogflare_spark.functions.hashing import M31, h60_sql, hyperplanes
 from hogflare_spark.operators import text_analysis as TA
 from hogflare_spark.operators.dedup import (
     BANDS,
@@ -44,6 +44,14 @@ MINHASH_THRESHOLD = 0.85
 NGRAM_THRESHOLD = 0.5
 EMBED_THRESHOLD = 0.4
 TOPK = 5
+# sub-quadratic near-dup gate: planted high-sim pairs + banded LSH path
+LSH_EMBED_THRESHOLD = 0.9
+LSH_PLANES = 16
+LSH_BANDS = 8
+EMBED_DIM = 64
+_PLANT_MOD = 10
+_PLANT_OFFSET = 10_000
+_PLANT_AMP = 0.01
 
 # ---------------------------------------------------------------- SQL mirrors
 
@@ -214,6 +222,106 @@ def llm_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim")).orderBy(
         "id_a", "id_b"
     )
+
+
+def _lsh_sig_sql(v: str, planes: list[list[int]]) -> str:
+    """DuckDB mirror of similarity._bucket_expr: bit j = dot(v, plane_j) > 0.
+    Generated from the SAME hyperplanes() constants the Spark path uses."""
+    terms = []
+    for j, plane in enumerate(planes):
+        arr = "[" + ", ".join(f"{float(w):.1f}" for w in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {EMBED_DIM}), "
+            f"i -> ({v}[i]) * (({arr})[i])))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_band_keys_sql(sig: str, num_planes: int, bands: int) -> str:
+    bits = num_planes // bands
+    mask = (1 << bits) - 1
+    parts = [
+        f"'{b}:' || ((({sig} >> {b * bits}) & {mask})::VARCHAR)" for b in range(bands)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+# corpus = embeddings (as doubles) + deterministically perturbed copies of
+# every 10th vector: cosine(orig, planted) ≈ 0.98-0.99 > threshold, so the
+# gate carries real rows regardless of the fixture's own pair geometry
+# (the fixture plants pairs only near 0.4 — nothing natural survives 0.9)
+_LSH_CORPUS_SQL = f"""
+    SELECT vec_id AS id,
+           list_transform(generate_series(1, {EMBED_DIM}),
+                          i -> (embedding[i])::DOUBLE) AS v
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_PLANT_OFFSET} AS id,
+           list_transform(generate_series(1, {EMBED_DIM}),
+                          i -> (embedding[i])::DOUBLE
+                               + {_PLANT_AMP} * (((vec_id + (i - 1)) % 7)::DOUBLE - 3.0)) AS v
+    FROM embeddings WHERE vec_id % {_PLANT_MOD} = 0
+"""
+
+
+@query(
+    "llm_lsh_near_dups",
+    oracle=f"""
+    WITH corpus AS ({_LSH_CORPUS_SQL}),
+    sg AS (SELECT id, v, {_lsh_sig_sql('v', hyperplanes(LSH_PLANES, EMBED_DIM))} AS sig FROM corpus),
+    bk AS (SELECT id, unnest({_lsh_band_keys_sql('sig', LSH_PLANES, LSH_BANDS)}) AS bkey FROM sg),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.id < b.id
+    ),
+    ver AS (
+      SELECT id_a, id_b, round({_cos_sql('sa.v', 'sb.v')}, 9) AS sim
+      FROM cand
+      JOIN sg sa ON sa.id = cand.id_a
+      JOIN sg sb ON sb.id = cand.id_b
+    )
+    SELECT id_a, id_b, round(sim, 6) AS sim
+    FROM ver WHERE sim >= {LSH_EMBED_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SUB-QUADRATIC near-dup path under a hard oracle: near_dup_pairs
+    at threshold 0.9 selects the banded hyperplane-LSH strategy (no
+    block-replicated pair join anywhere in the plan — candidates are pairs
+    sharing a (band, band-signature) bucket, shuffle volume n×bands). The
+    oracle re-executes the identical algorithm in DuckDB: same hyperplane
+    constants, same banding, same exact-cosine verify — so recall behavior
+    is mirrored, not approximated."""
+    from hogflare_spark.operators.similarity import near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    # noise index k = vec_id + i is materialized as its own array BEFORE
+    # the lambda: capturing an outer column (F.col) inside a higher-order-
+    # function lambda mis-resolves after the LSH pipeline's self-join
+    # aliasing (observed: wrong vec_id in the noise for a subset of rows),
+    # while plain expressions and lambda-argument-only bodies are safe
+    planted = emb.where(F.col("vec_id") % _PLANT_MOD == 0).select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+        F.zip_with(
+            "embedding",
+            F.sequence(
+                F.col("vec_id"), F.col("vec_id") + F.lit(EMBED_DIM - 1)
+            ),
+            lambda x, k: x.cast("double")
+            + F.lit(_PLANT_AMP) * ((k % 7).cast("double") - F.lit(3.0)),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    pairs = near_dup_pairs(corpus, LSH_EMBED_THRESHOLD, dim=EMBED_DIM)
+    return pairs.select(
+        "id_a", "id_b", F.round("sim", 6).alias("sim")
+    ).orderBy("id_a", "id_b")
 
 
 _ANN_TOPK_ORACLE = f"""
