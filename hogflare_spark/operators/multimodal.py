@@ -8,8 +8,9 @@ as an optional upgrade when importable (this container ships none), and
 a deterministic fake decoder (`fake=True`) that derives metadata from
 the payload bytes alone — the oracle-gated path, since the driver's
 documents table carries text stand-in payloads, not encoded media.
-Video decode stays NotImplementedError in real mode (no stdlib codec);
-swapping in torchvision/av later only touches _decode_video_real.
+Video metadata decode is a real stdlib ISO-BMFF box walk (moov/trak/
+tkhd width+height, stsz frame count — no codec needed for metadata);
+pixel-level decode would swap a codec library into _decode_video_real.
 
 Scale notes: media rows are large; the pipeline never shuffles them —
 mapInPandas is a narrow transformation, so feature extraction runs
@@ -127,11 +128,84 @@ def _decode_audio_real(payload: bytes) -> dict[str, Any]:
         return {"width": None, "height": None, "n_frames": int(wf.getnframes())}
 
 
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for ISO-BMFF boxes in [start, end).
+
+    Handles 64-bit largesize (size==1) and to-end-of-file (size==0) boxes;
+    a box that overruns its container raises ValueError instead of
+    yielding garbage offsets.
+    """
+    import struct
+
+    off = start
+    while off + 8 <= end:
+        size, typ = struct.unpack(">I4s", buf[off : off + 8])
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            size = struct.unpack(">Q", buf[off + 8 : off + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            raise ValueError("malformed MP4 box bounds")
+        yield typ, off + hdr, off + size
+        off += size
+
+
+def _find_box(buf: bytes, start: int, end: int, path: list[bytes]):
+    """Descend a path of box types; return (body_start, end) or None."""
+    for typ, a, b in _iter_boxes(buf, start, end):
+        if typ == path[0]:
+            if len(path) == 1:
+                return a, b
+            return _find_box(buf, a, b, path[1:])
+    return None
+
+
 def _decode_video_real(payload: bytes) -> dict[str, Any]:
-    raise NotImplementedError(
-        "real video decode requires a codec library (none in stdlib); "
-        "pass fake=True for the deterministic stub decoder"
-    )
+    """Real MP4 metadata decode: stdlib ISO-BMFF box walk, no codec.
+
+    Width/height come from the video track's `tkhd` box (16.16 fixed
+    point, offset depends on the fullbox version) and the frame count
+    from its `stsz` sample table — pure container metadata, which is all
+    the feature pipeline needs. Tracks whose `hdlr` handler is not
+    `vide` (audio, hint, metadata tracks) are skipped.
+    """
+    import struct
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("unsupported video format (MP4/ISO-BMFF required)")
+    moov = _find_box(payload, 0, len(payload), [b"moov"])
+    if moov is None:
+        raise ValueError("MP4: no moov box")
+    for typ, a, b in _iter_boxes(payload, *moov):
+        if typ != b"trak":
+            continue
+        hdlr = _find_box(payload, a, b, [b"mdia", b"hdlr"])
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        tkhd = _find_box(payload, a, b, [b"tkhd"])
+        if tkhd is None:
+            raise ValueError("MP4 video trak: no tkhd box")
+        version = payload[tkhd[0]]
+        # fullbox(4) + times/ids (v0: 20, v1: 32) + reserved/layer/
+        # volume (16) + matrix (36) → width, height as 16.16 fixed
+        wh_off = tkhd[0] + 4 + (32 if version == 1 else 20) + 16 + 36
+        if wh_off + 8 > tkhd[1]:
+            raise ValueError("MP4 tkhd too short for width/height")
+        w_fixed, h_fixed = struct.unpack(">II", payload[wh_off : wh_off + 8])
+        n_frames = None
+        stsz = _find_box(payload, a, b, [b"mdia", b"minf", b"stbl", b"stsz"])
+        if stsz is not None and stsz[0] + 12 <= stsz[1]:
+            n_frames = struct.unpack(">I", payload[stsz[0] + 8 : stsz[0] + 12])[0]
+        return {
+            "width": int(w_fixed >> 16),
+            "height": int(h_fixed >> 16),
+            "n_frames": int(n_frames) if n_frames is not None else None,
+        }
+    raise ValueError("MP4: no video track")
 
 
 def _real_decode(mime: str, payload: bytes) -> dict[str, Any]:

@@ -321,6 +321,40 @@ def _make_wav(n_frames: int) -> bytes:
     return buf.getvalue()
 
 
+def _box(typ: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _make_mp4(
+    width: int, height: int, n_frames: int, tkhd_version: int = 0
+) -> bytes:
+    """Minimal ISO-BMFF container with one video track, stdlib-only."""
+    import struct
+
+    times = (b"\x00" * 32) if tkhd_version else (b"\x00" * 20)
+    tkhd = _box(
+        b"tkhd",
+        bytes([tkhd_version]) + b"\x00\x00\x07" + times
+        + b"\x00" * 16  # reserved/layer/alt_group/volume/reserved
+        + b"\x00" * 36  # matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, n_frames))
+    stbl = _box(b"stbl", stsz)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    # a leading non-video (hint) track must be skipped by the decoder
+    hint = _box(
+        b"trak", _box(b"mdia", _box(b"hdlr", b"\x00" * 8 + b"hint" + b"\x00" * 12))
+    )
+    moov = _box(b"moov", hint + trak)
+    return _box(b"ftyp", b"mp42\x00\x00\x00\x00mp42") + moov
+
+
 def test_multimodal_real_png_wav_decode():
     from hogflare_spark.operators.multimodal import (
         _decode_audio_real,
@@ -339,8 +373,32 @@ def test_multimodal_real_png_wav_decode():
     bad_crc[20] ^= 0xFF  # corrupt IHDR width byte without fixing the CRC
     with pytest.raises(ValueError):
         _decode_image_real(bytes(bad_crc))
-    with pytest.raises(NotImplementedError):
-        _decode_video_real(b"\x00\x00\x00\x18ftypmp42")
+
+
+def test_multimodal_real_mp4_decode():
+    from hogflare_spark.operators.multimodal import _decode_video_real
+
+    mp4 = _make_mp4(640, 360, 48)
+    assert _decode_video_real(mp4) == {"width": 640, "height": 360, "n_frames": 48}
+    # tkhd version 1 shifts the width/height offset by 12 bytes
+    mp4_v1 = _make_mp4(1920, 1080, 7, tkhd_version=1)
+    assert _decode_video_real(mp4_v1) == {
+        "width": 1920,
+        "height": 1080,
+        "n_frames": 7,
+    }
+    with pytest.raises(ValueError):
+        _decode_video_real(b"\x00\x00\x00\x18ftypmp42")  # no moov
+    with pytest.raises(ValueError):
+        _decode_video_real(b"RIFF\x00\x00\x00\x00AVI ")  # not ISO-BMFF
+    # a box whose declared size overruns the container fails loudly
+    import struct
+
+    overrun = (
+        _box(b"ftyp", b"mp42\x00\x00\x00\x00") + struct.pack(">I", 4096) + b"moov"
+    )
+    with pytest.raises(ValueError):
+        _decode_video_real(overrun)
 
 
 def test_multimodal_real_decode_through_spark(spark):
@@ -351,12 +409,15 @@ def test_multimodal_real_decode_through_spark(spark):
     rows = [
         (1, "image/png", bytearray(_make_png(32, 16)), ("t", None)),
         (2, "audio/wav", bytearray(_make_wav(1234)), ("t", None)),
+        (3, "video/mp4", bytearray(_make_mp4(256, 144, 24)), ("t", None)),
     ]
     media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
     got = {r["media_id"]: r for r in extract_features(media, fake=False).collect()}
     assert got[1]["width"] == 32 and got[1]["height"] == 16
     assert got[1]["n_frames"] is None
     assert got[2]["n_frames"] == 1234 and got[2]["width"] is None
+    assert got[3]["width"] == 256 and got[3]["height"] == 144
+    assert got[3]["n_frames"] == 24
     assert got[1]["checksum"] == hashlib.md5(bytes(rows[0][2])).hexdigest()
 
 
