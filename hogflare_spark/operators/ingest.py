@@ -66,13 +66,16 @@ def ingest_commands(
     prior_groups: DataFrame | None = None,
     person_fast_path: bool | str = "auto",
     group_fast_path: bool | str = "auto",
+    person_id_floor: int | None = None,
 ) -> dict[str, DataFrame]:
     """Ingest-command rows (normalize.COMMAND_SCHEMA) → governed tables.
 
     Returns {"events": ..., "persons": ..., "groups": ...}. The prior_*
     frames seed the state folds (streaming incremental processing).
     `person_fast_path` / `group_fast_path` are forwarded to the state
-    folds (see fold_person_state / fold_group_state docs).
+    folds (see fold_person_state / fold_group_state docs);
+    `person_id_floor` lets a caller seeding a slice of the prior persons
+    table pin the allocation base to the global max id.
     """
     from hogflare_spark.operators.group_state import fold_group_state
     from hogflare_spark.operators.person_state import fold_person_state
@@ -80,7 +83,11 @@ def ingest_commands(
     commands = commands.cache()
 
     snapshots, persons = fold_person_state(
-        commands, team_id, prior_persons, fast_path=person_fast_path
+        commands,
+        team_id,
+        prior_persons,
+        fast_path=person_fast_path,
+        person_id_floor=person_id_floor,
     )
     group_results, groups_table = fold_group_state(
         commands, prior_groups, fast_path=group_fast_path

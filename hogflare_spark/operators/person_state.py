@@ -261,6 +261,7 @@ def fold_person_state(
     team_id: int | None = None,
     prior_persons: DataFrame | None = None,
     fast_path: bool | str = "auto",
+    person_id_floor: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (snapshots, persons).
 
@@ -500,8 +501,16 @@ def fold_person_state(
         F.col("uuid").alias("alloc_uuid"), "alloc_a", "alloc_b"
     )
     # new allocations continue above the prior max id (seeded records keep
-    # their stored id via prior_id)
-    if prior_persons is not None:
+    # their stored id via prior_id). `person_id_floor` overrides the
+    # derived max for callers that seed only a SLICE of the prior table
+    # (the hybrid streaming fast lane passes the affected persons plus
+    # the global max id it tracks in its state pointer) — without it a
+    # restricted seed would re-issue ids already held by unseeded rows.
+    if person_id_floor is not None:
+        max_prior = folded.sparkSession.range(1).select(
+            F.lit(int(person_id_floor)).cast("long").alias("_max_prior")
+        )
+    elif prior_persons is not None:
         max_prior = prior_persons.agg(
             F.coalesce(F.max("id"), F.lit(0)).cast("long").alias("_max_prior")
         )

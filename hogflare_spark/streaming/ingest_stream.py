@@ -11,9 +11,13 @@ src/persons.rs:488-541). The Spark realization is micro-batch:
   decodes + normalizes its requests, seeds the person/group folds with
   the prior state version, appends enriched events (partitioned by event
   date), and writes a new state version. State versions are directories
-  `persons/v=<n>` with a _LATEST pointer committed last, so a crashed
-  batch never corrupts readable state and replays (same batch id) simply
-  rewrite the same version — idempotent with the stream checkpoint.
+  `persons/v=<n>` plus (hybrid mode) delta directories `persons/d=<n>`,
+  with a single `_STATE` JSON pointer committed last, so a crashed batch
+  never corrupts readable state and replays (same batch id) simply
+  rewrite the same version/delta — idempotent with the stream
+  checkpoint. `hybrid=True` routes alias-free micro-batches through a
+  fast lane that seeds only the touched persons and writes O(batch)
+  deltas (see the class docstring).
 - `stateful_person_snapshots`: a true per-key stateful operator
   (`applyInPandasWithState`, state store-backed) folding $set/$set_once/
   $unset per distinct_id and emitting post-update snapshots — the direct
@@ -74,30 +78,87 @@ def read_request_stream(
 
 class StreamingIngestJob:
     """Incremental ingest: micro-batches fold into versioned state tables
-    plus a date-partitioned events log."""
+    plus a date-partitioned events log.
+
+    ``hybrid=True`` enables the alias-aware routing the reference's DO
+    model gets for free (persons.rs:281-326 merges are per-key there):
+    micro-batches that contain NO cross-key identity ops (no `/alias`,
+    no identify-with-$anon_distinct_id) take a fast lane that seeds the
+    fold with only the persons their distinct_ids touch and writes a
+    per-batch DELTA of changed rows — O(batch), not O(all persons) — so
+    steady capture traffic never rewrites or replays the full persons
+    table. Batches that DO carry alias ops (plus every
+    ``max_person_deltas``-th batch, bounding read amplification) take
+    the complete-semantics full fold, which doubles as delta compaction.
+    Groups get the same delta lane unconditionally — group ops are
+    always per-(type,key) LWW upserts (groups.rs), there is no group
+    analogue of an alias merge to route around. Both lanes produce
+    byte-identical state to the one-shot batch fold
+    (tests/test_streaming.py hybrid convergence tests).
+
+    At 100 TB the affected-person lookup is a join against a
+    distinct_id→canonical_id index (here: explode over the persons scan
+    + two broadcast semi/anti joins — no shuffle of the persons table,
+    but a linear scan; a bucketed index table turns it into a pruned
+    bucket join).
+    """
 
     def __init__(
         self,
         warehouse_dir: str,
         team_id: int | None = None,
         group_types: tuple[str | None, ...] = (None, None, None, None, None),
+        hybrid: bool = False,
+        max_person_deltas: int = 16,
     ):
         self.warehouse_dir = warehouse_dir
         self.team_id = team_id
         self.group_types = group_types
+        self.hybrid = hybrid
+        self.max_person_deltas = max_person_deltas
         self.events_dir = os.path.join(warehouse_dir, "events")
 
     # ---- state versioning ------------------------------------------------
+    #
+    # Pointer protocol: `_STATE` is one JSON object
+    # {"base": <version|null>, "deltas": [<batch ids>], "max_id": <long>}
+    # swung atomically via os.replace, so base and delta list can never
+    # be observed out of sync (a two-file scheme could apply pre-
+    # compaction deltas on top of a post-compaction base — lost-update).
+    # `_LATEST` (legacy, base version only) is still written for older
+    # warehouses/readers and used as a fallback when `_STATE` is absent.
 
     def _state_root(self, table: str) -> str:
         return os.path.join(self.warehouse_dir, table)
 
+    def _read_pointer(self, table: str) -> dict | None:
+        root = self._state_root(table)
+        state_path = os.path.join(root, "_STATE")
+        if os.path.exists(state_path):
+            with open(state_path) as fh:
+                return json.load(fh)
+        legacy = os.path.join(root, "_LATEST")
+        if os.path.exists(legacy):
+            with open(legacy) as fh:
+                return {"base": int(fh.read().strip()), "deltas": [], "max_id": None}
+        return None
+
+    def _commit_pointer(self, table: str, pointer: dict) -> None:
+        root = self._state_root(table)
+        os.makedirs(root, exist_ok=True)
+        tmp = os.path.join(root, "_STATE.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(pointer, fh)
+        os.replace(tmp, os.path.join(root, "_STATE"))
+        if pointer.get("base") is not None:
+            tmp = os.path.join(root, "_LATEST.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(str(pointer["base"]))
+            os.replace(tmp, os.path.join(root, "_LATEST"))
+
     def _latest_version(self, table: str) -> int | None:
-        pointer = os.path.join(self._state_root(table), "_LATEST")
-        if not os.path.exists(pointer):
-            return None
-        with open(pointer) as fh:
-            return int(fh.read().strip())
+        pointer = self._read_pointer(table)
+        return None if pointer is None else pointer.get("base")
 
     def _read_state(self, spark: SparkSession, table: str, schema) -> DataFrame | None:
         version = self._latest_version(table)
@@ -110,29 +171,168 @@ class StreamingIngestJob:
         root = self._state_root(table)
         path = os.path.join(root, f"v={version}")
         df.write.mode("overwrite").parquet(path)
-        tmp = os.path.join(root, "_LATEST.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, os.path.join(root, "_LATEST"))
+        self._commit_pointer(table, {"base": int(version), "deltas": [], "max_id": None})
 
     def read_persons(self, spark: SparkSession) -> DataFrame | None:
-        return self._read_state(spark, "persons", PERSON_SCHEMA)
+        """The current persons view: base version ∪ deltas, last writer
+        wins per canonical_id (fast-lane batches never merge persons, so
+        canonical_id is a stable upsert key across deltas)."""
+        return self._table_view(
+            spark, "persons", self._read_pointer("persons"), PERSON_SCHEMA,
+            ["canonical_id"],
+        )
 
     def read_groups(self, spark: SparkSession) -> DataFrame | None:
-        return self._read_state(spark, "groups", GROUP_SCHEMA)
+        return self._table_view(
+            spark, "groups", self._read_pointer("groups"), GROUP_SCHEMA,
+            ["group_type", "group_key"],
+        )
+
+    def _table_view(
+        self,
+        spark: SparkSession,
+        table: str,
+        pointer: dict | None,
+        schema,
+        key_cols: list[str],
+    ) -> DataFrame | None:
+        """base version ∪ deltas, last writer wins per key."""
+        if pointer is None:
+            return None
+        root = self._state_root(table)
+        frames = []
+        if pointer.get("base") is not None:
+            base = spark.read.schema(schema).parquet(
+                os.path.join(root, f"v={pointer['base']}")
+            )
+            frames.append(base.withColumn("_delta_rank", F.lit(0)))
+        for rank, delta_id in enumerate(pointer.get("deltas", []), start=1):
+            delta = spark.read.schema(schema).parquet(
+                os.path.join(root, f"d={delta_id}")
+            )
+            frames.append(delta.withColumn("_delta_rank", F.lit(rank)))
+        if not frames:
+            return None
+        merged = frames[0]
+        for f in frames[1:]:
+            merged = merged.unionByName(f)
+        if len(frames) == 1:
+            return merged.drop("_delta_rank")
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(F.desc("_delta_rank"))
+        return (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_delta_rank")
+        )
 
     # ---- the micro-batch body -------------------------------------------
 
+    def _batch_pointer(self, table: str, batch_id: int) -> tuple[dict, list[int]]:
+        """The table's pointer with checkpoint-replay normalization: if
+        this batch id already committed a delta, roll the delta list back
+        to the pre-delta view so the replay is a deterministic rewrite
+        (same ids, same versions) exactly like the full lane's
+        v=<batch_id> rewrite."""
+        pointer = self._read_pointer(table) or {"base": None, "deltas": []}
+        deltas = list(pointer.get("deltas", []))
+        if int(batch_id) in deltas:
+            deltas = deltas[: deltas.index(int(batch_id))]
+            pointer = {**pointer, "deltas": deltas, "max_id": None}
+        return pointer, deltas
+
+    def _max_person_id(self, spark: SparkSession, pointer: dict) -> int:
+        if pointer.get("max_id") is not None:
+            return int(pointer["max_id"])
+        prior = self._table_view(
+            spark, "persons", pointer, PERSON_SCHEMA, ["canonical_id"]
+        )
+        if prior is None:
+            return 0
+        row = prior.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m")).collect()[0]
+        return int(row["m"] or 0)
+
+    @staticmethod
+    def _has_cross_key_ops(commands: DataFrame) -> bool:
+        """True if any command creates an identity edge between two
+        distinct_ids (mirrors derive_person_ops' alias/auto-alias gates)."""
+        cross = commands.where(
+            F.col("alias").isNotNull()
+            | ((F.col("skip_person") == "0") & F.col("anon_distinct_id").isNotNull())
+        )
+        return bool(cross.limit(1).count())
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        from hogflare_spark.operators.ingest import ingest_raw_requests
+        from hogflare_spark.operators.ingest import ingest_commands
+        from hogflare_spark.operators.normalize import decode_normalize_requests
 
         spark = batch_df.sparkSession
-        out = ingest_raw_requests(
-            batch_df,
+        commands = decode_normalize_requests(batch_df).cache()
+        p_pointer, p_deltas = self._batch_pointer("persons", batch_id)
+        g_pointer, g_deltas = self._batch_pointer("groups", batch_id)
+        person_fast = (
+            self.hybrid
+            and p_pointer.get("base") is not None
+            and len(p_deltas) < self.max_person_deltas
+            and not self._has_cross_key_ops(commands)
+        )
+        # group ops are ALWAYS per-(type,key) — no cross-key merges exist
+        # in the model (groups.rs LWW upserts) — so the delta lane needs
+        # only the bootstrap base and the read-amplification cap.
+        group_fast = (
+            self.hybrid
+            and g_pointer.get("base") is not None
+            and len(g_deltas) < self.max_person_deltas
+        )
+        prior_persons = self._table_view(
+            spark, "persons", p_pointer, PERSON_SCHEMA, ["canonical_id"]
+        )
+        prior_groups = self._table_view(
+            spark, "groups", g_pointer, GROUP_SCHEMA, ["group_type", "group_key"]
+        )
+        seed_persons, floor = prior_persons, None
+        if person_fast:
+            # seed only the persons whose distinct_ids this batch touches;
+            # untouched rows stay in base/deltas and are never replayed.
+            touched = (
+                commands.where(F.col("skip_person") == "0")
+                .where(F.col("distinct_id").isNotNull())
+                .select(F.col("distinct_id").alias("_did"))
+                .distinct()
+            )
+            affected_ids = (
+                prior_persons.select(
+                    "canonical_id", F.explode("distinct_ids").alias("_pdid")
+                )
+                .join(F.broadcast(touched), F.col("_pdid") == F.col("_did"), "semi")
+                .select("canonical_id")
+                .distinct()
+            )
+            seed_persons = prior_persons.join(
+                F.broadcast(affected_ids), "canonical_id", "semi"
+            )
+            floor = self._max_person_id(spark, p_pointer)
+            p_pointer["max_id"] = floor  # pin: commit below reuses it
+        seed_groups = prior_groups
+        if group_fast:
+            from hogflare_spark.operators.group_state import derive_group_ops
+
+            touched_keys = (
+                derive_group_ops(commands)
+                .select("group_type", "group_key")
+                .distinct()
+            )
+            seed_groups = prior_groups.join(
+                F.broadcast(touched_keys), ["group_type", "group_key"], "semi"
+            )
+        out = ingest_commands(
+            commands,
             team_id=self.team_id,
             group_types=self.group_types,
-            prior_persons=self.read_persons(spark),
-            prior_groups=self.read_groups(spark),
+            prior_persons=seed_persons,
+            prior_groups=seed_groups,
+            person_id_floor=floor,
         )
         events = out["events"].withColumn("event_date", F.to_date("created_at"))
         # events first: if we crash between events and state, the stream
@@ -143,8 +343,43 @@ class StreamingIngestJob:
         # the directory the fold is lazily reading from
         new_persons = out["persons"].localCheckpoint(eager=True)
         new_groups = out["groups"].localCheckpoint(eager=True)
-        self._write_state(new_persons, "persons", int(batch_id))
-        self._write_state(new_groups, "groups", int(batch_id))
+        groups_root = self._state_root("groups")
+        if group_fast:
+            # new_groups holds ONLY touched ∪ newly-created keys here
+            new_groups.write.mode("overwrite").parquet(
+                os.path.join(groups_root, f"d={int(batch_id)}")
+            )
+            self._commit_pointer(
+                "groups",
+                {"base": g_pointer["base"], "deltas": g_deltas + [int(batch_id)]},
+            )
+        else:
+            self._write_state(new_groups, "groups", int(batch_id))
+        row = new_persons.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m")).collect()[0]
+        batch_max = int(row["m"] or 0)
+        persons_root = self._state_root("persons")
+        if person_fast:
+            # new_persons holds ONLY affected ∪ newly-created rows here
+            new_persons.write.mode("overwrite").parquet(
+                os.path.join(persons_root, f"d={int(batch_id)}")
+            )
+            self._commit_pointer(
+                "persons",
+                {
+                    "base": p_pointer["base"],
+                    "deltas": p_deltas + [int(batch_id)],
+                    "max_id": max(int(p_pointer["max_id"]), batch_max),
+                },
+            )
+        else:
+            new_persons.write.mode("overwrite").parquet(
+                os.path.join(persons_root, f"v={int(batch_id)}")
+            )
+            self._commit_pointer(
+                "persons",
+                {"base": int(batch_id), "deltas": [], "max_id": batch_max},
+            )
+        commands.unpersist()
 
     def start(
         self,

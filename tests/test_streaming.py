@@ -194,6 +194,185 @@ def test_streaming_chaos_batch_splits_match_batch_fold(spark, tmp_path):
         assert json.loads(p2["properties_set_once"]["src"]) == "ad"
 
 
+HYBRID_OPS = [
+    _capture(1, "anon-1", {"$set": {"plan": "free"}}),
+    _capture(2, "u2", {"$set": {"t": "x"}}),
+    _alias(3, "user-1", "anon-1"),  # cross-key merge → full lane
+    # everything below is alias-free → fast lane (delta writes):
+    _capture(4, "anon-1", {"$set": {"plan": "pro"}}),  # touches the merged
+    # person through its ABSORBED id — the affected-person semi-join must
+    # resolve anon-1 → canonical user-1
+    _capture(5, "new-guy", {"$set": {"n": 1}}),  # creates a person in a
+    # delta; its id must continue above the pointer's tracked max
+    _capture(6, "u2", {"$unset": ["t"]}),
+]
+
+
+def test_hybrid_streaming_fast_lane_converges_to_batch_fold(spark, tmp_path):
+    """VERDICT r3 item 4: a mixed stream (captures + late alias) through
+    the hybrid job — full fold for alias batches, O(batch) delta lane for
+    alias-free batches — converges to the one-shot batch fold, ids
+    included."""
+    from hogflare_spark.operators.ingest import ingest_raw_requests
+    from hogflare_spark.streaming.ingest_stream import (
+        StreamingIngestJob,
+        read_request_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    warehouse = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ck")
+    job = StreamingIngestJob(warehouse, hybrid=True)
+
+    for bi, (start, end) in enumerate([(0, 2), (2, 3), (3, 6)]):
+        _write_batch(landing, f"b{bi}.json", HYBRID_OPS[start:end])
+        job.run_available_now(read_request_stream(spark, landing), ckpt)
+
+    # the third micro-batch (batch id 2) was alias-free → a delta, not a
+    # full rewrite; the pointer records base=1 (the alias compaction)
+    pointer = json.load(open(os.path.join(warehouse, "persons", "_STATE")))
+    assert pointer["base"] == 1 and pointer["deltas"] == [2], pointer
+    assert os.path.isdir(os.path.join(warehouse, "persons", "d=2"))
+
+    batch_raw = spark.createDataFrame(
+        [Row(request_seq=r["request_seq"], endpoint=r["endpoint"], body=r["body"])
+         for r in HYBRID_OPS]
+    )
+    want = {
+        r["canonical_id"]: r
+        for r in ingest_raw_requests(batch_raw)["persons"].collect()
+    }
+    got = {r["canonical_id"]: r for r in job.read_persons(spark).collect()}
+    assert set(got) == set(want)
+    for cid, w in want.items():
+        g = got[cid]
+        assert sorted(g["distinct_ids"]) == sorted(w["distinct_ids"]), cid
+        assert g["properties"] == w["properties"], cid
+        assert g["properties_set_once"] == w["properties_set_once"], cid
+        assert g["version"] == w["version"], cid
+        assert g["id"] == w["id"], cid
+
+    merged = got["user-1"]
+    assert json.loads(merged["properties"]["plan"]) == "pro"
+    assert set(merged["distinct_ids"]) == {"user-1", "anon-1"}
+    assert "t" not in got["u2"]["properties"]
+    events = spark.read.parquet(os.path.join(warehouse, "events"))
+    assert events.count() == len(HYBRID_OPS)
+
+
+def test_hybrid_streaming_chaos_splits_match_batch_fold(spark, tmp_path):
+    """The chaos scenario through the hybrid job: whatever the batch
+    boundaries, and whichever lane each batch takes, the result equals
+    the batch fold (same contract the full-lane chaos test pins)."""
+    from hogflare_spark.operators.ingest import ingest_raw_requests
+    from hogflare_spark.streaming.ingest_stream import (
+        StreamingIngestJob,
+        read_request_stream,
+    )
+
+    batch_raw = spark.createDataFrame(
+        [Row(request_seq=r["request_seq"], endpoint=r["endpoint"], body=r["body"])
+         for r in CHAOS_OPS]
+    )
+    want = {
+        r["canonical_id"]: r
+        for r in ingest_raw_requests(batch_raw)["persons"].collect()
+    }
+
+    for si, split in enumerate([[1] * 9, [3, 1, 1, 4]]):
+        landing = str(tmp_path / f"hlanding{si}")
+        ckpt = str(tmp_path / f"hckpt{si}")
+        warehouse = str(tmp_path / f"hwh{si}")
+        job = StreamingIngestJob(warehouse, hybrid=True)
+        start = 0
+        for bi, size in enumerate(split):
+            _write_batch(landing, f"b{bi}.json", CHAOS_OPS[start:start + size])
+            start += size
+            job.run_available_now(read_request_stream(spark, landing), ckpt)
+
+        got = {r["canonical_id"]: r for r in job.read_persons(spark).collect()}
+        assert set(got) == set(want), split
+        for cid, w in want.items():
+            g = got[cid]
+            assert sorted(g["distinct_ids"]) == sorted(w["distinct_ids"]), (split, cid)
+            assert g["properties"] == w["properties"], (split, cid)
+            assert g["properties_set_once"] == w["properties_set_once"], (split, cid)
+            assert g["version"] == w["version"], (split, cid)
+        # the one-op-per-batch split must actually have exercised the
+        # delta lane (trailing captures after the last cross-key op)
+        if split == [1] * 9:
+            deltas = [
+                d for d in os.listdir(os.path.join(warehouse, "persons"))
+                if d.startswith("d=")
+            ]
+            assert deltas, "fast lane never engaged"
+
+
+def _group_upsert(seq: int, gtype: str, gkey: str, props: dict | None) -> dict:
+    return {
+        "request_seq": seq,
+        "endpoint": "groups",
+        "body": json.dumps(
+            {"group_type": gtype, "group_key": gkey, "properties": props}
+        ),
+    }
+
+
+def test_hybrid_streaming_group_delta_lane_converges(spark, tmp_path):
+    """Group state through the hybrid job's delta lane (groups never have
+    cross-key ops, so every post-bootstrap batch is a delta) equals the
+    one-shot batch fold."""
+    from hogflare_spark.operators.ingest import ingest_raw_requests
+    from hogflare_spark.streaming.ingest_stream import (
+        StreamingIngestJob,
+        read_request_stream,
+    )
+
+    ops = [
+        _group_upsert(1, "team", "t1", {"m": 1}),
+        _capture(2, "u1", {"$set": {"a": 1}}),
+        # batch 2 (delta lane): new group key + LWW update of t1
+        _group_upsert(3, "team", "t2", {"m": 7}),
+        _group_upsert(4, "team", "t1", {"m": 5, "x": "y"}),
+        _capture(5, "u1", {"$set": {"a": 2}}),
+    ]
+    landing = str(tmp_path / "glanding")
+    warehouse = str(tmp_path / "gwh")
+    ckpt = str(tmp_path / "gck")
+    job = StreamingIngestJob(
+        warehouse, group_types=("company", "team", None, None, None), hybrid=True
+    )
+    for bi, (start, end) in enumerate([(0, 2), (2, 5)]):
+        _write_batch(landing, f"b{bi}.json", ops[start:end])
+        job.run_available_now(read_request_stream(spark, landing), ckpt)
+
+    # batch id 1 wrote a groups DELTA, not a full rewrite
+    pointer = json.load(open(os.path.join(warehouse, "groups", "_STATE")))
+    assert pointer["base"] == 0 and pointer["deltas"] == [1], pointer
+    assert os.path.isdir(os.path.join(warehouse, "groups", "d=1"))
+
+    batch_raw = spark.createDataFrame(
+        [Row(request_seq=r["request_seq"], endpoint=r["endpoint"], body=r["body"])
+         for r in ops]
+    )
+    want = {
+        (r["group_type"], r["group_key"]): r
+        for r in ingest_raw_requests(
+            batch_raw, group_types=("company", "team", None, None, None)
+        )["groups"].collect()
+    }
+    got = {
+        (r["group_type"], r["group_key"]): r
+        for r in job.read_groups(spark).collect()
+    }
+    assert set(got) == set(want) == {("team", "t1"), ("team", "t2")}
+    for key, w in want.items():
+        g = got[key]
+        assert g["properties"] == w["properties"], key
+        assert g["version"] == w["version"], key
+    assert json.loads(got[("team", "t1")]["properties"]["m"]) == 5
+
+
 def test_streaming_sequential_ids_continue_across_batches(spark, tmp_path):
     from hogflare_spark.streaming.ingest_stream import (
         StreamingIngestJob,
