@@ -357,7 +357,12 @@ def fold_group_state(
         folded = partitioned.groupBy("group_type", "group_key").applyInPandas(
             _replay, _FOLD_OUT
         )
-    folded = folded.cache()
+    # see person_state.FOLD_PIN: physical pin, replay runs exactly once
+    folded = (
+        folded.localCheckpoint(eager=True)
+        if person_state.FOLD_PIN
+        else folded.cache()
+    )
 
     results = folded.where(F.col("row_type") == "result").select(
         "request_seq", "item_index", "group_type", "group_key", "props", "present", "echo"

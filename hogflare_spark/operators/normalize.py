@@ -759,11 +759,19 @@ def fast_capture_path(raw: DataFrame, body_col: str = "body"):
     props_v = vjson("$.properties")
     groups_v = vjson("$['properties']['$groups']")
 
-    props_raw = F.get_json_object(body, "$.properties")
-    unset_raw = F.get_json_object(props_raw, "$['$unset']")
-    groups_raw = F.get_json_object(props_raw, "$['$groups']")
-    gset_raw = F.get_json_object(props_raw, "$['$group_set']")
+    # Single-parse nested-path extracts: GetJsonObject re-parses its
+    # input per evaluation and interpreted Filter does no subexpression
+    # elimination, so chaining get_json_object(get_json_object(body,…))
+    # doubles the parse count per probe. One bracket path = one parse.
+    unset_raw = F.get_json_object(body, "$['properties']['$unset']")
+    groups_raw = F.get_json_object(body, "$['properties']['$groups']")
+    gset_raw = F.get_json_object(body, "$['properties']['$group_set']")
     keys = F.json_object_keys(body)
+    # keys flattened to ONE parse + string compares (the array equality
+    # form re-evaluated json_object_keys per comparison). A key name
+    # containing a comma could only produce a false join-collision in
+    # combination with a body the canonical regex already rejects.
+    keys_join = F.array_join(keys, ",")
 
     ctype = F.lower(F.coalesce(opt("content_type"), F.lit("")))
     # guards shared by both eligibility lanes (cheap: column null checks,
@@ -780,7 +788,9 @@ def fast_capture_path(raw: DataFrame, body_col: str = "body"):
         & ~body.rlike(_FAST_FLOATY_RE)
         & ~body.startswith("data=")
         & vb.isNotNull()
-        & keys.isNotNull()
+        # no keys-non-null guard needed: a non-object body nulls the
+        # keys probes of BOTH lanes, and null & / | propagation already
+        # lands the row on the slow path via the final coalesce(False)
     )
     # strict shapes for the three special properties keys, checked only
     # when the key's text appears anywhere in the body (SAFE bodies have
@@ -815,16 +825,12 @@ def fast_capture_path(raw: DataFrame, body_col: str = "body"):
     # json_object_keys (doc order preserved) closes the regex's one hole
     # (a trailing top-level key whose value ends in "}}"). Rows in this
     # lane skip the SEVEN variant-serialization probes of the deep lane —
-    # the difference between ~47µs and ~15µs per row, which is the
-    # dominant ingest cost at 10^11 rows.
+    # at 10^11 rows the per-row probe count IS the ingest cost.
     lane = (
         body.rlike(
             r'^\{"event":"[^"]*","distinct_id":"[^"]*"(,"properties":\{.*\})?\}$'
         )
-        & (
-            (keys == F.array(F.lit("event"), F.lit("distinct_id"), F.lit("properties")))
-            | (keys == F.array(F.lit("event"), F.lit("distinct_id")))
-        )
+        & keys_join.isin("event,distinct_id,properties", "event,distinct_id")
         & special_ok
     )
     # DEEP LANE — any other key order/optional-field combination, via the
@@ -856,13 +862,34 @@ def fast_capture_path(raw: DataFrame, body_col: str = "body"):
     eligible = common & (lane | deep)
 
     def build(fast_raw: DataFrame) -> DataFrame:
-        set_raw = F.get_json_object(props_raw, "$['$set']")
-        so_raw = F.get_json_object(props_raw, "$['$set_once']")
+        # TWO Jackson parses per row via json_tuple (one per nesting
+        # level) instead of ~15 independent get_json_object probes —
+        # JsonTuple streams the document once and emits every requested
+        # field, with the same extraction semantics as get_json_object
+        # (strings unquoted, objects/arrays as raw compact text, missing
+        # → null). The remaining json_object_keys calls parse only the
+        # small $set/$set_once fragments.
+        jt1 = fast_raw.select(
+            "*",
+            F.json_tuple(
+                body, "event", "distinct_id", "timestamp", "api_key",
+                "context", "properties",
+            ).alias("__ev", "__did", "__ts", "__api", "__ctx", "__props"),
+        )
+        jt2 = jt1.select(
+            "*",
+            F.json_tuple(
+                F.col("__props"), "$set", "$set_once", "$unset", "$groups",
+                "$group_set",
+            ).alias("__set", "__so", "__unset", "__fgroups", "__fgset"),
+        )
+        set_raw = F.col("__set")
+        so_raw = F.col("__so")
         # _obj() twin: object passthrough, anything else (incl. absent) → {}
         s_out = F.when(F.json_object_keys(set_raw).isNotNull(), set_raw).otherwise(F.lit("{}"))
         so_out = F.when(F.json_object_keys(so_raw).isNotNull(), so_raw).otherwise(F.lit("{}"))
-        unset_out = F.coalesce(unset_raw, F.lit("[]"))
-        did = F.get_json_object(body, "$.distinct_id")
+        unset_out = F.coalesce(F.col("__unset"), F.lit("[]"))
+        did = F.col("__did")
         person_update = F.when(
             (s_out != "{}") | (so_out != "{}") | (unset_out != "[]"),
             F.concat(
@@ -874,25 +901,23 @@ def fast_capture_path(raw: DataFrame, body_col: str = "body"):
             ),
         )
 
-        staged = fast_raw.select(
+        staged = jt2.select(
             F.col("request_seq").cast("long").alias("request_seq"),
             F.lit(0).cast("long").alias("item_index"),
-            F.get_json_object(body, "$.event").alias("event"),
+            F.col("__ev").alias("event"),
             did.alias("distinct_id"),
-            F.get_json_object(body, "$.timestamp").alias("timestamp"),
-            props_raw.alias("properties"),
-            F.get_json_object(body, "$.context").alias("context"),
+            F.col("__ts").alias("timestamp"),
+            F.col("__props").alias("properties"),
+            F.col("__ctx").alias("context"),
             F.lit(None).cast("string").alias("person_properties_request"),
-            F.coalesce(F.get_json_object(body, "$.api_key"), opt("header_api_key")).alias(
-                "api_key"
-            ),
+            F.coalesce(F.col("__api"), opt("header_api_key")).alias("api_key"),
             F.lit(None).cast("string").alias("extra"),
             person_update.alias("person_update"),
             F.lit(None).cast("string").alias("alias"),
             F.lit(None).cast("string").alias("anon_distinct_id"),
-            groups_raw.alias("groups"),
-            groups_raw.alias("__groups"),
-            gset_raw.alias("__gset"),
+            F.col("__fgroups").alias("groups"),
+            F.col("__fgroups").alias("__groups"),
+            F.col("__fgset").alias("__gset"),
             F.lit(None).cast("string").alias("group_identify"),
             F.lit("0").alias("skip_person"),
         )
@@ -922,9 +947,12 @@ def decode_normalize_requests(
 
     The split is two filters over the same scan (columnar parquet read of
     the body column twice in the worst case — still far cheaper than one
-    Python pass over everything). `fast_path=False` forces everything
-    through the Python kernel; tests/test_payload_decode.py asserts the
-    two tiers produce identical rows on eligible bodies.
+    Python pass over everything). For under-parallel batch inputs (one
+    small parquet file = one scan partition) the split instead runs over
+    an eagerly checkpointed fan-out with eligibility evaluated ONCE as a
+    projected flag — see the inline comment. `fast_path=False` forces
+    everything through the Python kernel; tests/test_payload_decode.py
+    asserts the two tiers produce identical rows on eligible bodies.
     """
     from hogflare_spark.sources.payload import decode_request_row
 
@@ -980,6 +1008,42 @@ def decode_normalize_requests(
 
     from pyspark.sql import functions as F
 
+    if not raw.isStreaming and fast_path:
+        # Small-input lane: fan out BEFORE the fast/slow split (a single
+        # small parquet file arrives as ONE scan partition, serializing
+        # the whole decode on one core), evaluate eligibility ONCE as a
+        # projected flag, and pin the result with an eager
+        # localCheckpoint. The checkpoint is load-bearing twice over:
+        # (1) PushDownPredicate otherwise moves each branch's eligibility
+        # filter back through the exchange into the one-partition scan
+        # (observed plan: Filter(eligible)/Filter(NOT eligible) both
+        # under the RoundRobinPartitioning, the ~60-node interpreted
+        # predicate running single-threaded twice); (2) filtering on the
+        # materialized flag makes the branch filters trivial boolean
+        # scans instead of two more predicate evaluations. Engages only
+        # for under-parallel inputs — at real scale the scan has
+        # thousands of splits, fan_out is a no-op, and the filters
+        # SHOULD push into the scans.
+        from hogflare_spark.operators.partitioning import fan_out
+
+        fanned = fan_out(raw)
+        if fanned is not raw:
+            eligible, build = fast_capture_path(fanned, body_col)
+            flagged = fanned.withColumn(
+                "__fast", F.coalesce(eligible, F.lit(False))
+            ).localCheckpoint(eager=True)
+            fast_df = build(flagged.where(F.col("__fast")))
+            slow_raw = flagged.where(~F.col("__fast")).drop("__fast")
+            # canonical traffic commonly leaves the slow branch EMPTY;
+            # one cheap flag-scan over the checkpointed rows avoids
+            # spinning up a pool of Python workers for zero rows
+            if not slow_raw.limit(1).count():
+                return fast_df
+            mapped = slow_raw.mapInPandas(_run, COMMAND_SCHEMA)
+            slow_df = mapped.where(F.col("error").isNull()).drop("error")
+            return fast_df.unionByName(slow_df)
+        raw = fanned
+
     if fast_path:
         eligible, build = fast_capture_path(raw, body_col)
         is_fast = F.coalesce(eligible, F.lit(False))
@@ -989,12 +1053,11 @@ def decode_normalize_requests(
         fast_df = None
         slow_raw = raw
 
-    if slow_raw.isStreaming:
-        mapped = slow_raw.mapInPandas(_run, COMMAND_SCHEMA)
-    else:
+    if not slow_raw.isStreaming:
         from hogflare_spark.operators.partitioning import fan_out
 
-        mapped = fan_out(slow_raw).mapInPandas(_run, COMMAND_SCHEMA)
+        slow_raw = fan_out(slow_raw)
+    mapped = slow_raw.mapInPandas(_run, COMMAND_SCHEMA)
     slow_df = mapped.where(F.col("error").isNull()).drop("error")
     return slow_df if fast_df is None else fast_df.unionByName(slow_df)
 

@@ -254,6 +254,14 @@ RANK_TWO_PHASE_MIN_COMMANDS = 1_000_000
 # streams through spillable sorts. Throughput-vs-robustness crossover,
 # not a measured speed crossover (see FAST_PATH_MIN_COMMANDS above).
 MEGA_COMPONENT_MIN_OPS = 500_000
+# Pin the fold output as an eagerly-materialized RDD (localCheckpoint)
+# instead of cache(): snapshots, the allocation rank's sampling pass, and
+# persons assembly all consume it — some from AQE broadcast threads whose
+# plan clones defeat CacheManager sameResult matching, observed re-running
+# the whole decode+replay chain per consumer. Tests that assert on the
+# fold's plan SHAPE (which engine ran) set this to False, since the
+# checkpoint hides the subtree behind a Scan ExistingRDD.
+FOLD_PIN = True
 
 
 def fold_person_state(
@@ -491,7 +499,9 @@ def fold_person_state(
             folded = folded.unionByName(b)
     else:
         folded = partitioned.groupBy("comp").applyInPandas(_replay, _FOLD_OUT)
-    folded = folded.cache()
+    # see FOLD_PIN: physical pin so the replay runs exactly once across
+    # all consumers; O(batch) state rows
+    folded = folded.localCheckpoint(eager=True) if FOLD_PIN else folded.cache()
 
     snapshots = folded.where(F.col("row_type") == "snapshot").select(
         "request_seq", "item_index", "person_id", "person_created_at", "person_properties"

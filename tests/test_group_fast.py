@@ -88,7 +88,12 @@ def test_ineligible_payloads_fall_back_identically(spark):
     )
 
 
-def test_eligible_cells_take_jvm_path(spark):
+def test_eligible_cells_take_jvm_path(spark, monkeypatch):
+    from hogflare_spark.operators import person_state
+
+    # FOLD_PIN hides the fold subtree behind a Scan ExistingRDD; disable
+    # it so the executed plan shows which engine ran
+    monkeypatch.setattr(person_state, "FOLD_PIN", False)
     cmds = decode_normalize_requests(
         spark.createDataFrame(_raw([_gi("org", "a", {"k": 1})]))
     )

@@ -67,6 +67,9 @@ def test_person_auto_routes_hot_component_and_matches_replay(spark, monkeypatch)
 
 def test_person_auto_all_hot_eligible_takes_jvm_path(spark, monkeypatch):
     monkeypatch.setattr(person_state, "MEGA_COMPONENT_MIN_OPS", 10)
+    # FOLD_PIN hides the fold subtree behind a Scan ExistingRDD; disable
+    # it so the executed plan shows which engine ran
+    monkeypatch.setattr(person_state, "FOLD_PIN", False)
     bodies = [
         {"event": "e", "distinct_id": "hot", "properties": {"$set": {"k": i}}}
         for i in range(12)
@@ -79,9 +82,10 @@ def test_person_auto_all_hot_eligible_takes_jvm_path(spark, monkeypatch):
     assert len(rows) == 1 and rows[0]["version"] == 12
 
 
-def test_person_auto_small_batch_skips_flag_pass(spark):
+def test_person_auto_small_batch_skips_flag_pass(spark, monkeypatch):
     # below MEGA_COMPONENT_MIN_OPS/2 commands no component can be mega:
     # auto degenerates to the plain replay (single applyInPandas plan)
+    monkeypatch.setattr(person_state, "FOLD_PIN", False)
     bodies = [
         {"event": "e", "distinct_id": "u", "properties": {"$set": {"k": 1}}}
     ]

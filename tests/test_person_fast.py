@@ -157,7 +157,12 @@ def test_alias_components_fall_back_and_match(spark):
     )
 
 
-def test_eligible_input_takes_jvm_path(spark):
+def test_eligible_input_takes_jvm_path(spark, monkeypatch):
+    from hogflare_spark.operators import person_state
+
+    # FOLD_PIN hides the fold subtree behind a Scan ExistingRDD; disable
+    # it so the executed plan shows which engine ran
+    monkeypatch.setattr(person_state, "FOLD_PIN", False)
     cmds = decode_normalize_requests(
         spark.createDataFrame(_raw([_capture("u", {"$set": {"a": 1}})]))
     )
