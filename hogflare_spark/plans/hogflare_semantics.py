@@ -138,6 +138,11 @@ def hf_streaming_person_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     request_seq (reference semantics: per-request sequencing,
     /root/reference/src/persons.rs:488-541). Splits are request_seq-range
     thirds, so the global replay order is preserved.
+
+    hybrid=True: the capture stream is alias-free, so after the first
+    (bootstrap) micro-batch the remaining batches take the DELTA fast
+    lane — seed only touched persons, commit O(batch) deltas — and the
+    gate proves that lane converges to the one-shot fold too.
     """
     import shutil
     import tempfile
@@ -164,7 +169,7 @@ def hf_streaming_person_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing = os.path.join(work, "landing")
     ckpt = os.path.join(work, "ckpt")
     warehouse = os.path.join(work, "warehouse")
-    job = StreamingIngestJob(warehouse)
+    job = StreamingIngestJob(warehouse, hybrid=True)
     try:
         for chunk in chunks:
             # append new files into the landing dir, then drain: the stream
