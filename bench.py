@@ -56,36 +56,37 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(_warm, "id long").count()
 
-    # codegen warm-up: run every headline plan once (untimed) at the bench
-    # SF so Janino compilation + Catalyst analysis of the big expression
-    # trees (minhash/simhash sketches, flag CASE chains) happens before
-    # timing — AQE finalizes stage shapes from runtime sizes, so warming at
-    # a smaller SF leaves some codegen cold. The timed runs then measure
-    # steady-state execution, the only regime that exists at real scale,
-    # where one-time compile cost amortizes to nothing across a 100 TB scan.
-    for name in names:
-        try:
-            plans.QUERIES[name](spark, sf_dir).count()
-        except Exception:
-            pass
-
     # Timed loop is per-query crash-proof: one broken plan must not cost
     # the timings of the healthy ones, and the JSON line must always print.
-    # Each query is timed twice and the MIN is reported: single-shot
-    # timings on a shared host swing ±20% from scheduler/GC noise, and
-    # best-of-N is the standard way to measure the plan rather than the
-    # machine's mood.
+    # Each query is executed three times: the FIRST run is the cold number
+    # (Catalyst analysis + Janino codegen of the big expression trees paid
+    # in-line — no untimed per-plan warm-up), and the WARM number is the
+    # min of the remaining runs, which measure steady-state re-execution —
+    # the only regime that exists at real scale, where one-time compile
+    # cost amortizes to nothing across a 100 TB scan. spark.catalog
+    # .clearCache() runs before every repetition so queries that .cache()
+    # internally are re-executed from the parquet scans rather than served
+    # from the CacheManager, and cached frames never accumulate across the
+    # run (both totals compare genuine executions of the plan).
     timings: dict[str, float] = {}
+    cold_timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         best = None
-        for _ in range(2):
+        for rep in range(3):
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
             t0 = time.time()
             try:
                 df = plans.QUERIES[name](spark, sf_dir)
                 df.collect()
                 took = time.time() - t0
-                best = took if best is None else min(best, took)
+                if rep == 0:
+                    cold_timings[name] = round(took, 3)
+                else:
+                    best = took if best is None else min(best, took)
             except Exception as exc:  # noqa: BLE001 — record and keep going
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 break
@@ -98,6 +99,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "value_cold": round(sum(cold_timings.values()), 3),
+        "queries_cold": cold_timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
