@@ -424,7 +424,69 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def stateful_person_snapshots(commands: DataFrame) -> DataFrame:
+def _load_person_seed_map(persons_dir: str) -> dict:
+    """Worker-side seed index: distinct_id → (props, set_once, version).
+
+    Reads the versioned persons state (same layout StreamingIngestJob
+    writes: `_STATE` JSON pointer or legacy `_LATEST`, `v=<n>` parquet)
+    once per executor via a module-level cache and explodes each
+    record's distinct_ids so absorbed ids resolve too. Property values
+    are stored JSON-encoded in the table (FIXTURES.md §3) and decoded
+    back to plain values here to match the operator's state shape.
+
+    At cluster scale the persons table would be bucketed by
+    hash(distinct_id) and each worker would load only its buckets; the
+    full-table load is the single-node realization of the same seed.
+    """
+    import pyarrow.parquet as pq
+
+    cache = _load_person_seed_map.__dict__.setdefault("_cache", {})
+    if persons_dir in cache:
+        return cache[persons_dir]
+    base = None
+    state_path = os.path.join(persons_dir, "_STATE")
+    legacy = os.path.join(persons_dir, "_LATEST")
+    deltas: list[int] = []
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            pointer = json.load(fh)
+        base, deltas = pointer.get("base"), list(pointer.get("deltas", []))
+    elif os.path.exists(legacy):
+        with open(legacy) as fh:
+            base = int(fh.read().strip())
+    index: dict = {}
+    if base is not None:
+        paths = [os.path.join(persons_dir, f"v={base}")]
+        paths += [os.path.join(persons_dir, f"d={d}") for d in deltas]
+        by_canonical: dict = {}
+        for path in paths:  # later deltas overwrite earlier rows (LWW)
+            tbl = pq.read_table(
+                path,
+                columns=[
+                    "canonical_id", "distinct_ids", "properties",
+                    "properties_set_once", "version",
+                ],
+            ).to_pylist()
+            for rec in tbl:
+                by_canonical[rec["canonical_id"]] = rec
+        for rec in by_canonical.values():
+            # pyarrow maps arrive as [(k, v), ...] pairs
+            props_kv = rec["properties"] or []
+            so_kv = rec["properties_set_once"] or []
+            entry = (
+                {k: json.loads(v) for k, v in props_kv},
+                {k: json.loads(v) for k, v in so_kv},
+                int(rec["version"] or 0),
+            )
+            for did in rec["distinct_ids"] or []:
+                index[did] = entry
+    cache[persons_dir] = index
+    return index
+
+
+def stateful_person_snapshots(
+    commands: DataFrame, seed_persons_dir: str | None = None
+) -> DataFrame:
     """Streaming per-distinct_id $set/$set_once/$unset fold emitting
     post-update snapshots (U5+U12 for the alias-free stream).
 
@@ -433,6 +495,17 @@ def stateful_person_snapshots(commands: DataFrame) -> DataFrame:
     distinct_id — per-key serial processing, the reference's DO model
     (persons.rs:488-541). Updates within a batch apply in (request_seq,
     item_index) order.
+
+    ``seed_persons_dir``: path to a versioned persons state directory
+    (the batch/hybrid job's output). A key seen for the FIRST time
+    initializes its state from the stored person record — including
+    records reachable through an absorbed distinct_id — so the
+    low-latency lane continues version counters and property bags from
+    the authoritative table instead of restarting at zero. The seed map
+    is loaded once per executor (worker cache): it is a snapshot of the
+    table at stream start, which is exactly the eventual-consistency
+    contract of this lane — the state store, once a key is live, always
+    wins over the seed.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -447,6 +520,12 @@ def stateful_person_snapshots(commands: DataFrame) -> DataFrame:
             version = int(version or 0)
         else:
             props, set_once, version = {}, {}, 0
+            if seed_persons_dir is not None:
+                seeded = _load_person_seed_map(seed_persons_dir).get(distinct_id)
+                if seeded is not None:
+                    props, set_once, version = (
+                        dict(seeded[0]), dict(seeded[1]), seeded[2]
+                    )
 
         rows = []
         for pdf in pdfs:

@@ -454,6 +454,64 @@ def test_stateful_person_snapshots_operator(spark, tmp_path):
     assert by_seq[4]["person_version"] == 3
 
 
+def test_stateful_person_snapshots_seeded_from_versioned_state(spark, tmp_path):
+    """VERDICT r3 item 4 (second half): the low-latency state-store lane
+    seeds first-seen keys from the versioned persons table, continuing
+    version counters and property bags — including keys reachable only
+    through an absorbed (merged) distinct_id."""
+    from hogflare_spark.streaming.ingest_stream import (
+        StreamingIngestJob,
+        read_request_stream,
+        stateful_person_snapshots,
+    )
+
+    # authoritative table: u1 has 2 updates; anon-1 merged into user-1
+    landing = str(tmp_path / "slanding")
+    warehouse = str(tmp_path / "swh")
+    job = StreamingIngestJob(warehouse)
+    _write_batch(landing, "b0.json", [
+        _capture(1, "u1", {"$set": {"a": 1}}),
+        _capture(2, "u1", {"$set_once": {"first": "x"}}),
+        _capture(3, "anon-1", {"$set": {"plan": "free"}}),
+        _alias(4, "user-1", "anon-1"),
+    ])
+    job.run_available_now(read_request_stream(spark, landing), str(tmp_path / "sck"))
+    persons_dir = os.path.join(warehouse, "persons")
+
+    src = str(tmp_path / "scmds")
+    _write_batch(src, "c1.json", [
+        {"request_seq": 10, "item_index": 0, "distinct_id": "u1",
+         "person_update": json.dumps({"set": {"a": 2}})},
+        # first touch through the ABSORBED id: must seed user-1's record
+        {"request_seq": 11, "item_index": 0, "distinct_id": "anon-1",
+         "person_update": json.dumps({"set_once": {"plan": "paid"}})},
+        {"request_seq": 12, "item_index": 0, "distinct_id": "fresh",
+         "person_update": json.dumps({"set": {"n": 1}})},
+    ])
+    schema = "request_seq long, item_index long, distinct_id string, person_update string"
+    out_rows = []
+    q = (
+        spark.readStream.schema(schema).json(src)
+        .transform(lambda df: stateful_person_snapshots(df, seed_persons_dir=persons_dir))
+        .writeStream.foreachBatch(lambda df, _id: out_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "sck2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    by_seq = {r["request_seq"]: r for r in out_rows}
+    # u1: seeded with {a:1}, set_once {first:x}, version 2 → update makes 3
+    assert json.loads(by_seq[10]["person_properties"]) == {"a": 2, "first": "x"}
+    assert by_seq[10]["person_version"] == 3
+    # anon-1 resolves to the MERGED record: plan already set → set_once noop
+    assert json.loads(by_seq[11]["person_properties"]) == {"plan": "free"}
+    assert by_seq[11]["person_version"] >= 2
+    # unknown key starts fresh at version 1
+    assert json.loads(by_seq[12]["person_properties"]) == {"n": 1}
+    assert by_seq[12]["person_version"] == 1
+
+
 def test_windowed_event_counts_watermark(spark, tmp_path):
     from hogflare_spark.streaming.ingest_stream import windowed_event_counts
 
