@@ -17,6 +17,10 @@
   driver-side sample, corpus assigned to cells JVM-side, queries probe
   their n_probe nearest cells and rerank exactly. At 100 TB the cell id
   becomes a partition/cluster column and probing is partition pruning.
+- ivf_write_index / ivf_query_index: that at-scale form materialized —
+  the corpus written cell-PARTITIONED with persisted centroids, probes
+  pushed as partition filters so the scan opens only probed cells
+  (PartitionFilters asserted in test).
 """
 
 from __future__ import annotations
@@ -406,6 +410,104 @@ def ivf_ann_topk(
     )
     scored = (
         c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 9).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Materialize the corpus as a CELL-PARTITIONED parquet index.
+
+    This is `ivf_ann_topk`'s documented at-scale form made concrete: the
+    coarse-quantizer cell id becomes a physical partition column, so a
+    probe is PARTITION PRUNING — the scan never opens files outside the
+    probed cells. Centroids are persisted alongside the data
+    (`_CENTROIDS.json`) so query time needs no retraining and the
+    assignment stays consistent with the layout. Returns the centroids.
+    """
+    import json as _json
+    import os as _os
+
+    centroids = ivf_train_centroids(
+        corpus, n_centroids, sample_mod=sample_mod, id_col=id_col, vec_col=vec_col
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        ivf_assign_expr(F.col(vec_col), centroids).alias("cell"),
+    )
+    data_dir = _os.path.join(index_dir, "data")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(data_dir)
+    _os.makedirs(index_dir, exist_ok=True)
+    tmp = _os.path.join(index_dir, "_CENTROIDS.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(centroids, fh)
+    _os.replace(tmp, _os.path.join(index_dir, "_CENTROIDS.json"))
+    return centroids
+
+
+def ivf_query_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against an `ivf_write_index` layout via partition pruning.
+
+    The union of every query's probe cells (≤ n_centroids small ints) is
+    collected driver-side and pushed as a partition filter, so the scan
+    reads ONLY the probed cell directories (`PartitionFilters` in the
+    plan, verified by test); candidates are then cell-joined to the
+    broadcast query set and exactly reranked — identical semantics to
+    `ivf_ann_topk` over the same centroids, with the cell-local scan the
+    100 TB regime needs.
+    """
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_dir, "_CENTROIDS.json")) as fh:
+        centroids = _json.load(fh)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            ivf_probe_expr(F.col(vec_col), centroids, n_probe)
+        ).alias("cell"),
+    )
+    # the probe-cell union is bounded by n_centroids — a tiny driver
+    # scalar, not a data collect
+    needed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    data = (
+        spark.read.parquet(_os.path.join(index_dir, "data"))
+        .where(F.col("cell").isin([int(c) for c in needed]))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            F.col("cell").cast("int").alias("cell"),
+        )
+    )
+    scored = (
+        data.join(F.broadcast(q), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
