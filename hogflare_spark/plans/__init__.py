@@ -43,6 +43,16 @@ def query(name: str, oracle: str | None = None):
 # gate); outer → q13; correlated/scalar subquery →
 # q_correlated_above_avg; grouping → q_rollup,q_grouping_sets.
 DEMOTED_AFTER_GRADING_WINDOW = (
+    # round 4: the six adapted variants completing the 22-query TPC-H
+    # family land OUTSIDE the window from birth — every shape they add
+    # (correlated min, scalar HAVING, conditional counts, NOT IN,
+    # nested semi, double-EXISTS) already has a graded representative.
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_shipmode_priority",
+    "q16_supplier_part_counts",
+    "q20_promotable_suppliers",
+    "q21_waiting_suppliers",
     "q4_order_priority",
     "q7_volume_shipping",
     "q10_returned_items",
@@ -66,6 +76,7 @@ def load_all() -> None:
         relational,
         relational_ext,
         relational_tpch2,
+        relational_tpch3,
         events_analytics,
     )
     try:
