@@ -364,6 +364,18 @@ def fold_person_state(
 
         component = key[0]
         store = PersonStoreReplay(component, team_id)
+        # Snapshot rows dominate the output (one per emitted op, vs a
+        # handful of alloc/person rows) — accumulate them as columns. The
+        # previous shape (one 17-field dict per row through _row, then
+        # DataFrame(records)) spent more task time materializing dicts and
+        # re-parsing them than the kernel spent folding; columnar
+        # accumulation emits the identical values without the per-row
+        # dict churn. Low-cardinality rows keep the dict path for clarity.
+        s_seq: list[int] = []
+        s_item: list[int] = []
+        s_pid: list[Any] = []
+        s_created: list[Any] = []
+        s_props: list[Any] = []
         out = []
         for row in pdf.itertuples(index=False):
             seq_linear = (
@@ -382,16 +394,11 @@ def fold_person_state(
                 _, record = store.ensure_person(row.distinct_id, op_time, seq)
             if row.emit:
                 pid, pcreated, pprops = snapshot_fields(record)
-                out.append(
-                    _row(
-                        "snapshot",
-                        request_seq=int(row.request_seq),
-                        item_index=int(row.item_index),
-                        person_id=pid,
-                        person_created_at=pcreated,
-                        person_properties=pprops,
-                    )
-                )
+                s_seq.append(int(row.request_seq))
+                s_item.append(int(row.item_index))
+                s_pid.append(pid)
+                s_created.append(pcreated)
+                s_props.append(pprops)
 
         for uuid_, alloc in store.alloc_events:
             a, b = _alloc_key(alloc)
@@ -427,7 +434,26 @@ def fold_person_state(
                 )
             )
         cols = [f.name for f in _FOLD_OUT.fields]
-        return pd.DataFrame(out, columns=cols)
+        rest = pd.DataFrame(out, columns=cols)
+        if not s_seq:
+            return rest
+        snap = pd.DataFrame(
+            {
+                "row_type": "snapshot",
+                "request_seq": s_seq,
+                "item_index": s_item,
+                "person_id": s_pid,
+                "person_created_at": s_created,
+                "person_properties": s_props,
+            }
+        )
+        for c in cols:
+            if c not in snap.columns:
+                snap[c] = None
+        snap = snap[cols]
+        if not len(rest):
+            return snap
+        return pd.concat([snap, rest], ignore_index=True)
 
     # Explicit hash-partition on the fold key: the groupBy's own shuffle
     # would be AQE-coalesced by *bytes* (a few MB of narrow op rows → 1-4
