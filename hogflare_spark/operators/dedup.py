@@ -140,6 +140,103 @@ def minhash_near_dup_pairs(
     return verified
 
 
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    k: int = SHINGLE_K,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Cluster assignment: every row → (id, cluster_id, is_canonical).
+
+    The step after pair detection in a real dedup pipeline: near-dup
+    PAIRS are not directly actionable (near-dup is not transitive —
+    A~B, B~C does not imply A~C, but all three must still collapse to
+    one kept document), so pairs become edges of a similarity graph and
+    each connected component keeps exactly one canonical row (min id).
+    Docs with no near-dup stay their own singleton cluster.
+
+    Scale shape: the edge set is |near-dup pairs| — tiny next to the
+    corpus — so the iterative CC fixpoint (operators/identity.py, the
+    same min-label + pointer-jumping loop the person identity graph
+    uses) runs over a frame orders of magnitude smaller than the input;
+    the corpus itself is touched once by the sketching scan and once by
+    the final broadcast-able label join.
+    """
+    from hogflare_spark.operators.identity import connected_components
+
+    pairs = minhash_near_dup_pairs(
+        df, text_col, id_col, threshold, k, num_perm, bands, rows
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = connected_components(edges).withColumnRenamed("id", "member_id")
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(labels, F.col("id") == F.col("member_id"), "left").select(
+        "id",
+        F.coalesce("comp", "id").alias("cluster_id"),
+        (F.col("id") == F.coalesce("comp", "id")).alias("is_canonical"),
+    )
+
+
+def contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Benchmark decontamination: per-corpus-doc n-gram overlap with an
+    evaluation/benchmark corpus → (id, n_shingles, contaminated,
+    contamination_frac, is_contaminated).
+
+    The training-data hygiene step: a document whose k-gram set overlaps
+    a benchmark set above `threshold` leaks evaluation data into
+    training and must be dropped. Overlap is counted against the UNION
+    of benchmark shingles (doc-level attribution of which benchmark doc
+    matched is not needed to make the drop decision).
+
+    Scale shape: the benchmark side is small by definition (eval sets),
+    so its distinct shingle set is broadcast — the corpus is touched by
+    one sketching scan and the postings probe is a broadcast-hash join,
+    no corpus-sized shuffle. At a benchmark too large to broadcast the
+    same plan degrades gracefully to a shuffled join on the shingle key.
+    """
+    corpus_sk = with_shingle_hashes(df, text_col, id_col, k)
+    bench_shingles = (
+        with_shingle_hashes(benchmark, text_col, id_col, k)
+        .select(F.explode("hs").alias("sh"))
+        .distinct()
+    )
+    postings = corpus_sk.select(
+        "id", F.size("hs").cast("long").alias("n_shingles"), F.explode("hs").alias("sh")
+    )
+    hits = (
+        postings.join(F.broadcast(bench_shingles), "sh")
+        .groupBy("id")
+        .agg(F.count("*").alias("contaminated"))
+    )
+    frac = F.when(
+        F.col("n_shingles") > 0,
+        F.col("contaminated").cast("double") / F.col("n_shingles"),
+    ).otherwise(F.lit(0.0))
+    return (
+        corpus_sk.select("id", F.size("hs").cast("long").alias("n_shingles"))
+        .join(hits, "id", "left")
+        .withColumn("contaminated", F.coalesce("contaminated", F.lit(0)).cast("long"))
+        .select(
+            "id",
+            "n_shingles",
+            "contaminated",
+            frac.alias("contamination_frac"),
+            (frac >= F.lit(threshold)).alias("is_contaminated"),
+        )
+    )
+
+
 def simhash_sketches(
     df: DataFrame, text_col: str, id_col: str, k: int = SHINGLE_K, bits: int = 32
 ) -> DataFrame:

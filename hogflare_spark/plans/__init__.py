@@ -47,6 +47,18 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # family land OUTSIDE the window from birth — every shape they add
     # (correlated min, scalar HAVING, conditional counts, NOT IN,
     # nested semi, double-EXISTS) already has a graded representative.
+    # llm_simhash_sketches (green r3) cedes its slot to the NEW
+    # llm_dedup_clusters gate — a genuinely new operator class
+    # (similarity-graph connected components) beats a second graded
+    # angle on simhash, whose sketch expression stays transitively
+    # graded through llm_simhash_near_dups. The other round-4 pipeline
+    # gates (decontaminate / hash_split / stratified_sample) register
+    # beyond the window: deterministic-hash projections and one
+    # broadcast probe, all shapes with graded representatives.
+    "llm_simhash_sketches",
+    "llm_decontaminate",
+    "llm_hash_split",
+    "llm_stratified_sample",
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q12_shipmode_priority",

@@ -498,6 +498,172 @@ def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- round-4 pipeline completions
+# Cluster assignment, benchmark decontamination, and deterministic
+# sampling/splitting — the steps that turn pair/score detectors into an
+# end-to-end corpus pipeline. Oracles are generated from the same
+# fragment builders as the operators (module docstring).
+
+# The minhash candidate→verify chain as reusable CTEs ending in
+# pairs(id_a, id_b) — the same fragments (and constants) the
+# llm_minhash_near_dups oracle inlines.
+_MINHASH_PAIR_CTES = f"""{_SK_CTE},
+    sig AS (SELECT id, {T.minhash_signature_sql('hs', NUM_PERM)} AS sig FROM sk),
+    bk AS (SELECT id, unnest({T.band_keys_sql('sig', BANDS, ROWS_PER_BAND)}) AS band_key FROM sig),
+    ok_buckets AS (
+      SELECT band_key FROM bk GROUP BY band_key
+      HAVING count(*) > 1 AND count(*) <= 1000
+    ),
+    bb AS (SELECT bk.id, bk.band_key FROM bk JOIN ok_buckets USING (band_key)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bb a JOIN bb b ON a.band_key = b.band_key AND a.id < b.id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sk sa ON sa.id = cand.id_a
+      JOIN sk sb ON sb.id = cand.id_b
+      WHERE {T.jaccard_sql('sa.hs', 'sb.hs')} >= {MINHASH_THRESHOLD}
+    )"""
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a
+    ),
+    comp AS (SELECT src AS id, least(src, min(dst)) AS comp
+             FROM reach GROUP BY src)
+    SELECT d.doc_id AS id, coalesce(c.comp, d.doc_id) AS cluster_id,
+           d.doc_id = coalesce(c.comp, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    ORDER BY id
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → one canonical doc per
+    cluster (operators/dedup.dedup_clusters). The oracle computes the
+    same transitive closure with a recursive CTE over the identical
+    LSH-verified pair set — two fixpoint strategies, one result."""
+    from hogflare_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(docs, "text", "doc_id", MINHASH_THRESHOLD).orderBy("id")
+
+
+# benchmark stand-in: every 25th doc plays the eval set; the rest are the
+# training corpus being screened against it
+_BENCH_PRED = "doc_id % 25 = 0"
+_CORPUS_PRED = "doc_id % 25 <> 0"
+_DECON_THRESHOLD = 0.5
+
+
+def _sk_filtered(name: str, pred: str) -> str:
+    return (
+        f"{name} AS (SELECT doc_id AS id, "
+        f"list_distinct({T.shingle_hashes_sql(T.shingles_sql(_TOK, SHINGLE_K))}) AS hs "
+        f"FROM documents WHERE {pred})"
+    )
+
+
+_DECON_FRAC = (
+    "CASE WHEN len(csk.hs) > 0 "
+    "THEN coalesce(h.contaminated, 0)::DOUBLE / len(csk.hs) ELSE 0.0 END"
+)
+
+
+@query(
+    "llm_decontaminate",
+    oracle=f"""
+    WITH {_sk_filtered('csk', _CORPUS_PRED)},
+    {_sk_filtered('bsk', _BENCH_PRED)},
+    bsh AS (SELECT DISTINCT unnest(hs) AS sh FROM bsk),
+    post AS (SELECT id, unnest(hs) AS sh FROM csk),
+    hits AS (SELECT id, count(*) AS contaminated
+             FROM post JOIN bsh USING (sh) GROUP BY id)
+    SELECT csk.id, len(csk.hs)::BIGINT AS n_shingles,
+           coalesce(h.contaminated, 0)::BIGINT AS contaminated,
+           round({_DECON_FRAC}, 6) AS contamination_frac,
+           ({_DECON_FRAC}) >= {_DECON_THRESHOLD} AS is_contaminated
+    FROM csk LEFT JOIN hits h ON csk.id = h.id
+    ORDER BY csk.id
+    """,
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.contamination_flags):
+    per-doc k-gram overlap with the broadcast benchmark shingle union."""
+    from hogflare_spark.operators.dedup import contamination_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 25 != 0)
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    flags = contamination_flags(
+        corpus, bench, "text", "doc_id", threshold=_DECON_THRESHOLD
+    )
+    return flags.select(
+        "id",
+        "n_shingles",
+        "contaminated",
+        F.round("contamination_frac", 6).alias("contamination_frac"),
+        "is_contaminated",
+    ).orderBy("id")
+
+
+@query("llm_hash_split", oracle=None)
+def llm_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/sampling)."""
+    from hogflare_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, "doc_id").orderBy("doc_id")
+
+
+def _register_hash_split_oracle() -> None:
+    from hogflare_spark.operators.sampling import hash_split_sql
+    from hogflare_spark.plans import ORACLES
+
+    bucket_sql, split_sql = hash_split_sql("doc_id")
+    ORACLES["llm_hash_split"] = (
+        f"SELECT doc_id, {bucket_sql} AS bucket, {split_sql} AS split "
+        f"FROM documents ORDER BY doc_id"
+    )
+
+
+_register_hash_split_oracle()
+
+
+@query("llm_stratified_sample", oracle=None)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic quota sample (operators/sampling)."""
+    from hogflare_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "doc_id", "lang", 20)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _register_stratified_oracle() -> None:
+    from hogflare_spark.operators.sampling import stratified_sample_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = stratified_sample_sql("documents", "doc_id", "lang", 20)
+    ORACLES["llm_stratified_sample"] = (
+        f"SELECT doc_id, lang FROM ({inner}) ORDER BY doc_id"
+    )
+
+
+_register_stratified_oracle()
+
+
 BENCH_EXTRA.update(
     {"llm_minhash_near_dups", "llm_ann_topk", "llm_exact_dedup", "llm_quality_tokens"}
 )

@@ -477,3 +477,103 @@ def test_frame_sample_offsets(spark):
     assert [(r["frame_idx"], r["byte_offset"]) for r in got] == [
         (0, 0), (1, 64), (2, 128), (3, 192),
     ]
+
+
+# ------------------------------------------- clusters / decontamination
+
+
+def test_dedup_clusters_transitive_collapse(spark):
+    """Near-dup is not transitive, but clusters must be: A~B and B~C
+    place all three in one cluster with exactly one canonical doc even
+    if A~C alone would miss the pair threshold."""
+    from hogflare_spark.operators.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    a = base * 6
+    b = base * 6 + "tail one two three"
+    c = base * 6 + "tail one two three four five six seven"
+    df = _docs(spark, [a, b, c, "completely unrelated text about ducks here"])
+    out = {r["id"]: r for r in dedup_clusters(df, "text", "doc_id", 0.6).collect()}
+    assert out[0]["cluster_id"] == out[1]["cluster_id"] == out[2]["cluster_id"] == 0
+    assert out[0]["is_canonical"] and not out[1]["is_canonical"]
+    assert out[3]["cluster_id"] == 3 and out[3]["is_canonical"]
+    # exactly one canonical per cluster
+    canon = [r for r in out.values() if r["is_canonical"]]
+    assert len(canon) == 2
+
+
+def test_dedup_clusters_no_pairs_all_singletons(spark):
+    from hogflare_spark.operators.dedup import dedup_clusters
+
+    df = _docs(spark, ["alpha beta gamma delta", "epsilon zeta eta theta"])
+    out = dedup_clusters(df, "text", "doc_id", 0.9).collect()
+    assert all(r["cluster_id"] == r["id"] and r["is_canonical"] for r in out)
+
+
+def test_contamination_flags_overlap_and_exclusion(spark):
+    from hogflare_spark.operators.dedup import contamination_flags
+
+    bench_text = "secret benchmark question about prime numbers and logic"
+    clean_text = "an entirely different document describing garden plants"
+    leaked = bench_text + " with a tiny suffix"
+    corpus = _docs(spark, [clean_text, leaked])
+    bench = spark.createDataFrame([Row(doc_id=100, text=bench_text)])
+    out = {
+        r["id"]: r
+        for r in contamination_flags(corpus, bench, "text", "doc_id", 0.5).collect()
+    }
+    assert out[1]["is_contaminated"] and out[1]["contamination_frac"] > 0.5
+    assert not out[0]["is_contaminated"] and out[0]["contaminated"] == 0
+    # fraction is shared/|doc shingles|, so it is <= 1
+    assert 0.0 <= out[1]["contamination_frac"] <= 1.0
+
+
+# ------------------------------------------------------------- sampling
+
+
+def test_hash_split_deterministic_and_stable_under_growth(spark):
+    """A document's split never changes when the corpus grows — the
+    property that prevents eval-set leakage across dataset versions."""
+    from hogflare_spark.operators.sampling import hash_split
+
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s_small = {r["doc_id"]: r["split"] for r in hash_split(small, "doc_id").collect()}
+    s_big = {r["doc_id"]: r["split"] for r in hash_split(big, "doc_id").collect()}
+    assert all(s_big[k] == v for k, v in s_small.items())
+    # roughly 80/10/10 (hash-uniform; wide tolerance, deterministic data)
+    from collections import Counter
+
+    dist = Counter(s_big.values())
+    assert dist["train"] > 700 and dist["val"] > 50 and dist["test"] > 50
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    from hogflare_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("lang_"), (F.col("id") % 3).cast("string")).alias("lang"),
+    )
+    kept1 = sorted(
+        (r["doc_id"], r["lang"])
+        for r in stratified_sample(df, "doc_id", "lang", 7).collect()
+    )
+    kept2 = sorted(
+        (r["doc_id"], r["lang"])
+        for r in stratified_sample(df, "doc_id", "lang", 7).collect()
+    )
+    assert kept1 == kept2
+    from collections import Counter
+
+    per = Counter(lang for _, lang in kept1)
+    assert per == {"lang_0": 7, "lang_1": 7, "lang_2": 7}
+
+
+def test_stratified_sample_small_stratum_kept_whole(spark):
+    from hogflare_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="rare") for i in range(3)]
+    )
+    assert stratified_sample(df, "doc_id", "lang", 10).count() == 3
