@@ -58,7 +58,7 @@ def main() -> None:
 
     # Timed loop is per-query crash-proof: one broken plan must not cost
     # the timings of the healthy ones, and the JSON line must always print.
-    # Each query is executed three times: the FIRST run is the cold number
+    # Each query is executed four times: the FIRST run is the cold number
     # (Catalyst analysis + Janino codegen of the big expression trees paid
     # in-line — no untimed per-plan warm-up), and the WARM number is the
     # min of the remaining runs, which measure steady-state re-execution —
@@ -68,16 +68,24 @@ def main() -> None:
     # internally are re-executed from the parquet scans rather than served
     # from the CacheManager, and cached frames never accumulate across the
     # run (both totals compare genuine executions of the plan).
+    # gc.collect() between reps: the state folds pin intermediates via
+    # localCheckpoint, whose RDD blocks are freed only when the driver-side
+    # references die (ContextCleaner on weak refs) — without an explicit
+    # collect they accumulate across the run and the resulting memory
+    # pressure/GC shows up as noise in late queries' timings.
+    import gc
+
     timings: dict[str, float] = {}
     cold_timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         best = None
-        for rep in range(3):
+        for rep in range(4):
             try:
                 spark.catalog.clearCache()
             except Exception:
                 pass
+            gc.collect()
             t0 = time.time()
             try:
                 df = plans.QUERIES[name](spark, sf_dir)
