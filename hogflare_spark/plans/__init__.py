@@ -59,6 +59,11 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     "llm_decontaminate",
     "llm_hash_split",
     "llm_stratified_sample",
+    # session-window streaming twin of ev_sessionization: the streaming
+    # family already has two graded gates (windowed counts + person
+    # fold), so the data-defined-window variant registers beyond the
+    # window with driver_sim + pytest evidence.
+    "ev_stream_sessionization",
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q12_shipmode_priority",

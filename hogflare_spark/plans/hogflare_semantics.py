@@ -280,6 +280,101 @@ def ev_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_stream_sessionization",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+               AS is_start
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), g AS (
+      SELECT user_id, ts,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ), sess AS (
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events
+      FROM g GROUP BY user_id, sid
+    ), wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS watermark FROM events)
+    SELECT user_id, session_start, session_end, n_events
+    FROM sess WHERE session_end <= (SELECT watermark FROM wm)
+    ORDER BY user_id, session_start
+    """,
+)
+def ev_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window streaming gate: replay the events table as
+    THREE ascending event-time micro-batches through
+    `streaming_sessions` (30-minute gap, 2-hour watermark, append mode)
+    and return every closed session the stream emitted.
+
+    What this gates beyond `ev_stream_windowed_counts`: session windows
+    are DATA-DEFINED (end = last event + gap, not a fixed grid), so the
+    state store must MERGE a session whose events straddle micro-batch
+    boundaries before the watermark closes it. The SQL oracle computes
+    the same sessions with the batch lag/gap construction — splitting on
+    `diff > gap`, because touching session windows coalesce (verified by
+    the gap-boundary pytest) — and keeps exactly the sessions whose end
+    the final watermark passed.
+    """
+    import shutil
+    import tempfile
+
+    from hogflare_spark.streaming.ingest_stream import streaming_sessions
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").alias("created_at"), F.col("user_id")
+    )
+    evs = ev.withColumn("created_at_s", F.col("created_at").cast("long"))
+    lo, hi = evs.approxQuantile("created_at_s", [1.0 / 3, 2.0 / 3], 0.001)
+    chunks = [
+        evs.where(F.col("created_at_s") <= F.lit(int(lo))),
+        evs.where(
+            (F.col("created_at_s") > F.lit(int(lo)))
+            & (F.col("created_at_s") <= F.lit(int(hi)))
+        ),
+        evs.where(F.col("created_at_s") > F.lit(int(hi))),
+    ]
+
+    work = tempfile.mkdtemp(prefix="ev_stream_sess_")
+    landing = os.path.join(work, "landing")
+    ckpt = os.path.join(work, "ckpt")
+    out_dir = os.path.join(work, "out")
+    try:
+        for chunk in chunks:
+            chunk.select("created_at", "user_id").write.mode("append").parquet(
+                landing
+            )
+            stream = (
+                spark.readStream.schema("created_at timestamp, user_id bigint")
+                .parquet(landing)
+            )
+            q = (
+                streaming_sessions(stream)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        emitted = (
+            spark.read.schema(
+                "user_id bigint, session_start timestamp, "
+                "session_end timestamp, n_events long"
+            )
+            .parquet(out_dir)
+            .orderBy("user_id", "session_start")
+        )
+        return emitted.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "hf_group_fold_state",
     oracle="""
     SELECT event_type AS group_key,

@@ -577,6 +577,43 @@ def stateful_person_snapshots(
 # ---------------------------------------------------------------------------
 
 
+def streaming_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    time_col: str = "created_at",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming sessionization via native session windows.
+
+    `session_window` grows a per-key window whose end is always
+    last-event-time + gap; overlapping windows MERGE in the state store
+    (a session spanning micro-batches is stitched before it closes), and
+    a session is emitted exactly once when the watermark passes its end.
+    Boundary semantics (verified by test_streaming_sessions_gap_boundary
+    _and_merge): an event at precisely prev + gap DOES merge — windows
+    touch and touching windows coalesce — so the batch mirror must split
+    sessions on `diff > gap`, not `>=`.
+
+    This is the streaming twin of the batch `ev_sessionization` plan
+    (plans/events_analytics.py): same gap rule, but with late-data
+    eviction the reference's in-order executor never needed.
+    """
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(
+            F.session_window(F.col(time_col), gap).alias("win"), F.col(key_col)
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 minute",

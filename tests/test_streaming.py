@@ -545,3 +545,72 @@ def test_windowed_event_counts_watermark(spark, tmp_path):
     assert counts[("2025-01-01 00:00:00", "a")] == 2
     assert counts[("2025-01-01 00:01:00", "b")] == 1
     assert counts[("2025-01-01 00:02:00", "a")] == 1
+
+
+def test_streaming_sessions_gap_boundary_and_merge(spark, tmp_path):
+    """Closed-boundary session semantics: an event exactly `gap` after
+    the previous one still MERGES (touching session windows coalesce) —
+    the property the batch oracle must mirror with `diff > gap`. A
+    session straddling two micro-batches is stitched in the state store
+    and emitted once, with the merged count; a clearly-past-gap event
+    opens a new session."""
+    from hogflare_spark.streaming.ingest_stream import streaming_sessions
+
+    src = str(tmp_path / "sess")
+    b1 = [
+        # u1: two events 10 min apart -> one session (merged)
+        {"user_id": 1, "created_at": "2025-01-01T00:00:00Z"},
+        {"user_id": 1, "created_at": "2025-01-01T00:10:00Z"},
+        # u2: second event exactly 30 min later -> touching windows MERGE
+        {"user_id": 2, "created_at": "2025-01-01T00:00:00Z"},
+        {"user_id": 2, "created_at": "2025-01-01T00:30:00Z"},
+        # u3: second event past the gap -> two sessions
+        {"user_id": 3, "created_at": "2025-01-01T00:00:00Z"},
+        {"user_id": 3, "created_at": "2025-01-01T00:30:00.000001Z"},
+    ]
+    # u1's third event lands in the NEXT micro-batch, 5 min after the
+    # second -> still the same session (cross-batch merge)
+    b2 = [
+        {"user_id": 1, "created_at": "2025-01-01T00:15:00Z"},
+        # watermark pusher far in the future closes everything
+        {"user_id": 9, "created_at": "2025-01-02T00:00:00Z"},
+    ]
+    out_dir = str(tmp_path / "out")
+    for i, rows in enumerate([b1, b2]):
+        _write_batch(src, f"s{i}.json", rows)
+        stream = (
+            spark.readStream.schema("user_id bigint, created_at string")
+            .json(src)
+            .withColumn("created_at", F.to_timestamp("created_at"))
+        )
+        q = (
+            streaming_sessions(stream, gap="30 minutes", watermark="1 minute")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ck_sess"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    emitted = (
+        spark.read.schema(
+            "user_id bigint, session_start timestamp, "
+            "session_end timestamp, n_events long"
+        )
+        .parquet(out_dir)
+        .collect()
+    )
+    sessions = {
+        (r["user_id"], str(r["session_start"])): r["n_events"] for r in emitted
+    }
+    # u1: ONE session of 3 events spanning both micro-batches
+    assert sessions[(1, "2025-01-01 00:00:00")] == 3
+    assert sum(1 for (u, _) in sessions if u == 1) == 1
+    # u2: exactly-at-gap event merged into one session
+    assert sessions[(2, "2025-01-01 00:00:00")] == 2
+    assert sum(1 for (u, _) in sessions if u == 2) == 1
+    # u3: a microsecond past the gap opened a second session
+    assert sessions[(3, "2025-01-01 00:00:00")] == 1
+    assert sum(1 for (u, _) in sessions if u == 3) == 2
