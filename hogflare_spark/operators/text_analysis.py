@@ -144,3 +144,106 @@ def fingerprint_sql(expr: str) -> str:
         f"list_transform({tok}, t -> {h60_sql('t')} % {M31})), "
         f"(a, b) -> (a * {FINGERPRINT_MULT} + b) % {M31})"
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher-style corpus quality rules, Rae et al. 2021:
+# high duplicate-token / dominant-n-gram fractions mark low-quality or
+# degenerate documents) and PII scrubbing — both staples of training-data
+# filtering at scale.
+# ---------------------------------------------------------------------------
+
+
+def _clean_tokens(col: Column) -> Column:
+    """Tokens with empty strings removed (split('') yields [''])."""
+    return F.filter(T.tokens(col), lambda t: t != "")
+
+
+def _raw_bigrams(tok: Column) -> Column:
+    """NON-distinct space-joined bigrams (frequency analysis needs
+    multiplicity, unlike functions.text.shingles which dedups for
+    sketching)."""
+    idx = F.sequence(F.lit(1), F.size(tok) - 1)
+    return F.when(
+        F.size(tok) >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(col: Column) -> Column:
+    """struct(n_tokens, distinct_token_frac, top_bigram_frac) — pure
+    per-row expressions, shuffle-free.
+
+    top_bigram_frac (share of the most frequent bigram) is computed
+    scan-locally: sort the bigram array and fold it with `aggregate`,
+    tracking the longest run of equal adjacent elements — no
+    explode/groupBy shuffle of a corpus-sized posting table. The oracle
+    intentionally USES the relational explode/groupBy/max formulation:
+    two strategies, one result.
+    """
+    tok = _clean_tokens(col)
+    n = F.size(tok)
+    distinct_frac = F.when(n > 0, F.size(F.array_distinct(tok)).cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+    sorted_bg = F.sort_array(_raw_bigrams(tok))
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    max_bg = F.aggregate(sorted_bg, zero, _step, lambda acc: acc["best"])
+    top_bg_frac = F.when(
+        n > 1, max_bg.cast("double") / (n - 1).cast("double")
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        n.cast("long").alias("n_tokens"),
+        distinct_frac.alias("distinct_token_frac"),
+        top_bg_frac.alias("top_bigram_frac"),
+    )
+
+
+# PII patterns kept inside the RE2 ∩ java.util.regex dialect (no
+# backreferences, no lookaround) so the Spark expression and the DuckDB
+# oracle compile the same automaton.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """Per-pattern match counts over the ORIGINAL text (counting after a
+    prior pattern's replacement would undercount overlapping classes)."""
+    return [
+        F.regexp_count(col, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact every PII class, applying patterns in PII_PATTERNS order."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts_sql(expr: str) -> list[str]:
+    return [
+        f"len(regexp_extract_all({expr}, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def scrub_pii_sql(expr: str) -> str:
+    out = expr
+    for _, pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out

@@ -64,6 +64,11 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # fold), so the data-defined-window variant registers beyond the
     # window with driver_sim + pytest evidence.
     "ev_stream_sessionization",
+    # repetition quality stats + PII scrubbing: per-row expression
+    # pipelines whose shapes (scan projection / regexp chain) have
+    # graded representatives in llm_quality_tokens and llm_lang_id.
+    "llm_repetition_stats",
+    "llm_pii_scrub",
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q12_shipmode_priority",

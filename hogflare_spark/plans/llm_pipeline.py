@@ -664,6 +664,127 @@ def _register_stratified_oracle() -> None:
 _register_stratified_oracle()
 
 
+_REP_TOK = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+
+@query(
+    "llm_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id AS id, {_REP_TOK} AS tok FROM documents),
+    b AS (
+      SELECT id, len(tok) AS n_tokens, len(list_distinct(tok)) AS n_distinct,
+             CASE WHEN len(tok) >= 2 THEN list_transform(
+               generate_series(1, len(tok) - 1),
+               i -> array_to_string(list_slice(tok, i, i + 1), ' '))
+             ELSE [] END AS bigrams
+      FROM t
+    ),
+    e AS (SELECT id, unnest(bigrams) AS bg FROM b),
+    m AS (SELECT id, max(c) AS max_bg FROM
+            (SELECT id, bg, count(*) AS c FROM e GROUP BY id, bg)
+          GROUP BY id)
+    SELECT b.id, b.n_tokens::BIGINT AS n_tokens,
+           round(CASE WHEN b.n_tokens > 0
+                 THEN b.n_distinct::DOUBLE / b.n_tokens ELSE 0.0 END, 6)
+             AS distinct_token_frac,
+           round(CASE WHEN b.n_tokens > 1
+                 THEN coalesce(m.max_bg, 0)::DOUBLE / (b.n_tokens - 1)
+                 ELSE 0.0 END, 6) AS top_bigram_frac
+    FROM b LEFT JOIN m ON b.id = m.id
+    ORDER BY b.id
+    """,
+)
+def llm_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality stats (operators/text_analysis.
+    repetition_stats). Spark computes the top-bigram share scan-locally
+    by folding the sorted bigram array (no shuffle); the oracle uses the
+    relational unnest/groupBy/max plan — two strategies, one result."""
+    from hogflare_spark.operators.text_analysis import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = repetition_stats(F.col("text"))
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        st["n_tokens"].alias("n_tokens"),
+        F.round(st["distinct_token_frac"], 6).alias("distinct_token_frac"),
+        F.round(st["top_bigram_frac"], 6).alias("top_bigram_frac"),
+    ).orderBy("id")
+
+
+# The synthetic corpus carries no PII, so the gate PLANTS deterministic
+# address/ip/phone strings for a slice of docs (same pattern as the
+# multimodal gates, which fabricate media payloads from text) — the
+# redaction expressions then face real positives in both engines.
+_PII_AUG_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' reach user' || "
+    "CAST(doc_id AS VARCHAR) || '@mail.example or 10.' || "
+    "CAST(doc_id % 200 AS VARCHAR) || '.0.1' "
+    "WHEN doc_id % 7 = 3 THEN 'call 555-010-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text "
+    "ELSE text END"
+)
+
+
+def _pii_aug_col():
+    return (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example or 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0.1"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(
+                F.lit("call 555-010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+
+
+def _register_pii_oracle() -> None:
+    from hogflare_spark.operators.text_analysis import (
+        pii_counts_sql,
+        scrub_pii_sql,
+    )
+    from hogflare_spark.plans import ORACLES
+
+    counts = ", ".join(pii_counts_sql("aug"))
+    ORACLES["llm_pii_scrub"] = f"""
+    WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
+    SELECT doc_id, {counts}, md5({scrub_pii_sql('aug')}) AS checksum
+    FROM a ORDER BY doc_id
+    """
+
+
+@query("llm_pii_scrub", oracle=None)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text_analysis.scrub_pii): per-class match
+    counts over the original text + an md5 checksum of the scrubbed text,
+    proving byte-identical redaction in both regex dialects."""
+    from hogflare_spark.operators.text_analysis import pii_counts, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _pii_aug_col().alias("aug"))
+    return aug.select(
+        "doc_id",
+        *pii_counts(F.col("aug")),
+        F.md5(scrub_pii(F.col("aug"))).alias("checksum"),
+    ).orderBy("doc_id")
+
+
+_register_pii_oracle()
+
+
 BENCH_EXTRA.update(
     {"llm_minhash_near_dups", "llm_ann_topk", "llm_exact_dedup", "llm_quality_tokens"}
 )

@@ -577,3 +577,62 @@ def test_stratified_sample_small_stratum_kept_whole(spark):
         [Row(doc_id=i, lang="rare") for i in range(3)]
     )
     assert stratified_sample(df, "doc_id", "lang", 10).count() == 3
+
+
+# ---------------------------------------------- repetition / PII scrubbing
+
+
+def test_repetition_stats_values(spark):
+    from hogflare_spark.operators.text_analysis import repetition_stats
+
+    df = _docs(
+        spark,
+        [
+            "a a a a",            # 4 tokens, 1 distinct, bigram 'a a' x3
+            "w x y z",            # no repetition
+            "",                   # empty
+            "solo",               # single token: no bigrams
+            "go go stop go go",   # top bigram 'go go' 2 of 4
+        ],
+    )
+    st = repetition_stats(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            st["n_tokens"].alias("n"),
+            st["distinct_token_frac"].alias("d"),
+            st["top_bigram_frac"].alias("t"),
+        ).collect()
+    }
+    assert out[0]["n"] == 4 and out[0]["d"] == 0.25 and out[0]["t"] == 1.0
+    assert out[1]["d"] == 1.0 and out[1]["t"] == pytest.approx(1 / 3)
+    assert out[2]["n"] == 0 and out[2]["d"] == 0.0 and out[2]["t"] == 0.0
+    assert out[3]["n"] == 1 and out[3]["t"] == 0.0
+    assert out[4]["t"] == pytest.approx(2 / 4)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from hogflare_spark.operators.text_analysis import pii_counts, scrub_pii
+
+    df = _docs(
+        spark,
+        [
+            "mail a.b+c@x-corp.io or boss@sub.domain.org today",
+            "server at 192.168.001.42 then call 555-123-4567 ok",
+            "nothing sensitive here",
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *pii_counts(F.col("text")),
+            scrub_pii(F.col("text")).alias("clean"),
+        ).collect()
+    }
+    assert out[0]["n_email"] == 2 and out[0]["clean"] == "mail <EMAIL> or <EMAIL> today"
+    assert out[1]["n_ipv4"] == 1 and out[1]["n_phone"] == 1
+    assert out[1]["clean"] == "server at <IP> then call <PHONE> ok"
+    assert out[2]["clean"] == "nothing sensitive here"
+    assert all(out[2][f"n_{k}"] == 0 for k in ("email", "ipv4", "phone"))
