@@ -64,6 +64,7 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # fold), so the data-defined-window variant registers beyond the
     # window with driver_sim + pytest evidence.
     "ev_stream_sessionization",
+    "ev_stream_exact_dedup",
     # repetition quality stats + PII scrubbing: per-row expression
     # pipelines whose shapes (scan projection / regexp chain) have
     # graded representatives in llm_quality_tokens and llm_lang_id.

@@ -375,6 +375,77 @@ def ev_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_stream_exact_dedup",
+    oracle="""
+    SELECT event_id, user_id FROM events ORDER BY event_id
+    """,
+)
+def ev_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup gate: replay the events table as three
+    ascending micro-batches, writing EVERY chunk TWICE into the landing
+    dir (simulated at-least-once re-delivery), and run the doubled
+    stream through `streaming_exact_dedup` keyed by event_id. The
+    emitted set must be exactly one row per original event — the SQL
+    oracle is simply the events table itself, which is the whole point:
+    a duplicated delivery layer must be invisible to the sink."""
+    import shutil
+    import tempfile
+
+    from hogflare_spark.streaming.ingest_stream import streaming_exact_dedup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").alias("created_at"), "user_id"
+    )
+    evs = ev.withColumn("created_at_s", F.col("created_at").cast("long"))
+    lo, hi = evs.approxQuantile("created_at_s", [1.0 / 3, 2.0 / 3], 0.001)
+    chunks = [
+        evs.where(F.col("created_at_s") <= F.lit(int(lo))),
+        evs.where(
+            (F.col("created_at_s") > F.lit(int(lo)))
+            & (F.col("created_at_s") <= F.lit(int(hi)))
+        ),
+        evs.where(F.col("created_at_s") > F.lit(int(hi))),
+    ]
+
+    work = tempfile.mkdtemp(prefix="ev_stream_dedup_")
+    landing = os.path.join(work, "landing")
+    ckpt = os.path.join(work, "ckpt")
+    out_dir = os.path.join(work, "out")
+    try:
+        for chunk in chunks:
+            # one file per delivery: each availableNow drain then sees the
+            # chunk + its re-delivery as a single deterministic batch
+            payload = chunk.select("event_id", "created_at", "user_id").coalesce(1)
+            # two appends = the same rows delivered twice
+            payload.write.mode("append").parquet(landing)
+            payload.write.mode("append").parquet(landing)
+            stream = (
+                spark.readStream.schema(
+                    "event_id bigint, created_at timestamp, user_id bigint"
+                ).parquet(landing)
+            )
+            q = (
+                streaming_exact_dedup(stream, ["event_id"])
+                .select("event_id", "user_id")
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        emitted = (
+            spark.read.schema("event_id bigint, user_id bigint")
+            .parquet(out_dir)
+            .orderBy("event_id")
+        )
+        return emitted.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "hf_group_fold_state",
     oracle="""
     SELECT event_type AS group_key,

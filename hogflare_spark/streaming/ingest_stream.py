@@ -614,6 +614,28 @@ def streaming_sessions(
     )
 
 
+def streaming_exact_dedup(
+    events: DataFrame,
+    id_cols: list[str],
+    watermark: str = "1 hour",
+    time_col: str = "created_at",
+) -> DataFrame:
+    """At-least-once → effectively-once: drop re-deliveries of the same
+    key arriving within the watermark horizon.
+
+    `dropDuplicatesWithinWatermark` keeps the FIRST arrival per key and
+    evicts key state once the watermark passes its event time — bounded
+    state where a plain `dropDuplicates` on a stream would grow forever.
+    This is the streaming twin of operators/dedup.exact_dedup and the
+    idempotency layer an at-least-once delivery pipeline (the
+    reference's R2 batching, pipeline.rs:57-143) needs in front of the
+    lake append.
+    """
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 minute",
