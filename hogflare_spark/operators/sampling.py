@@ -109,3 +109,107 @@ def stratified_sample_sql(
         f"ORDER BY {hash_expr}, {id_expr}) AS _rk FROM {table}"
         f") WHERE _rk <= {n_per_stratum}"
     )
+
+
+def _distributed_prefix_sum(
+    df: DataFrame, value_col: str, order_cols: list[str]
+) -> DataFrame:
+    """Adds `cumsum` = running total of `value_col` over the global
+    `order_cols` order WITHOUT a single-reducer window.
+
+    The generalization of person_state._two_phase_rank from counts to
+    sums: (1) range-partition + sort on the order key, so partition i
+    holds keys strictly below partition i+1; (2) partition-local running
+    sums via a window partitioned by the physical partition id (no
+    cross-partition exchange — the range shuffle already placed the
+    rows); (3) add the total of all lower partitions, a running sum over
+    one row per partition (bounded by cluster width). A bare
+    `Window.orderBy(...)` cumsum funnels every row through one reducer —
+    fine at test scale, fatal for a 100 TB corpus.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    local = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = local.withColumn("_local_cum", F.sum(value_col).over(w))
+    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_ptotal"))
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_ptotal").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("cumsum", (F.col("_local_cum") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_local_cum", "_offset")
+    )
+
+
+PACK_SALT = "pack:"
+
+
+def pack_sequences(
+    df: DataFrame, id_col: str, token_count_col: str, target_tokens: int
+) -> DataFrame:
+    """Greedy sequence packing for pretraining batches: documents are
+    laid out in a deterministic hash order and cut into consecutive
+    ~target_tokens bins; each document is assigned to the bin where it
+    starts. Returns (id, n_tokens, bin_id, bin_offset).
+
+    The hash order is a deterministic uniform shuffle (so bins mix
+    sources/lengths without a true random pass), and bin assignment is a
+    pure function of the running token total — integer arithmetic only,
+    so the layout is identical across engines and cluster widths. The
+    prefix sum is the distributed two-phase scheme above, not a global
+    single-reducer window.
+    """
+    key = h60(F.concat(F.lit(PACK_SALT), F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(token_count_col).cast("long").alias("n_tokens"),
+        key.alias("_pk"),
+    )
+    summed = _distributed_prefix_sum(base, "n_tokens", ["_pk", "id"])
+    start = F.col("cumsum") - F.col("n_tokens")
+    return summed.select(
+        "id",
+        "n_tokens",
+        F.floor(start / F.lit(target_tokens)).cast("long").alias("bin_id"),
+        (start % F.lit(target_tokens)).cast("long").alias("bin_offset"),
+    )
+
+
+def pack_sequences_sql(
+    table: str, id_expr: str, token_count_expr: str, target_tokens: int
+) -> str:
+    """DuckDB mirror: one global window cumsum over the same hash order."""
+    from hogflare_spark.functions.hashing import h60_sql
+
+    key = h60_sql(f"'{PACK_SALT}' || CAST({id_expr} AS VARCHAR)")
+    return f"""
+    WITH b AS (
+      SELECT {id_expr} AS id, CAST({token_count_expr} AS BIGINT) AS n_tokens,
+             {key} AS pk
+      FROM {table}
+    ), c AS (
+      SELECT id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY pk, id
+                                 ROWS UNBOUNDED PRECEDING) AS cumsum
+      FROM b
+    )
+    SELECT id, n_tokens,
+           CAST(floor((cumsum - n_tokens) / {target_tokens}.0) AS BIGINT) AS bin_id,
+           CAST((cumsum - n_tokens) % {target_tokens} AS BIGINT) AS bin_offset
+    FROM c
+    """

@@ -70,6 +70,11 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # graded representatives in llm_quality_tokens and llm_lang_id.
     "llm_repetition_stats",
     "llm_pii_scrub",
+    # sequence packing (two-phase distributed prefix sum vs one global
+    # window oracle) and the capstone corpus-filter composition — both
+    # built entirely from fragments with graded representatives.
+    "llm_pack_sequences",
+    "llm_corpus_filter",
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q12_shipmode_priority",

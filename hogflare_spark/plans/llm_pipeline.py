@@ -785,6 +785,170 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_pii_oracle()
 
 
+PACK_TARGET_TOKENS = 512
+
+
+@query("llm_pack_sequences", oracle=None)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/sampling.pack_sequences): documents
+    laid out in deterministic hash order and cut into ~512-token bins.
+    Spark computes the running token total with the distributed
+    two-phase prefix sum; the oracle uses one global window cumsum —
+    two execution strategies, the identical layout."""
+    from hogflare_spark.operators.sampling import pack_sequences
+    from hogflare_spark.operators.text_analysis import ws_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", ws_token_count(F.col("text")).alias("n_tok"))
+    return pack_sequences(base, "doc_id", "n_tok", PACK_TARGET_TOKENS).orderBy("id")
+
+
+def _register_pack_oracle() -> None:
+    from hogflare_spark.operators.sampling import pack_sequences_sql
+    from hogflare_spark.operators.text_analysis import ws_token_count_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = pack_sequences_sql(
+        "documents", "doc_id", ws_token_count_sql("text"), PACK_TARGET_TOKENS
+    )
+    ORACLES["llm_pack_sequences"] = f"SELECT * FROM ({inner}) ORDER BY id"
+
+
+_register_pack_oracle()
+
+
+# Capstone: the end-to-end corpus filter decision, composing the
+# pipeline's own operators — canonical-after-dedup, quality floor,
+# repetition ceiling, token-count band — plus the split assignment.
+# Every fragment in the oracle is the same builder the standalone gates
+# use, so this gates the COMPOSITION, not new arithmetic.
+_FILTER_MIN_QUALITY = 0.3
+_FILTER_MIN_TOKENS = 10
+_FILTER_MAX_TOKENS = 2000
+_FILTER_MAX_TOP_BIGRAM = 0.2
+
+
+@query("llm_corpus_filter", oracle=None)
+def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hogflare_spark.operators.dedup import dedup_clusters
+    from hogflare_spark.operators.sampling import hash_split
+    from hogflare_spark.operators.text_analysis import (
+        quality_score,
+        repetition_stats,
+        ws_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(docs, "text", "doc_id", MINHASH_THRESHOLD).select(
+        F.col("id").alias("doc_id"), "is_canonical"
+    )
+    st = repetition_stats(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        ws_token_count(F.col("text")).cast("long").alias("n_tokens"),
+        quality_score(F.col("text")).alias("q"),
+        st["top_bigram_frac"].alias("bg"),
+    )
+    flags = (
+        scored.join(clusters, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (~F.col("is_canonical")).alias("drop_dup"),
+            (F.col("q") < _FILTER_MIN_QUALITY).alias("drop_quality"),
+            (F.col("bg") > _FILTER_MAX_TOP_BIGRAM).alias("drop_repetition"),
+            (
+                (F.col("n_tokens") < _FILTER_MIN_TOKENS)
+                | (F.col("n_tokens") > _FILTER_MAX_TOKENS)
+            ).alias("drop_length"),
+        )
+    )
+    flags = flags.withColumn(
+        "keep",
+        ~(
+            F.col("drop_dup")
+            | F.col("drop_quality")
+            | F.col("drop_repetition")
+            | F.col("drop_length")
+        ),
+    )
+    return (
+        hash_split(flags, "doc_id")
+        .select(
+            "doc_id", "n_tokens", "drop_dup", "drop_quality",
+            "drop_repetition", "drop_length", "keep", "split",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _register_corpus_filter_oracle() -> None:
+    from hogflare_spark.operators.sampling import hash_split_sql
+    from hogflare_spark.operators.text_analysis import (
+        quality_score_sql,
+        ws_token_count_sql,
+    )
+    from hogflare_spark.plans import ORACLES
+
+    _, split_sql = hash_split_sql("doc_id")
+    ORACLES["llm_corpus_filter"] = f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a
+    ),
+    comp AS (SELECT src AS id, least(src, min(dst)) AS comp
+             FROM reach GROUP BY src),
+    rt AS (SELECT doc_id AS id, {_REP_TOK} AS tok FROM documents),
+    rb AS (
+      SELECT id, len(tok) AS n_tokens,
+             CASE WHEN len(tok) >= 2 THEN list_transform(
+               generate_series(1, len(tok) - 1),
+               i -> array_to_string(list_slice(tok, i, i + 1), ' '))
+             ELSE [] END AS bigrams
+      FROM rt
+    ),
+    re_ AS (SELECT id, unnest(bigrams) AS bg FROM rb),
+    rm AS (SELECT id, max(c) AS max_bg FROM
+             (SELECT id, bg, count(*) AS c FROM re_ GROUP BY id, bg)
+           GROUP BY id),
+    rep AS (
+      SELECT rb.id,
+             CASE WHEN rb.n_tokens > 1
+                  THEN coalesce(rm.max_bg, 0)::DOUBLE / (rb.n_tokens - 1)
+                  ELSE 0.0 END AS top_bg
+      FROM rb LEFT JOIN rm ON rb.id = rm.id
+    ),
+    flags AS (
+      SELECT d.doc_id,
+             CAST({ws_token_count_sql('d.text')} AS BIGINT) AS n_tokens,
+             NOT (d.doc_id = coalesce(c.comp, d.doc_id)) AS drop_dup,
+             ({quality_score_sql('d.text')}) < {_FILTER_MIN_QUALITY}
+               AS drop_quality,
+             rep.top_bg > {_FILTER_MAX_TOP_BIGRAM} AS drop_repetition,
+             (CAST({ws_token_count_sql('d.text')} AS BIGINT)
+                < {_FILTER_MIN_TOKENS}
+              OR CAST({ws_token_count_sql('d.text')} AS BIGINT)
+                > {_FILTER_MAX_TOKENS}) AS drop_length
+      FROM documents d
+      LEFT JOIN comp c ON d.doc_id = c.id
+      JOIN rep ON rep.id = d.doc_id
+    )
+    SELECT doc_id, n_tokens, drop_dup, drop_quality, drop_repetition,
+           drop_length,
+           NOT (drop_dup OR drop_quality OR drop_repetition OR drop_length)
+             AS keep,
+           {split_sql} AS split
+    FROM flags ORDER BY doc_id
+    """
+
+
+_register_corpus_filter_oracle()
+
+
 BENCH_EXTRA.update(
     {"llm_minhash_near_dups", "llm_ann_topk", "llm_exact_dedup", "llm_quality_tokens"}
 )

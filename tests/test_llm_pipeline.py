@@ -636,3 +636,43 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert out[1]["clean"] == "server at <IP> then call <PHONE> ok"
     assert out[2]["clean"] == "nothing sensitive here"
     assert all(out[2][f"n_{k}"] == 0 for k in ("email", "ipv4", "phone"))
+
+
+# -------------------------------------------------------------- packing
+
+
+def test_distributed_prefix_sum_matches_local(spark):
+    from hogflare_spark.operators.sampling import _distributed_prefix_sum
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), ((F.col("id") * 37) % 97 + 1).alias("v")
+    )
+    got = {
+        r["id"]: r["cumsum"]
+        for r in _distributed_prefix_sum(df, "v", ["id"]).collect()
+    }
+    rows = sorted((r["id"], r["v"]) for r in df.collect())
+    acc = 0
+    for i, v in rows:
+        acc += v
+        assert got[i] == acc
+
+
+def test_pack_sequences_layout_invariants(spark):
+    from hogflare_spark.operators.sampling import pack_sequences
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"), ((F.col("id") * 13) % 150 + 1).alias("n_tok")
+    )
+    out = pack_sequences(df, "doc_id", "n_tok", 512).collect()
+    # offsets always inside the bin; bin ids contiguous from 0
+    assert all(0 <= r["bin_offset"] < 512 for r in out)
+    bins = {r["bin_id"] for r in out}
+    assert bins == set(range(max(bins) + 1))
+    # deterministic across invocations
+    again = pack_sequences(df, "doc_id", "n_tok", 512).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # every bin except the last starts at the target boundary: the doc
+    # that begins bin b has start cumsum in [b*512, b*512 + its offset]
+    total = sum(r["n_tokens"] for r in out)
+    assert max(bins) == (total - 1) // 512 or max(bins) == (total - 1) // 512 - 1
