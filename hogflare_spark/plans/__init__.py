@@ -75,6 +75,12 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # built entirely from fragments with graded representatives.
     "llm_pack_sequences",
     "llm_corpus_filter",
+    # PostHog-staple analytics shapes (paths / lifecycle / stickiness):
+    # window + aggregate plans whose families are graded via
+    # ev_sessionization / ev_weekly_retention / q_window gates.
+    "ev_top_paths",
+    "ev_lifecycle",
+    "ev_stickiness",
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q12_shipmode_priority",

@@ -211,3 +211,138 @@ def ev_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: the remaining PostHog-staple analytics shapes — paths,
+# lifecycle, stickiness. All single-shuffle window/aggregate plans
+# partitioned by user, like sessionization above.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ev_top_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type AS from_event,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_event
+      FROM events
+    )
+    SELECT from_event, to_event, count(*) AS n_transitions
+    FROM s WHERE to_event IS NOT NULL
+    GROUP BY from_event, to_event
+    ORDER BY n_transitions DESC, from_event, to_event
+    """,
+)
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: counts of consecutive event-type transitions per
+    user (the PostHog "paths" insight). One shuffle on user_id for the
+    lead window, one tiny shuffle on the (from, to) pair — the
+    transition matrix is |event types|², never event-sized."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("to_event", F.lead("event_type").over(w))
+        .where(F.col("to_event").isNotNull())
+        .groupBy(F.col("event_type").alias("from_event"), "to_event")
+        .agg(F.count("*").alias("n_transitions"))
+        .orderBy(F.desc("n_transitions"), "from_event", "to_event")
+    )
+
+
+@query(
+    "ev_lifecycle",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      FROM d
+    ),
+    statuses AS (
+      SELECT day,
+             CASE WHEN prev_day IS NULL THEN 'new'
+                  WHEN day - prev_day = 1 THEN 'returning'
+                  ELSE 'resurrecting' END AS status
+      FROM lagged
+      UNION ALL
+      SELECT day + 1 AS day, 'dormant' AS status
+      FROM lagged
+      WHERE (next_day IS NULL OR next_day - day > 1)
+        AND day + 1 <= (SELECT max(day) FROM d)
+    )
+    SELECT day, status, count(*) AS n_users
+    FROM statuses GROUP BY day, status
+    ORDER BY day, status
+    """,
+)
+def ev_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle insight: per day, users split into new / returning /
+    resurrecting (by the gap to their previous active day) plus a
+    dormant row on the day after an activity streak ends. Distinct
+    (user, day) first — the windows then run over ~#users×#days rows,
+    not the raw event stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    d = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = d.withColumn("prev_day", F.lag("day").over(w)).withColumn(
+        "next_day", F.lead("day").over(w)
+    )
+    statuses = lagged.select(
+        "day",
+        F.when(F.col("prev_day").isNull(), F.lit("new"))
+        .when(F.datediff("day", "prev_day") == 1, F.lit("returning"))
+        .otherwise(F.lit("resurrecting"))
+        .alias("status"),
+    )
+    max_day = d.agg(F.max("day").alias("mx"))
+    dormant = (
+        lagged.where(
+            F.col("next_day").isNull() | (F.datediff("next_day", "day") > 1)
+        )
+        .select(F.date_add("day", 1).alias("day"))
+        .join(F.broadcast(max_day))
+        .where(F.col("day") <= F.col("mx"))
+        .select("day", F.lit("dormant").alias("status"))
+    )
+    return (
+        statuses.unionByName(dormant)
+        .groupBy("day", "status")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("day", "status")
+    )
+
+
+@query(
+    "ev_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    per_user AS (SELECT user_id, count(*) AS n_days FROM d GROUP BY user_id)
+    SELECT n_days, count(*) AS n_users
+    FROM per_user GROUP BY n_days ORDER BY n_days
+    """,
+)
+def ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness insight: the distribution of active-day counts per
+    user — two cheap aggregations over the distinct (user, day) frame."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    per_user = ev.distinct().groupBy("user_id").agg(F.count("*").alias("n_days"))
+    return (
+        per_user.groupBy("n_days")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("n_days")
+    )
