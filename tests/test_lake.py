@@ -191,3 +191,38 @@ def test_compaction_rewrites_small_files(spark, tmp_path):
     # stable after compaction: no more candidates
     assert compaction_candidates(events_dir, min_small_files=2) != [pdir] or True
     assert read_events(spark, events_dir).where(F.col("distinct_id") == "d3").count() == 1
+
+
+def test_bucketed_join_plans_with_zero_exchanges(spark, tmp_path):
+    """The write-once/join-many layout: events and persons bucketed by
+    the join key produce a join plan with NO Exchange on either side —
+    the shuffle was paid at write time."""
+    from pyspark.sql import functions as F
+
+    from hogflare_spark.sinks.bucketed import cokeyed_join, write_bucketed
+
+    ev = spark.range(0, 20000).select(
+        (F.col("id") % 500).alias("user_id"), F.col("id").alias("x")
+    )
+    pe = spark.range(0, 500).select(
+        F.col("id").alias("user_id"), (F.col("id") * 2).alias("y")
+    )
+    write_bucketed(ev, "ev_bucketed_t", ["user_id"], 8, str(tmp_path / "evb"))
+    write_bucketed(pe, "pe_bucketed_t", ["user_id"], 8, str(tmp_path / "peb"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = cokeyed_join(spark, "ev_bucketed_t", "pe_bucketed_t", ["user_id"])
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # and it computes the right thing
+        assert j.count() == 20000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed_t")
+        spark.sql("DROP TABLE IF EXISTS pe_bucketed_t")
