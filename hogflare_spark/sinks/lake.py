@@ -180,6 +180,7 @@ def upsert_table(
     key_cols: list[str],
     schema=None,
     max_retries: int = 10,
+    allow_schema_evolution: bool = False,
 ) -> int:
     """MERGE-equivalent: rows from `updates` replace current rows with the
     same key; unmatched current rows survive. Returns the new version.
@@ -193,6 +194,12 @@ def upsert_table(
     version is validated under the commit lock; a conflicting commit
     re-reads the new current table and redoes the merge, so interleaved
     upserts serialize and neither one's rows are lost.
+
+    `allow_schema_evolution=True` permits add-column evolution in either
+    direction (Iceberg's by-name ADD COLUMN, CATALOG.md §4): surviving
+    current rows take NULL for columns only the updates carry, and vice
+    versa. Left off by default so an accidental column mismatch fails
+    loudly instead of silently widening the table.
     """
     for _ in range(max_retries):
         base = _latest_version(root)
@@ -202,7 +209,7 @@ def upsert_table(
         else:
             merged = current.join(
                 updates.select(*key_cols).distinct(), key_cols, "left_anti"
-            ).unionByName(updates)
+            ).unionByName(updates, allowMissingColumns=allow_schema_evolution)
         # materialize before overwriting the directory the plan reads from
         merged = merged.localCheckpoint(eager=True)
         try:

@@ -226,3 +226,31 @@ def test_bucketed_join_plans_with_zero_exchanges(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS ev_bucketed_t")
         spark.sql("DROP TABLE IF EXISTS pe_bucketed_t")
+
+
+def test_upsert_table_schema_evolution(spark, tmp_path):
+    """Add-column evolution (Iceberg by-name ADD COLUMN): an upsert whose
+    rows carry a NEW column widens the table, surviving rows reading NULL
+    for it; without the opt-in flag the mismatch fails loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hogflare_spark.sinks.lake import read_table, upsert_table
+
+    root = str(tmp_path / "dim")
+    v0 = spark.range(0, 4).select(F.col("id"), F.lit("a").alias("val"))
+    upsert_table(spark, v0, root, ["id"])
+
+    widened = spark.range(2, 6).select(
+        F.col("id"), F.lit("b").alias("val"), F.lit(9).alias("extra")
+    )
+    # default: loud failure, no partial commit
+    with _pytest.raises(Exception):
+        upsert_table(spark, widened, root, ["id"])
+    assert read_table(spark, root).columns == ["id", "val"]
+
+    upsert_table(spark, widened, root, ["id"], allow_schema_evolution=True)
+    out = {r["id"]: r for r in read_table(spark, root).collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+    assert out[0]["val"] == "a" and out[0]["extra"] is None
+    assert out[5]["val"] == "b" and out[5]["extra"] == 9
