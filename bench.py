@@ -97,6 +97,10 @@ def main() -> None:
                     best = took if best is None else min(best, took)
             except Exception as exc:  # noqa: BLE001 — record and keep going
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                # a query that succeeded cold but failed warm must not
+                # skew the totals: drop it from BOTH sets so value and
+                # value_cold always cover the same queries
+                cold_timings.pop(name, None)
                 break
         if best is not None:
             timings[name] = round(best, 3)

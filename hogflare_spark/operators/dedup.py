@@ -188,6 +188,7 @@ def contamination_flags(
     id_col: str,
     threshold: float = 0.5,
     k: int = SHINGLE_K,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: per-corpus-doc n-gram overlap with an
     evaluation/benchmark corpus → (id, n_shingles, contaminated,
@@ -200,10 +201,13 @@ def contamination_flags(
     matched is not needed to make the drop decision).
 
     Scale shape: the benchmark side is small by definition (eval sets),
-    so its distinct shingle set is broadcast — the corpus is touched by
-    one sketching scan and the postings probe is a broadcast-hash join,
-    no corpus-sized shuffle. At a benchmark too large to broadcast the
-    same plan degrades gracefully to a shuffled join on the shingle key.
+    so its distinct shingle set is broadcast by default — the corpus is
+    touched by one sketching scan and the postings probe is a
+    broadcast-hash join, no corpus-sized shuffle. `broadcast_benchmark`
+    is a HARD hint (it overrides autoBroadcastJoinThreshold, it does not
+    fall back): for a benchmark whose shingle set would not fit in
+    executor memory, pass False to let the planner pick a shuffled join
+    on the shingle key instead.
     """
     corpus_sk = with_shingle_hashes(df, text_col, id_col, k)
     bench_shingles = (
@@ -211,11 +215,13 @@ def contamination_flags(
         .select(F.explode("hs").alias("sh"))
         .distinct()
     )
+    if broadcast_benchmark:
+        bench_shingles = F.broadcast(bench_shingles)
     postings = corpus_sk.select(
         "id", F.size("hs").cast("long").alias("n_shingles"), F.explode("hs").alias("sh")
     )
     hits = (
-        postings.join(F.broadcast(bench_shingles), "sh")
+        postings.join(bench_shingles, "sh")
         .groupBy("id")
         .agg(F.count("*").alias("contaminated"))
     )

@@ -453,12 +453,27 @@ def ivf_write_index(
         F.col(vec_col).alias("embedding"),
         ivf_assign_expr(F.col(vec_col), centroids).alias("cell"),
     )
-    data_dir = _os.path.join(index_dir, "data")
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(data_dir)
+    # Versioned data dir + ONE atomic pointer holding BOTH the centroids
+    # and the data path: a rebuild over an existing index never lets a
+    # reader pair new-layout data with old centroids (probe cells
+    # computed against the wrong quantizer return silently wrong
+    # neighbors) — the same claimed-version/pointer-swing discipline as
+    # sinks/lake.py. Old versions stay until expired manually.
     _os.makedirs(index_dir, exist_ok=True)
+    version = 1
+    while True:
+        data_rel = f"data.v={version}"
+        try:
+            _os.mkdir(_os.path.join(index_dir, data_rel))
+            break
+        except FileExistsError:
+            version += 1
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        _os.path.join(index_dir, data_rel)
+    )
     tmp = _os.path.join(index_dir, "_CENTROIDS.json.tmp")
     with open(tmp, "w") as fh:
-        _json.dump(centroids, fh)
+        _json.dump({"centroids": centroids, "data": data_rel}, fh)
     _os.replace(tmp, _os.path.join(index_dir, "_CENTROIDS.json"))
     return centroids
 
@@ -486,7 +501,11 @@ def ivf_query_index(
     import os as _os
 
     with open(_os.path.join(index_dir, "_CENTROIDS.json")) as fh:
-        centroids = _json.load(fh)
+        pointer = _json.load(fh)
+    if isinstance(pointer, dict):
+        centroids, data_rel = pointer["centroids"], pointer["data"]
+    else:  # pre-versioning layout: a bare centroid list beside data/
+        centroids, data_rel = pointer, "data"
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -498,7 +517,7 @@ def ivf_query_index(
     # scalar, not a data collect
     needed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     data = (
-        spark.read.parquet(_os.path.join(index_dir, "data"))
+        spark.read.parquet(_os.path.join(index_dir, data_rel))
         .where(F.col("cell").isin([int(c) for c in needed]))
         .select(
             F.col("vec_id").alias("neighbor_id"),

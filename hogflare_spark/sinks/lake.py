@@ -127,11 +127,19 @@ def _claim_version(root: str, start: int) -> int:
 
 
 @contextmanager
-def _commit_lock(root: str, timeout: float = 60.0):
+def _commit_lock(root: str, timeout: float = 60.0, stale_after: float = 30.0):
     """Short mutual-exclusion window around the pointer swing only (the
     parquet write happens outside, in the writer's claimed directory).
     O_CREAT|O_EXCL is the POSIX analogue of an object store's conditional
-    PUT (If-None-Match: *) — see CATALOG.md for the R2/S3 mapping."""
+    PUT (If-None-Match: *) — see CATALOG.md for the R2/S3 mapping.
+
+    Stale-lock recovery: the lock is held for milliseconds (one pointer
+    read + one rename), so a lock file older than `stale_after` can only
+    belong to a writer that died between open and unlink (OOM-kill, node
+    loss). Waiters break such locks instead of wedging every future
+    commit to the table; breaking races benignly (a concurrent unlink of
+    the same dead lock is ignored, and the O_EXCL create still admits
+    exactly one winner)."""
     path = os.path.join(root, "_COMMIT.lock")
     deadline = time.monotonic() + timeout
     while True:
@@ -139,6 +147,13 @@ def _commit_lock(root: str, timeout: float = 60.0):
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             break
         except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(path)
+                if age > stale_after:
+                    os.unlink(path)
+                    continue
+            except FileNotFoundError:
+                continue  # holder released (or another waiter broke it)
             if time.monotonic() > deadline:
                 raise TimeoutError(f"commit lock on {root} not released")
             time.sleep(0.02)
@@ -146,7 +161,10 @@ def _commit_lock(root: str, timeout: float = 60.0):
         yield
     finally:
         os.close(fd)
-        os.unlink(path)
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass  # a waiter mistook a long pause for death and broke it
 
 
 def _commit_version(df: DataFrame, root: str, base_version: int | None) -> int:

@@ -167,11 +167,36 @@ class StreamingIngestJob:
         path = os.path.join(self._state_root(table), f"v={version}")
         return spark.read.schema(schema).parquet(path)
 
-    def _write_state(self, df: DataFrame, table: str, version: int) -> None:
+    @staticmethod
+    def _replay_base_of(pointer: dict | None) -> dict | None:
+        """The pointer as stored for crash-replay seeding: one level only
+        (nested replay_base stripped so pointers stay O(1))."""
+        if pointer is None:
+            return None
+        return {k: v for k, v in pointer.items() if k != "replay_base"}
+
+    def _write_state(
+        self,
+        df: DataFrame,
+        table: str,
+        version: int,
+        committed_batch: int | None = None,
+        replay_base: dict | None = None,
+        max_id: int | None = None,
+    ) -> None:
         root = self._state_root(table)
         path = os.path.join(root, f"v={version}")
         df.write.mode("overwrite").parquet(path)
-        self._commit_pointer(table, {"base": int(version), "deltas": [], "max_id": None})
+        self._commit_pointer(
+            table,
+            {
+                "base": int(version),
+                "deltas": [],
+                "max_id": max_id,
+                "committed_batch": committed_batch,
+                "replay_base": replay_base,
+            },
+        )
 
     def read_persons(self, spark: SparkSession) -> DataFrame | None:
         """The current persons view: base version ∪ deltas, last writer
@@ -230,12 +255,23 @@ class StreamingIngestJob:
     # ---- the micro-batch body -------------------------------------------
 
     def _batch_pointer(self, table: str, batch_id: int) -> tuple[dict, list[int]]:
-        """The table's pointer with checkpoint-replay normalization: if
-        this batch id already committed a delta, roll the delta list back
-        to the pre-delta view so the replay is a deterministic rewrite
-        (same ids, same versions) exactly like the full lane's
-        v=<batch_id> rewrite."""
+        """The table's pointer with checkpoint-replay normalization, so a
+        batch that committed state but crashed before the STREAM
+        checkpoint recorded it replays as a deterministic rewrite rather
+        than double-applying on top of its own output:
+
+        Every commit (both lanes) records which batch id produced it
+        (`committed_batch` — base VERSION NUMBERS share the batch id
+        space, so matching on the version alone would misfire on seeded
+        warehouses) plus the exact pre-batch pointer (`replay_base`).
+        Spark's checkpoint contract means only the LATEST batch can ever
+        replay, so one level of replay info suffices. The delta-list
+        rollback below remains as the fallback for pointers written
+        before replay_base existed.
+        """
         pointer = self._read_pointer(table) or {"base": None, "deltas": []}
+        if pointer.get("committed_batch") == int(batch_id):
+            pointer = pointer.get("replay_base") or {"base": None, "deltas": []}
         deltas = list(pointer.get("deltas", []))
         if int(batch_id) in deltas:
             deltas = deltas[: deltas.index(int(batch_id))]
@@ -336,9 +372,15 @@ class StreamingIngestJob:
         )
         events = out["events"].withColumn("event_date", F.to_date("created_at"))
         # events first: if we crash between events and state, the stream
-        # checkpoint replays this batch id and the rewrite of both is
-        # idempotent (deterministic uuids/seq keys)
-        events.write.mode("append").partitionBy("event_date").parquet(self.events_dir)
+        # checkpoint replays this batch id — the batch-scoped OVERWRITE
+        # makes the replay a true rewrite (an append here would duplicate
+        # the batch's rows on every replay; deterministic uuids make the
+        # rewrite byte-identical). `batch` becomes a partition column of
+        # the warehouse events table, which is also the natural compaction
+        # unit.
+        events.write.mode("overwrite").partitionBy("event_date").parquet(
+            os.path.join(self.events_dir, f"batch={int(batch_id)}")
+        )
         # state folds must materialize BEFORE the new version overwrites
         # the directory the fold is lazily reading from
         new_persons = out["persons"].localCheckpoint(eager=True)
@@ -351,10 +393,21 @@ class StreamingIngestJob:
             )
             self._commit_pointer(
                 "groups",
-                {"base": g_pointer["base"], "deltas": g_deltas + [int(batch_id)]},
+                {
+                    "base": g_pointer["base"],
+                    "deltas": g_deltas + [int(batch_id)],
+                    "committed_batch": int(batch_id),
+                    "replay_base": self._replay_base_of(g_pointer),
+                },
             )
         else:
-            self._write_state(new_groups, "groups", int(batch_id))
+            self._write_state(
+                new_groups,
+                "groups",
+                int(batch_id),
+                committed_batch=int(batch_id),
+                replay_base=self._replay_base_of(g_pointer),
+            )
         row = new_persons.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m")).collect()[0]
         batch_max = int(row["m"] or 0)
         persons_root = self._state_root("persons")
@@ -369,6 +422,8 @@ class StreamingIngestJob:
                     "base": p_pointer["base"],
                     "deltas": p_deltas + [int(batch_id)],
                     "max_id": max(int(p_pointer["max_id"]), batch_max),
+                    "committed_batch": int(batch_id),
+                    "replay_base": self._replay_base_of(p_pointer),
                 },
             )
         else:
@@ -377,7 +432,13 @@ class StreamingIngestJob:
             )
             self._commit_pointer(
                 "persons",
-                {"base": int(batch_id), "deltas": [], "max_id": batch_max},
+                {
+                    "base": int(batch_id),
+                    "deltas": [],
+                    "max_id": batch_max,
+                    "committed_batch": int(batch_id),
+                    "replay_base": self._replay_base_of(p_pointer),
+                },
             )
         commands.unpersist()
 
@@ -440,20 +501,30 @@ def _load_person_seed_map(persons_dir: str) -> dict:
     """
     import pyarrow.parquet as pq
 
-    cache = _load_person_seed_map.__dict__.setdefault("_cache", {})
-    if persons_dir in cache:
-        return cache[persons_dir]
+    # The cache key includes the POINTER CONTENTS, not just the path: a
+    # long-lived Python worker that served an earlier stream must not
+    # seed a new stream from the table as it stood back then (the batch
+    # job may have committed versions in between). Re-reading the tiny
+    # pointer file per group call is microseconds; only the parquet load
+    # is cached. One entry per dir — superseded snapshots are dropped.
     base = None
     state_path = os.path.join(persons_dir, "_STATE")
     legacy = os.path.join(persons_dir, "_LATEST")
     deltas: list[int] = []
+    pointer_text = ""
     if os.path.exists(state_path):
         with open(state_path) as fh:
-            pointer = json.load(fh)
+            pointer_text = fh.read()
+        pointer = json.loads(pointer_text)
         base, deltas = pointer.get("base"), list(pointer.get("deltas", []))
     elif os.path.exists(legacy):
         with open(legacy) as fh:
-            base = int(fh.read().strip())
+            pointer_text = fh.read()
+        base = int(pointer_text.strip())
+    cache = _load_person_seed_map.__dict__.setdefault("_cache", {})
+    cached = cache.get(persons_dir)
+    if cached is not None and cached[0] == pointer_text:
+        return cached[1]
     index: dict = {}
     if base is not None:
         paths = [os.path.join(persons_dir, f"v={base}")]
@@ -480,7 +551,7 @@ def _load_person_seed_map(persons_dir: str) -> dict:
             )
             for did in rec["distinct_ids"] or []:
                 index[did] = entry
-    cache[persons_dir] = index
+    cache[persons_dir] = (pointer_text, index)
     return index
 
 
@@ -502,9 +573,10 @@ def stateful_person_snapshots(
     records reachable through an absorbed distinct_id — so the
     low-latency lane continues version counters and property bags from
     the authoritative table instead of restarting at zero. The seed map
-    is loaded once per executor (worker cache): it is a snapshot of the
-    table at stream start, which is exactly the eventual-consistency
-    contract of this lane — the state store, once a key is live, always
+    is cached per (dir, pointer-contents) on each worker: reused workers
+    re-read the tiny pointer file and reload only when the table has
+    advanced, so a NEW stream always seeds from the current snapshot —
+    and within a stream the state store, once a key is live, always
     wins over the seed.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -614,3 +614,67 @@ def test_streaming_sessions_gap_boundary_and_merge(spark, tmp_path):
     # u3: a microsecond past the gap opened a second session
     assert sessions[(3, "2025-01-01 00:00:00")] == 1
     assert sum(1 for (u, _) in sessions if u == 3) == 2
+
+
+def _raw_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(request_seq=r["request_seq"], endpoint=r["endpoint"], body=r["body"])
+         for r in rows]
+    )
+
+
+def test_batch_replay_is_idempotent_both_lanes(spark, tmp_path):
+    """A foreachBatch body can re-run with the same batch id after a
+    crash between the state commit and the stream checkpoint. Replays
+    must be REWRITES, not re-applications: person/group version counters
+    must not double, ids must not advance, and warehouse events must not
+    duplicate — for the full lane AND the hybrid delta lane."""
+    from hogflare_spark.streaming.ingest_stream import StreamingIngestJob
+
+    def snap(job):
+        persons = {
+            r["canonical_id"]: (r["version"], r["id"], dict(r["properties"] or {}))
+            for r in job.read_persons(spark).collect()
+        }
+        groups = {
+            (r["group_type"], r["group_key"]): r["version"]
+            for r in (job.read_groups(spark) or spark.createDataFrame([], "group_type string, group_key string, version long")).collect()
+        }
+        ev_dir = job.events_dir
+        n_events = (
+            spark.read.parquet(ev_dir).count() if os.path.isdir(ev_dir) else 0
+        )
+        return persons, groups, n_events
+
+    # ---- full lane (non-hybrid job) -----------------------------------
+    job = StreamingIngestJob(str(tmp_path / "wh_full"))
+    job.process_batch(_raw_df(spark, BATCH1), 0)
+    job.process_batch(_raw_df(spark, BATCH2), 1)
+    want = snap(job)
+    job.process_batch(_raw_df(spark, BATCH2), 1)  # checkpoint replay
+    assert snap(job) == want
+    # and a replay of a replay
+    job.process_batch(_raw_df(spark, BATCH2), 1)
+    assert snap(job) == want
+
+    # ---- hybrid job: batch 1 (alias) takes the full lane, batch 2
+    # (alias-free) the delta lane; replay each ----------------------------
+    hj = StreamingIngestJob(str(tmp_path / "wh_hybrid"), hybrid=True)
+    hj.process_batch(_raw_df(spark, BATCH1), 0)
+    hj.process_batch(_raw_df(spark, BATCH2), 1)  # alias -> full lane
+    delta_batch = [
+        _capture(6, "user-1", {"$set": {"plan": "max"}}),
+        _capture(7, "anon-2", {"$set": {"color": "blue"}}),
+    ]
+    hj.process_batch(_raw_df(spark, delta_batch), 2)  # delta lane
+    want_h = snap(hj)
+    hj.process_batch(_raw_df(spark, delta_batch), 2)  # replay delta
+    assert snap(hj) == want_h
+    hj.process_batch(_raw_df(spark, delta_batch), 2)  # replay of a replay
+    assert snap(hj) == want_h
+    # a later batch after the replays converges normally
+    hj.process_batch(_raw_df(spark, [_capture(8, "user-1", {"$set": {"z": 1}})]), 3)
+    final = snap(hj)
+    assert final[0]["user-1"][0] == want_h[0]["user-1"][0] + 1  # one more version
+    hj.process_batch(_raw_df(spark, [_capture(8, "user-1", {"$set": {"z": 1}})]), 3)
+    assert snap(hj) == final  # and batch 3's replay is a rewrite too
