@@ -478,6 +478,31 @@ def ivf_write_index(
     return centroids
 
 
+def ivf_expire_index_versions(index_dir: str, keep_last: int = 1) -> list[str]:
+    """Drop superseded `data.v=N` directories (never the one the pointer
+    references): the index-side twin of lake.expire_versions. Returns the
+    removed relative paths."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    pointer_path = _os.path.join(index_dir, "_CENTROIDS.json")
+    current = None
+    if _os.path.exists(pointer_path):
+        with open(pointer_path) as fh:
+            pointer = _json.load(fh)
+        current = pointer.get("data") if isinstance(pointer, dict) else "data"
+    versions = sorted(
+        (d for d in _os.listdir(index_dir)
+         if d.startswith("data.v=") and _os.path.isdir(_os.path.join(index_dir, d))),
+        key=lambda d: int(d.split("=", 1)[1]),
+    )
+    to_drop = [d for d in versions[:-keep_last] if d != current]
+    for d in to_drop:
+        _shutil.rmtree(_os.path.join(index_dir, d))
+    return to_drop
+
+
 def ivf_query_index(
     spark,
     index_dir: str,

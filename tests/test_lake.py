@@ -254,3 +254,26 @@ def test_upsert_table_schema_evolution(spark, tmp_path):
     assert set(out) == {0, 1, 2, 3, 4, 5}
     assert out[0]["val"] == "a" and out[0]["extra"] is None
     assert out[5]["val"] == "b" and out[5]["extra"] == 9
+
+
+def test_commit_lock_breaks_stale_holder(spark, tmp_path):
+    """A writer that died holding _COMMIT.lock must not wedge the table:
+    waiters treat a lock older than stale_after as abandoned."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from hogflare_spark.sinks.lake import read_table, upsert_table
+
+    root = str(tmp_path / "dim")
+    upsert_table(spark, spark.range(0, 3).select(F.col("id")), root, ["id"])
+    # simulate a dead writer: stale lock file from 10 minutes ago
+    lock = _os.path.join(root, "_COMMIT.lock")
+    with open(lock, "w"):
+        pass
+    old = _time.time() - 600
+    _os.utime(lock, (old, old))
+    upsert_table(spark, spark.range(3, 5).select(F.col("id")), root, ["id"])
+    assert read_table(spark, root).count() == 5
+    assert not _os.path.exists(lock)

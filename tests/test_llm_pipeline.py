@@ -676,3 +676,34 @@ def test_pack_sequences_layout_invariants(spark):
     # that begins bin b has start cumsum in [b*512, b*512 + its offset]
     total = sum(r["n_tokens"] for r in out)
     assert max(bins) == (total - 1) // 512 or max(bins) == (total - 1) // 512 - 1
+
+
+def test_ivf_index_rebuild_is_atomic_and_expirable(spark, tmp_path):
+    """Rebuilding an index writes a NEW versioned data dir and swings one
+    pointer for (centroids, data); expiration drops superseded versions
+    but never the referenced one."""
+    import os
+
+    from hogflare_spark.operators.similarity import (
+        ivf_expire_index_versions,
+        ivf_query_index,
+        ivf_write_index,
+    )
+
+    corpus = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 17).cast("float") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    ivf_write_index(corpus, str(tmp_path / "idx"), n_centroids=4)
+    ivf_write_index(corpus, str(tmp_path / "idx"), n_centroids=4)  # rebuild
+    dirs = sorted(d for d in os.listdir(tmp_path / "idx") if d.startswith("data.v="))
+    assert dirs == ["data.v=1", "data.v=2"]
+    queries = corpus.where(F.col("vec_id") < 3)
+    got = ivf_query_index(spark, str(tmp_path / "idx"), queries, k=2, n_probe=4)
+    assert got.count() == 6  # 3 queries x k=2
+    dropped = ivf_expire_index_versions(str(tmp_path / "idx"))
+    assert dropped == ["data.v=1"]
+    # the live version still serves queries
+    assert ivf_query_index(spark, str(tmp_path / "idx"), queries, k=2, n_probe=4).count() == 6
