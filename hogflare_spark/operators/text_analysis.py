@@ -101,9 +101,13 @@ def quality_score(col: Column) -> Column:
         F.aggregate(tok, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double") / n,
     ).otherwise(F.lit(0.0))
     word_norm = F.least(F.lit(1.0), mean_len / 8.0)
-    return F.round(
-        0.3 * length_norm + 0.3 * diversity + 0.2 * stop + 0.2 * word_norm, 6
-    )
+    score = 0.3 * length_norm + 0.3 * diversity + 0.2 * stop + 0.2 * word_norm
+    # portable 6-decimal rounding: engine round() implementations disagree
+    # on exact .5e-6 midpoints (observed at sf0.1: the same double rounded
+    # to 0.432462 by Spark and 0.432463 by DuckDB), while floor(x*1e6+0.5)
+    # is pure IEEE arithmetic — identical everywhere for identical x.
+    # Valid for x >= 0, which quality is by construction.
+    return F.floor(score * 1e6 + 0.5) / F.lit(1e6)
 
 
 def quality_score_sql(expr: str) -> str:
@@ -119,10 +123,12 @@ def quality_score_sql(expr: str) -> str:
         f"list_sum(list_transform({tok}, t -> length(t)))::DOUBLE / len({tok}) ELSE 0.0 END"
     )
     word_norm = f"least(1.0, ({mean_len}) / 8.0)"
-    return (
-        f"round(0.3 * ({length_norm}) + 0.3 * ({diversity}) "
-        f"+ 0.2 * ({stop}) + 0.2 * ({word_norm}), 6)"
+    score = (
+        f"0.3 * ({length_norm}) + 0.3 * ({diversity}) "
+        f"+ 0.2 * ({stop}) + 0.2 * ({word_norm})"
     )
+    # portable midpoint-safe rounding — see quality_score
+    return f"floor(({score}) * 1000000 + 0.5) / 1000000"
 
 
 def fingerprint(col: Column) -> Column:
