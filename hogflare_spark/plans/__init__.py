@@ -81,6 +81,9 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     "ev_top_paths",
     "ev_lifecycle",
     "ev_stickiness",
+    # approx_percentile bounded-error gate (family graded via
+    # q_percentiles_totalprice + ev_approx_distinct_users).
+    "q_approx_percentiles",
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q12_shipmode_priority",

@@ -277,6 +277,48 @@ def q_percentiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# approx_percentile — the quantile operator you actually run at 100 TB
+# (the exact `percentile` buffers every value per group; the KLL-style
+# sketch is bounded-memory). Gated with the same pattern as the
+# approx-distinct gate: raw sketch output is engine-specific, so the
+# gate emits the EXACT quantiles plus booleans asserting the sketch
+# landed inside the exact (p ± 0.01)-quantile envelope — far looser than
+# the sketch's 1e-4 rank error at accuracy=10000, and a full hash-match
+# for the oracle, which computes the same envelope and TRUE literals.
+# --------------------------------------------------------------------------
+@query(
+    "q_approx_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+           TRUE AS approx_p50_in_bounds,
+           TRUE AS approx_p90_in_bounds
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+
+    def in_bounds(p: float):
+        approx = F.approx_percentile("o_totalprice", F.lit(p), F.lit(10000))
+        lo = F.percentile("o_totalprice", F.lit(max(p - 0.01, 0.0)))
+        hi = F.percentile("o_totalprice", F.lit(min(p + 0.01, 1.0)))
+        return (approx >= lo) & (approx <= hi)
+
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.90)), 4).alias("p90"),
+            in_bounds(0.50).alias("approx_p50_in_bounds"),
+            in_bounds(0.90).alias("approx_p90_in_bounds"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
 # Revenue arithmetic discipline for the following TPC-H-shaped queries:
 # l_extendedprice * (1 - l_discount) routes through DECIMAL so the sum is
 # EXACT — double summation order differs between engines, and these
