@@ -434,7 +434,13 @@ def fold_person_state(
                 )
             )
         cols = [f.name for f in _FOLD_OUT.fields]
-        rest = pd.DataFrame(out, columns=cols)
+        # Uniform object dtype on BOTH frames: the None-filled filler
+        # columns are all-NA, and concat'ing an all-NA column against an
+        # inferred int64 twin trips pandas' deprecated dtype-inference
+        # path (future versions change the result dtype the Arrow
+        # conversion of _FOLD_OUT depends on). The values are already
+        # Python objects, so dtype=object costs nothing.
+        rest = pd.DataFrame(out, columns=cols, dtype=object)
         if not s_seq:
             return rest
         snap = pd.DataFrame(
@@ -445,11 +451,12 @@ def fold_person_state(
                 "person_id": s_pid,
                 "person_created_at": s_created,
                 "person_properties": s_props,
-            }
+            },
+            dtype=object,
         )
         for c in cols:
             if c not in snap.columns:
-                snap[c] = None
+                snap[c] = pd.Series([None] * len(snap), dtype=object)
         snap = snap[cols]
         if not len(rest):
             return snap

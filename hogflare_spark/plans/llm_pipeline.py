@@ -64,6 +64,19 @@ _SK_CTE = (
 
 # manual double-precision cosine — same arithmetic order as the Spark
 # zip_with/aggregate fold, so boundary decisions agree bit-for-bit
+def _round6(col) -> "F.Column":
+    """Portable midpoint-safe 6-decimal rounding (valid for x >= 0):
+    engine round() implementations disagree on exact .5e-6 midpoints
+    (see text_analysis.quality_score), while floor(x*1e6+0.5) is pure
+    IEEE arithmetic — identical on Spark and DuckDB for identical x."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.floor(col * 1e6 + 0.5) / F.lit(1e6)
+
+
+def _round6_sql(expr: str) -> str:
+    return f"floor(({expr}) * 1000000 + 0.5) / 1000000"
+
+
 def _cos_sql(a: str, b: str, dim: int = 64) -> str:
     dot = (
         f"list_sum(list_transform(generate_series(1, {dim}), "
@@ -589,7 +602,7 @@ _DECON_FRAC = (
              FROM post JOIN bsh USING (sh) GROUP BY id)
     SELECT csk.id, len(csk.hs)::BIGINT AS n_shingles,
            coalesce(h.contaminated, 0)::BIGINT AS contaminated,
-           round({_DECON_FRAC}, 6) AS contamination_frac,
+           {_round6_sql(_DECON_FRAC)} AS contamination_frac,
            ({_DECON_FRAC}) >= {_DECON_THRESHOLD} AS is_contaminated
     FROM csk LEFT JOIN hits h ON csk.id = h.id
     ORDER BY csk.id
@@ -610,7 +623,7 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         "n_shingles",
         "contaminated",
-        F.round("contamination_frac", 6).alias("contamination_frac"),
+        _round6("contamination_frac").alias("contamination_frac"),
         "is_contaminated",
     ).orderBy("id")
 
@@ -684,12 +697,12 @@ _REP_TOK = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''
             (SELECT id, bg, count(*) AS c FROM e GROUP BY id, bg)
           GROUP BY id)
     SELECT b.id, b.n_tokens::BIGINT AS n_tokens,
-           round(CASE WHEN b.n_tokens > 0
-                 THEN b.n_distinct::DOUBLE / b.n_tokens ELSE 0.0 END, 6)
+           {_round6_sql('''CASE WHEN b.n_tokens > 0
+                 THEN b.n_distinct::DOUBLE / b.n_tokens ELSE 0.0 END''')}
              AS distinct_token_frac,
-           round(CASE WHEN b.n_tokens > 1
+           {_round6_sql('''CASE WHEN b.n_tokens > 1
                  THEN coalesce(m.max_bg, 0)::DOUBLE / (b.n_tokens - 1)
-                 ELSE 0.0 END, 6) AS top_bigram_frac
+                 ELSE 0.0 END''')} AS top_bigram_frac
     FROM b LEFT JOIN m ON b.id = m.id
     ORDER BY b.id
     """,
@@ -706,8 +719,8 @@ def llm_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("id"),
         st["n_tokens"].alias("n_tokens"),
-        F.round(st["distinct_token_frac"], 6).alias("distinct_token_frac"),
-        F.round(st["top_bigram_frac"], 6).alias("top_bigram_frac"),
+        _round6(st["distinct_token_frac"]).alias("distinct_token_frac"),
+        _round6(st["top_bigram_frac"]).alias("top_bigram_frac"),
     ).orderBy("id")
 
 

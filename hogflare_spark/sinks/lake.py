@@ -58,7 +58,35 @@ def append_events(events: DataFrame, events_dir: str) -> None:
 
 
 def read_events(spark: SparkSession, events_dir: str) -> DataFrame:
-    return spark.read.parquet(events_dir)
+    """Read the events table in either on-disk layout — flat
+    `event_date=...` from batch appends, `batch=N/event_date=...` from
+    the streaming sink's replay-scoped overwrites — or a mix of both
+    (a warehouse that predates the streaming layout and was then
+    upgraded). Plain `spark.read.parquet(dir)` fails partition discovery
+    on the mixed case ("conflicting directory structures"), so each
+    scheme is discovered with an explicit basePath and unioned; the
+    `batch` bookkeeping partition is dropped so every layout presents
+    the same schema."""
+    entries = os.listdir(events_dir) if os.path.isdir(events_dir) else []
+    batch_dirs = sorted(
+        os.path.join(events_dir, d)
+        for d in entries
+        if d.startswith("batch=") and os.path.isdir(os.path.join(events_dir, d))
+    )
+    flat_dirs = sorted(
+        os.path.join(events_dir, d)
+        for d in entries
+        if d.startswith("event_date=") and os.path.isdir(os.path.join(events_dir, d))
+    )
+    if not batch_dirs:
+        return spark.read.parquet(events_dir)
+    batched = (
+        spark.read.option("basePath", events_dir).parquet(*batch_dirs).drop("batch")
+    )
+    if not flat_dirs:
+        return batched
+    flat = spark.read.option("basePath", events_dir).parquet(*flat_dirs)
+    return flat.unionByName(batched)
 
 
 # ---------------------------------------------------------------------------
@@ -133,13 +161,23 @@ def _commit_lock(root: str, timeout: float = 60.0, stale_after: float = 30.0):
     O_CREAT|O_EXCL is the POSIX analogue of an object store's conditional
     PUT (If-None-Match: *) — see CATALOG.md for the R2/S3 mapping.
 
-    Stale-lock recovery: the lock is held for milliseconds (one pointer
-    read + one rename), so a lock file older than `stale_after` can only
+    Stale-lock recovery: the critical section is strictly one pointer
+    read + one rename (no directory rewrites happen under the lock — see
+    _commit_version), so a lock file older than `stale_after` can only
     belong to a writer that died between open and unlink (OOM-kill, node
     loss). Waiters break such locks instead of wedging every future
-    commit to the table; breaking races benignly (a concurrent unlink of
-    the same dead lock is ignored, and the O_EXCL create still admits
-    exactly one winner)."""
+    commit to the table. Breaking is safe against the two races a naive
+    check-then-unlink has:
+
+    - two waiters both passing the age check: the break is an atomic
+      os.rename to a waiter-unique tombstone name, so exactly one breaker
+      wins; the loser's rename raises FileNotFoundError and it re-loops.
+      The slower breaker can never unlink a FRESH lock the faster one's
+      successor just created, because it never calls unlink on the live
+      path at all.
+    - a live-but-paused holder being broken: the holder's release first
+      verifies the path still names ITS lock (os.fstat(fd) inode vs
+      os.stat(path) inode) and leaves a successor's fresh lock alone."""
     path = os.path.join(root, "_COMMIT.lock")
     deadline = time.monotonic() + timeout
     while True:
@@ -150,7 +188,12 @@ def _commit_lock(root: str, timeout: float = 60.0, stale_after: float = 30.0):
             try:
                 age = time.time() - os.path.getmtime(path)
                 if age > stale_after:
-                    os.unlink(path)
+                    tomb = f"{path}.broken.{os.getpid()}.{time.monotonic_ns()}"
+                    try:
+                        os.rename(path, tomb)  # atomic: one breaker wins
+                        os.unlink(tomb)
+                    except FileNotFoundError:
+                        pass  # lost the break race; re-check the live path
                     continue
             except FileNotFoundError:
                 continue  # holder released (or another waiter broke it)
@@ -160,11 +203,15 @@ def _commit_lock(root: str, timeout: float = 60.0, stale_after: float = 30.0):
     try:
         yield
     finally:
-        os.close(fd)
         try:
-            os.unlink(path)
+            if os.fstat(fd).st_ino == os.stat(path).st_ino:
+                os.unlink(path)
+            # else: a breaker declared us dead and a successor holds a
+            # fresh lock — removing it would admit a second holder.
         except FileNotFoundError:
             pass  # a waiter mistook a long pause for death and broke it
+        finally:
+            os.close(fd)
 
 
 def _commit_version(df: DataFrame, root: str, base_version: int | None) -> int:
@@ -176,18 +223,27 @@ def _commit_version(df: DataFrame, root: str, base_version: int | None) -> int:
     pointer, which moves via rename — they never observe partial data."""
     version = _claim_version(root, (base_version or 0) + 1)
     df.write.mode("overwrite").parquet(os.path.join(root, f"v={version}"))
+    conflicted = False
     with _commit_lock(root):
+        # Critical section is exactly: one pointer read + one rename.
+        # Nothing slow (no directory rewrites) may run in here — the
+        # stale-lock breaker's "held for milliseconds" premise depends
+        # on it (see _commit_lock).
         if _latest_version(root) != base_version:
-            import shutil
+            conflicted = True
+        else:
+            tmp = os.path.join(root, f"_LATEST.tmp.{version}")
+            with open(tmp, "w") as fh:
+                fh.write(str(version))
+            os.replace(tmp, os.path.join(root, "_LATEST"))
+    if conflicted:
+        import shutil
 
-            shutil.rmtree(os.path.join(root, f"v={version}"), ignore_errors=True)
-            raise CommitConflict(
-                f"{root}: table moved past base version {base_version}"
-            )
-        tmp = os.path.join(root, f"_LATEST.tmp.{version}")
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, os.path.join(root, "_LATEST"))
+        # Cleanup of the orphaned claim directory happens OUTSIDE the
+        # lock: it can take seconds for a large version, and holding the
+        # lock through it would make live holders look stale.
+        shutil.rmtree(os.path.join(root, f"v={version}"), ignore_errors=True)
+        raise CommitConflict(f"{root}: table moved past base version {base_version}")
     return version
 
 
@@ -243,13 +299,29 @@ def upsert_table(
 
 
 def _partition_dirs(events_dir: str) -> list[str]:
+    """Leaf `event_date=` partition dirs in both layouts: directly under
+    the table (batch appends) and nested under the streaming sink's
+    `batch=N/` replay partitions — compaction bin-packs at the leaf in
+    either scheme, preserving the layout (a streaming batch partition is
+    never merged across batches, so a checkpoint replay's whole-batch
+    overwrite stays a correct rewrite even after compaction)."""
     if not os.path.isdir(events_dir):
         return []
-    return sorted(
-        os.path.join(events_dir, d)
-        for d in os.listdir(events_dir)
-        if d.startswith("event_date=") and os.path.isdir(os.path.join(events_dir, d))
-    )
+    out: list[str] = []
+    for d in sorted(os.listdir(events_dir)):
+        p = os.path.join(events_dir, d)
+        if not os.path.isdir(p):
+            continue
+        if d.startswith("event_date="):
+            out.append(p)
+        elif d.startswith("batch="):
+            out.extend(
+                os.path.join(p, leaf)
+                for leaf in sorted(os.listdir(p))
+                if leaf.startswith("event_date=")
+                and os.path.isdir(os.path.join(p, leaf))
+            )
+    return out
 
 
 def compaction_candidates(

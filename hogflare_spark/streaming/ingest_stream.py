@@ -110,6 +110,7 @@ class StreamingIngestJob:
         group_types: tuple[str | None, ...] = (None, None, None, None, None),
         hybrid: bool = False,
         max_person_deltas: int = 16,
+        run_id: str | None = None,
     ):
         self.warehouse_dir = warehouse_dir
         self.team_id = team_id
@@ -117,6 +118,61 @@ class StreamingIngestJob:
         self.hybrid = hybrid
         self.max_person_deltas = max_person_deltas
         self.events_dir = os.path.join(warehouse_dir, "events")
+        # Identifies one logical stream (one checkpoint dir). Spark batch
+        # ids restart at 0 with a fresh checkpoint, so batch ids alone
+        # cannot distinguish "checkpoint replay of MY batch N" from "a
+        # NEW stream's batch N over an existing warehouse" — the latter
+        # must apply, not roll back. start() defaults this to the
+        # checkpoint path; _commit_id folds it into every on-disk id.
+        self.run_id = run_id
+        self._epoch: int | None = None
+
+    # ---- run epochs ------------------------------------------------------
+
+    _EPOCH_STRIDE = 1_000_000_000
+
+    def _resolve_epoch(self) -> int:
+        """The warehouse-scoped epoch of this run. `_RUN` records the
+        last writer's (run_id, epoch); a different run_id bumps the
+        epoch, so commit ids from distinct streams can never collide —
+        which is what makes replay detection (and the state/event
+        directory names derived from commit ids) safe across stream
+        restarts with fresh checkpoints."""
+        if self._epoch is not None:
+            return self._epoch
+        os.makedirs(self.warehouse_dir, exist_ok=True)
+        path = os.path.join(self.warehouse_dir, "_RUN")
+        rec = None
+        if os.path.exists(path):
+            with open(path) as fh:
+                rec = json.load(fh)
+        if rec is not None and rec.get("run_id") == self.run_id:
+            self._epoch = int(rec["epoch"])
+            return self._epoch
+        if rec is not None:
+            self._epoch = int(rec["epoch"]) + 1
+        else:
+            # Pre-_RUN warehouses already hold epoch-0-style ids; a new
+            # run over one must not reuse them.
+            has_state = any(
+                os.path.exists(os.path.join(self._state_root(t), f))
+                for t in ("persons", "groups")
+                for f in ("_STATE", "_LATEST")
+            )
+            self._epoch = 1 if has_state else 0
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"run_id": self.run_id, "epoch": self._epoch}, fh)
+        os.replace(tmp, path)
+        return self._epoch
+
+    def _commit_id(self, batch_id: int) -> int:
+        """Warehouse-unique, replay-stable id for one (run, batch):
+        deterministic within a run (a checkpoint replay regenerates the
+        SAME id and overwrites the same directories — a true rewrite)
+        and disjoint across runs (a fresh-checkpoint stream's batch 0
+        can never be mistaken for, or clobber, another run's batch 0)."""
+        return self._resolve_epoch() * self._EPOCH_STRIDE + int(batch_id)
 
     # ---- state versioning ------------------------------------------------
     #
@@ -260,14 +316,22 @@ class StreamingIngestJob:
         checkpoint recorded it replays as a deterministic rewrite rather
         than double-applying on top of its own output:
 
-        Every commit (both lanes) records which batch id produced it
-        (`committed_batch` — base VERSION NUMBERS share the batch id
-        space, so matching on the version alone would misfire on seeded
+        Every commit (both lanes) records which COMMIT ID produced it
+        (`committed_batch` — base VERSION NUMBERS share the id space, so
+        matching on the version alone would misfire on seeded
         warehouses) plus the exact pre-batch pointer (`replay_base`).
         Spark's checkpoint contract means only the LATEST batch can ever
         replay, so one level of replay info suffices. The delta-list
         rollback below remains as the fallback for pointers written
         before replay_base existed.
+
+        `batch_id` here is the run-epoched commit id (_commit_id), NOT
+        Spark's raw batch id: a fresh-checkpoint stream restarts raw
+        batch ids at 0, and matching on those would misread a NEW
+        stream's batch 0 over an existing warehouse as a replay of the
+        PREVIOUS stream's batch 0 — rolling the pointer back and
+        silently discarding committed state. Epoched ids are disjoint
+        across runs, so only a genuine same-run replay can ever match.
         """
         pointer = self._read_pointer(table) or {"base": None, "deltas": []}
         if pointer.get("committed_batch") == int(batch_id):
@@ -304,9 +368,10 @@ class StreamingIngestJob:
         from hogflare_spark.operators.normalize import decode_normalize_requests
 
         spark = batch_df.sparkSession
+        cid = self._commit_id(batch_id)
         commands = decode_normalize_requests(batch_df).cache()
-        p_pointer, p_deltas = self._batch_pointer("persons", batch_id)
-        g_pointer, g_deltas = self._batch_pointer("groups", batch_id)
+        p_pointer, p_deltas = self._batch_pointer("persons", cid)
+        g_pointer, g_deltas = self._batch_pointer("groups", cid)
         person_fast = (
             self.hybrid
             and p_pointer.get("base") is not None
@@ -375,11 +440,12 @@ class StreamingIngestJob:
         # checkpoint replays this batch id — the batch-scoped OVERWRITE
         # makes the replay a true rewrite (an append here would duplicate
         # the batch's rows on every replay; deterministic uuids make the
-        # rewrite byte-identical). `batch` becomes a partition column of
-        # the warehouse events table, which is also the natural compaction
-        # unit.
+        # rewrite byte-identical). `batch` (the run-epoched commit id)
+        # becomes a partition column of the warehouse events table;
+        # lake.read_events drops it and lake.compact_events bin-packs the
+        # event_date leaves under it.
         events.write.mode("overwrite").partitionBy("event_date").parquet(
-            os.path.join(self.events_dir, f"batch={int(batch_id)}")
+            os.path.join(self.events_dir, f"batch={cid}")
         )
         # state folds must materialize BEFORE the new version overwrites
         # the directory the fold is lazily reading from
@@ -389,14 +455,14 @@ class StreamingIngestJob:
         if group_fast:
             # new_groups holds ONLY touched ∪ newly-created keys here
             new_groups.write.mode("overwrite").parquet(
-                os.path.join(groups_root, f"d={int(batch_id)}")
+                os.path.join(groups_root, f"d={cid}")
             )
             self._commit_pointer(
                 "groups",
                 {
                     "base": g_pointer["base"],
-                    "deltas": g_deltas + [int(batch_id)],
-                    "committed_batch": int(batch_id),
+                    "deltas": g_deltas + [cid],
+                    "committed_batch": cid,
                     "replay_base": self._replay_base_of(g_pointer),
                 },
             )
@@ -404,8 +470,8 @@ class StreamingIngestJob:
             self._write_state(
                 new_groups,
                 "groups",
-                int(batch_id),
-                committed_batch=int(batch_id),
+                cid,
+                committed_batch=cid,
                 replay_base=self._replay_base_of(g_pointer),
             )
         row = new_persons.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m")).collect()[0]
@@ -414,29 +480,29 @@ class StreamingIngestJob:
         if person_fast:
             # new_persons holds ONLY affected ∪ newly-created rows here
             new_persons.write.mode("overwrite").parquet(
-                os.path.join(persons_root, f"d={int(batch_id)}")
+                os.path.join(persons_root, f"d={cid}")
             )
             self._commit_pointer(
                 "persons",
                 {
                     "base": p_pointer["base"],
-                    "deltas": p_deltas + [int(batch_id)],
+                    "deltas": p_deltas + [cid],
                     "max_id": max(int(p_pointer["max_id"]), batch_max),
-                    "committed_batch": int(batch_id),
+                    "committed_batch": cid,
                     "replay_base": self._replay_base_of(p_pointer),
                 },
             )
         else:
             new_persons.write.mode("overwrite").parquet(
-                os.path.join(persons_root, f"v={int(batch_id)}")
+                os.path.join(persons_root, f"v={cid}")
             )
             self._commit_pointer(
                 "persons",
                 {
-                    "base": int(batch_id),
+                    "base": cid,
                     "deltas": [],
                     "max_id": batch_max,
-                    "committed_batch": int(batch_id),
+                    "committed_batch": cid,
                     "replay_base": self._replay_base_of(p_pointer),
                 },
             )
@@ -448,6 +514,13 @@ class StreamingIngestJob:
         checkpoint_dir: str,
         available_now: bool = True,
     ):
+        if self.run_id is None:
+            # One checkpoint dir == one logical stream: restarting from
+            # the same checkpoint resumes the same run (so replays are
+            # recognized); a fresh checkpoint is a new run (so its batch
+            # ids live in a fresh epoch and apply instead of rolling
+            # back prior state).
+            self.run_id = os.path.abspath(checkpoint_dir)
         writer = (
             raw_stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)

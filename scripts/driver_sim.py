@@ -33,6 +33,9 @@ def main() -> None:
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    only = {n for n in os.environ.get("SIM_ONLY", "").split(",") if n}
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     results = {}
     for name, fn in sorted(qs.items()):
         try:

@@ -277,3 +277,70 @@ def test_commit_lock_breaks_stale_holder(spark, tmp_path):
     upsert_table(spark, spark.range(3, 5).select(F.col("id")), root, ["id"])
     assert read_table(spark, root).count() == 5
     assert not _os.path.exists(lock)
+
+
+def test_commit_lock_holder_spares_successor_lock(tmp_path):
+    """If a waiter wrongly declares a paused holder dead (rename-break)
+    and a successor acquires a fresh lock, the paused holder's release
+    must leave the successor's lock alone (inode identity check) — else
+    a THIRD writer would be admitted alongside the successor."""
+    from hogflare_spark.sinks.lake import _commit_lock
+
+    root = str(tmp_path / "dim")
+    os.makedirs(root)
+    lock = os.path.join(root, "_COMMIT.lock")
+    cm = _commit_lock(root)
+    cm.__enter__()
+    # a waiter breaks us (atomic rename, then unlink of the tombstone)
+    os.rename(lock, lock + ".broken.test")
+    os.unlink(lock + ".broken.test")
+    # a successor acquires a fresh lock
+    with open(lock, "w") as fh:
+        fh.write("successor")
+    cm.__exit__(None, None, None)
+    assert os.path.exists(lock), "holder release removed the successor's lock"
+    with open(lock) as fh:
+        assert fh.read() == "successor"
+    os.unlink(lock)
+
+
+def test_streaming_batch_layout_compaction_and_mixed_read(spark, tmp_path):
+    """The streaming sink's batch=N/event_date=D layout must stay
+    readable alongside a pre-existing flat event_date=D layout (upgrade
+    path), and compaction must bin-pack the leaves under batch=N."""
+    from hogflare_spark.sinks.lake import (
+        append_events,
+        compact_events,
+        compaction_candidates,
+        read_events,
+    )
+
+    events_dir = str(tmp_path / "events")
+    rows = [(f"d{i}", "2025-03-01T10:00:00Z") for i in range(10)]
+    # old flat layout from a batch append
+    append_events(_events(spark, rows), events_dir)
+    # streaming layout: two replay-scoped batch partitions, small files
+    for b in (0, 1):
+        (
+            _events(spark, rows)
+            .withColumn("event_date", F.to_date("created_at"))
+            .repartition(3)
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(os.path.join(events_dir, f"batch={b}"))
+        )
+    mixed = read_events(spark, events_dir)
+    assert "batch" not in mixed.columns
+    assert mixed.count() == 30
+    cands = compaction_candidates(
+        events_dir, small_file_bytes=10 * 1024 * 1024, min_small_files=2
+    )
+    assert any(os.sep + "batch=" in c for c in cands), (
+        "compaction must discover event_date leaves nested under batch=N"
+    )
+    compact_events(spark, events_dir, small_file_bytes=10 * 1024 * 1024)
+    assert read_events(spark, events_dir).count() == 30
+    for b in (0, 1):
+        leaf = os.path.join(events_dir, f"batch={b}", "event_date=2025-03-01")
+        files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+        assert len(files) == 1, "batch leaf not bin-packed to one file"

@@ -678,3 +678,42 @@ def test_batch_replay_is_idempotent_both_lanes(spark, tmp_path):
     assert final[0]["user-1"][0] == want_h[0]["user-1"][0] + 1  # one more version
     hj.process_batch(_raw_df(spark, [_capture(8, "user-1", {"$set": {"z": 1}})]), 3)
     assert snap(hj) == final  # and batch 3's replay is a rewrite too
+
+
+def test_fresh_checkpoint_new_run_is_not_a_replay(spark, tmp_path):
+    """Spark batch ids restart at 0 with a fresh checkpoint dir. A NEW
+    stream's batch 0 over an existing warehouse must APPLY on top of the
+    committed state — not be misread as a checkpoint replay of the OLD
+    stream's batch 0 (which would roll the pointer back and silently
+    discard state and events). Run-epoched commit ids keep the two id
+    spaces disjoint while same-run replays stay recognizable."""
+    from hogflare_spark.sinks.lake import read_events
+    from hogflare_spark.streaming.ingest_stream import StreamingIngestJob
+
+    wh = str(tmp_path / "wh")
+
+    def version_of(job, did):
+        return {
+            did_: r["version"]
+            for r in job.read_persons(spark).collect()
+            for did_ in (r["distinct_ids"] or [])
+        }[did]
+
+    a = StreamingIngestJob(wh, run_id="ckpt-a")
+    a.process_batch(_raw_df(spark, BATCH1), 0)
+    v_a = version_of(a, "anon-1")
+    n_events_a = read_events(spark, a.events_dir).count()
+
+    # a new stream (fresh checkpoint => new run id), batch ids restart
+    b = StreamingIngestJob(wh, run_id="ckpt-b")
+    nb = [_capture(10, "anon-1", {"$set": {"plan": "pro"}})]
+    b.process_batch(_raw_df(spark, nb), 0)
+    assert version_of(b, "anon-1") == v_a + 1, "new run must apply, not roll back"
+    assert version_of(b, "anon-2") is not None  # untouched state survived
+    assert read_events(spark, b.events_dir).count() == n_events_a + 1
+
+    # while a genuine same-run replay of that batch is still a rewrite
+    b2 = StreamingIngestJob(wh, run_id="ckpt-b")
+    b2.process_batch(_raw_df(spark, nb), 0)
+    assert version_of(b2, "anon-1") == v_a + 1
+    assert read_events(spark, b2.events_dir).count() == n_events_a + 1
