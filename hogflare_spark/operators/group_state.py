@@ -206,6 +206,30 @@ def fold_group_state(
     """
     from hogflare_spark.operators import person_state
 
+    if prior_groups is None:
+        # Group-free traffic short-circuit (pure capture streams are the
+        # common case): one JVM-only scan of the cached commands frame
+        # decides whether ANY row can derive a group op — if none can,
+        # skip the Python derive pass, the shuffle, and the fold
+        # entirely. Cheaper than deriving-then-counting: the check never
+        # leaves whole-stage codegen.
+        has_groups = (
+            commands.where(
+                F.col("groups").isNotNull()
+                | F.col("group_updates").isNotNull()
+                | F.col("group_identify").isNotNull()
+            )
+            .limit(1)
+            .count()
+        )
+        if not has_groups:
+            empty = commands.sparkSession.createDataFrame([], _FOLD_OUT)
+            results = empty.select(
+                "request_seq", "item_index", "group_type", "group_key",
+                "props", "present", "echo",
+            )
+            return results, _groups_table_of(empty)
+
     if fast_path == "auto":
         n_commands = commands.count()
         if (
@@ -228,84 +252,143 @@ def fold_group_state(
     if prior_groups is not None:
         ops = ops.unionByName(_seed_group_ops(prior_groups))
 
-    def _replay(key: tuple, pdf: Any) -> Any:
+    _COLS = [f.name for f in _FOLD_OUT.fields]
+    # replay order within a partition: (type, key) cell runs contiguous,
+    # ops within a run in request order
+    _SORT = ["group_type", "group_key", "request_seq", "item_index", "sub"]
+
+    def _replay_stream(batches: Any) -> Any:
+        """Partition-streaming LWW replay: rows arrive sorted by _SORT
+        (enforced by the sortWithinPartitions below), so each
+        (group_type, group_key) cell is a contiguous run; one kernel
+        instance walks the partition, cutting records at cell boundaries
+        (state persists across Arrow batches). Replaces the per-cell
+        groupBy().applyInPandas, whose per-group Arrow/pandas machinery
+        cost ~5x the fold itself on many-small-cells traffic (measured
+        in person_state; same operator shape)."""
         import pandas as pd
 
-        pdf = pdf.sort_values(["request_seq", "item_index", "sub"], kind="mergesort")
-        group_type, group_key = key
-        record = None  # (created_at, version, props dict)
-        out = []
-        for row in pdf.itertuples(index=False):
-            seq_linear = (
-                int(row.request_seq) * 1_000_000
-                + int(row.item_index) * 100
-                + min(int(row.sub), 99)
-            )
-            if row.kind == "seed":
-                payload = json.loads(row.props)
-                record = {
-                    "created_at": datetime.fromisoformat(payload["created_at"]),
-                    "version": int(payload["version"]),
-                    # table values are JSON-encoded for lossless nesting
-                    "props": {
-                        k: json.loads(v) for k, v in payload["properties"].items()
-                    },
-                }
-                continue
-            if row.kind in ("update", "gi_update"):
-                if record is None:
-                    record = {
-                        "created_at": _parse_ts(row.timestamp, seq_linear),
-                        "version": 0,
-                        "props": {},
-                    }
-                record["version"] += 1
-                record["props"].update(json.loads(row.props))
-            if row.kind in ("lookup", "gi_lookup", "gi_update"):
+        state: dict[str, Any] = {"cur": None, "record": None}
+
+        def _flush(out: list) -> None:
+            rec = state["record"]
+            if rec is not None:
+                gt, gk = state["cur"]
                 out.append(
                     {
-                        "row_type": "result",
-                        "request_seq": int(row.request_seq),
-                        "item_index": int(row.item_index),
-                        "group_type": group_type,
-                        "group_key": group_key,
-                        "props": json.dumps(record["props"], separators=(",", ":"))
-                        if record is not None
-                        else None,
-                        "present": record is not None,
-                        "echo": row.kind.startswith("gi_"),
-                        "created_at": None,
-                        "version": None,
+                        "row_type": "group",
+                        "request_seq": None,
+                        "item_index": None,
+                        "group_type": gt,
+                        "group_key": gk,
+                        "props": json.dumps(
+                            {
+                                k: json.dumps(v, separators=(",", ":"))
+                                for k, v in rec["props"].items()
+                            },
+                            separators=(",", ":"),
+                        ),
+                        "present": True,
+                        "echo": False,
+                        "created_at": rec["created_at"],
+                        "version": rec["version"],
                     }
                 )
-        if record is not None:
-            out.append(
-                {
-                    "row_type": "group",
-                    "request_seq": None,
-                    "item_index": None,
-                    "group_type": group_type,
-                    "group_key": group_key,
-                    "props": json.dumps(
-                        {
-                            k: json.dumps(v, separators=(",", ":"))
-                            for k, v in record["props"].items()
+            state["record"] = None
+
+        for pdf in batches:
+            out: list = []
+            for row in pdf.itertuples(index=False):
+                key = (row.group_type, row.group_key)
+                if key != state["cur"]:
+                    _flush(out)
+                    state["cur"] = key
+                record = state["record"]
+                seq_linear = (
+                    int(row.request_seq) * 1_000_000
+                    + int(row.item_index) * 100
+                    + min(int(row.sub), 99)
+                )
+                if row.kind == "seed":
+                    payload = json.loads(row.props)
+                    state["record"] = {
+                        "created_at": datetime.fromisoformat(payload["created_at"]),
+                        "version": int(payload["version"]),
+                        # table values are JSON-encoded for lossless
+                        # nesting
+                        "props": {
+                            k: json.loads(v) for k, v in payload["properties"].items()
                         },
-                        separators=(",", ":"),
-                    ),
-                    "present": True,
-                    "echo": False,
-                    "created_at": record["created_at"],
-                    "version": record["version"],
-                }
-            )
-        return pd.DataFrame(out, columns=[f.name for f in _FOLD_OUT.fields])
+                    }
+                    continue
+                if row.kind in ("update", "gi_update"):
+                    if record is None:
+                        record = {
+                            "created_at": _parse_ts(row.timestamp, seq_linear),
+                            "version": 0,
+                            "props": {},
+                        }
+                        state["record"] = record
+                    record["version"] += 1
+                    record["props"].update(json.loads(row.props))
+                if row.kind in ("lookup", "gi_lookup", "gi_update"):
+                    record = state["record"]
+                    out.append(
+                        {
+                            "row_type": "result",
+                            "request_seq": int(row.request_seq),
+                            "item_index": int(row.item_index),
+                            "group_type": row.group_type,
+                            "group_key": row.group_key,
+                            "props": json.dumps(record["props"], separators=(",", ":"))
+                            if record is not None
+                            else None,
+                            "present": record is not None,
+                            "echo": row.kind.startswith("gi_"),
+                            "created_at": None,
+                            "version": None,
+                        }
+                    )
+            if out:
+                yield pd.DataFrame(out, columns=_COLS, dtype=object)
+        out = []
+        _flush(out)
+        if out:
+            yield pd.DataFrame(out, columns=_COLS, dtype=object)
 
     # pinned-width shuffle for the CPU-bound Python replay — see the
     # matching note in person_state.fold_person_state (AQE would coalesce
     # this to 1-4 partitions by bytes)
     n_fold = ops.sparkSession.sparkContext.defaultParallelism
     partitioned = ops.repartition(n_fold, "group_type", "group_key")
+
+    def _stream_fold(df: DataFrame) -> DataFrame:
+        return df.sortWithinPartitions(*_SORT).mapInPandas(_replay_stream, _FOLD_OUT)
+
+    if fast_path == "mega":
+        # Cheap pre-check (see person_state): mega routing only matters
+        # if SOME cell's op count reaches the threshold — a partial-agg
+        # count over the pinned frame answers that without the window
+        # flag pass. mx=None doubles as the empty-ops short-circuit
+        # (group-free traffic, e.g. pure capture streams): zero group
+        # work past this point.
+        partitioned = partitioned.localCheckpoint(eager=True)
+        mx = (
+            partitioned.groupBy("group_type", "group_key")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("mx"))
+            .first()["mx"]
+        )
+        if mx is None:
+            empty = commands.sparkSession.createDataFrame([], _FOLD_OUT)
+            results = empty.select(
+                "request_seq", "item_index", "group_type", "group_key",
+                "props", "present", "echo",
+            )
+            groups_table = _groups_table_of(empty)
+            return results, groups_table
+        if mx < person_state.MEGA_COMPONENT_MIN_OPS:
+            fast_path = False
 
     if fast_path:
         from pyspark.sql import Window
@@ -338,12 +421,7 @@ def fold_group_state(
         }
         branches = []
         if counts.get(False, 0):
-            branches.append(
-                flagged.where(~F.col("_fast"))
-                .drop("_fast")
-                .groupBy("group_type", "group_key")
-                .applyInPandas(_replay, _FOLD_OUT)
-            )
+            branches.append(_stream_fold(flagged.where(~F.col("_fast")).drop("_fast")))
         if counts.get(True, 0):
             branches.append(
                 fast_group_fold(flagged.where(F.col("_fast")), _FOLD_OUT)
@@ -354,9 +432,7 @@ def fold_group_state(
         for b in branches[1:]:
             folded = folded.unionByName(b)
     else:
-        folded = partitioned.groupBy("group_type", "group_key").applyInPandas(
-            _replay, _FOLD_OUT
-        )
+        folded = _stream_fold(partitioned)
     # see person_state.FOLD_PIN: physical pin, replay runs exactly once
     folded = (
         folded.localCheckpoint(eager=True)
@@ -367,11 +443,14 @@ def fold_group_state(
     results = folded.where(F.col("row_type") == "result").select(
         "request_seq", "item_index", "group_type", "group_key", "props", "present", "echo"
     )
-    groups_table = folded.where(F.col("row_type") == "group").select(
+    return results, _groups_table_of(folded)
+
+
+def _groups_table_of(folded: DataFrame) -> DataFrame:
+    return folded.where(F.col("row_type") == "group").select(
         "group_type",
         "group_key",
         "created_at",
         "version",
         F.from_json("props", "map<string,string>").alias("properties"),
     )
-    return results, groups_table

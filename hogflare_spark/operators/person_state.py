@@ -71,6 +71,12 @@ _FOLD_OUT = StructType(
 )
 
 
+# replay order within a partition: component runs are contiguous, ops
+# within a run in request order (ties only among seed rows, which load
+# disjoint records — order-insensitive)
+_FOLD_SORT = ["comp", "request_seq", "item_index", "sub"]
+
+
 def _parse_ts(value: str | None, fallback_seq: int) -> datetime:
     if value:
         try:
@@ -357,53 +363,11 @@ def fold_person_state(
             alloc[3] if len(alloc) > 3 else 0,
         )
 
-    def _replay(key: tuple, pdf: Any) -> Any:
-        import pandas as pd
-
-        pdf = pdf.sort_values(["request_seq", "item_index", "sub"], kind="mergesort")
-
-        component = key[0]
-        store = PersonStoreReplay(component, team_id)
-        # Snapshot rows dominate the output (one per emitted op, vs a
-        # handful of alloc/person rows) — accumulate them as columns. The
-        # previous shape (one 17-field dict per row through _row, then
-        # DataFrame(records)) spent more task time materializing dicts and
-        # re-parsing them than the kernel spent folding; columnar
-        # accumulation emits the identical values without the per-row
-        # dict churn. Low-cardinality rows keep the dict path for clarity.
-        s_seq: list[int] = []
-        s_item: list[int] = []
-        s_pid: list[Any] = []
-        s_created: list[Any] = []
-        s_props: list[Any] = []
-        out = []
-        for row in pdf.itertuples(index=False):
-            seq_linear = (
-                int(row.request_seq) * 1_000_000 + int(row.item_index) * 100 + int(row.sub)
-            )
-            op_time = _parse_ts(row.timestamp, seq_linear)
-            seq = (int(row.request_seq), int(row.item_index), int(row.sub))
-            if row.kind == "seed":
-                store.load_record(row.distinct_id, json.loads(row.update))
-                continue
-            if row.kind == "alias":
-                _, record = store.apply_alias(row.distinct_id, row.alias_id, op_time, seq)
-            elif row.kind == "update":
-                _, record = store.apply_update(json.loads(row.update), op_time, seq)
-            else:
-                _, record = store.ensure_person(row.distinct_id, op_time, seq)
-            if row.emit:
-                pid, pcreated, pprops = snapshot_fields(record)
-                s_seq.append(int(row.request_seq))
-                s_item.append(int(row.item_index))
-                s_pid.append(pid)
-                s_created.append(pcreated)
-                s_props.append(pprops)
-
+    def _flush_store(store: PersonStoreReplay, out: list) -> None:
+        """Emit a finished component's alloc events + final records."""
         for uuid_, alloc in store.alloc_events:
             a, b = _alloc_key(alloc)
             out.append(_row("alloc", uuid=uuid_, alloc_a=a, alloc_b=b, alloc_c=0))
-
         for canonical, record in store.records.items():
             a, b = _alloc_key(record.alloc_seq or (0, 0, 0, 0))
             out.append(
@@ -433,16 +397,22 @@ def fold_person_state(
                     prior_id=record.prior_id,
                 )
             )
-        cols = [f.name for f in _FOLD_OUT.fields]
-        # Uniform object dtype on BOTH frames: the None-filled filler
-        # columns are all-NA, and concat'ing an all-NA column against an
-        # inferred int64 twin trips pandas' deprecated dtype-inference
-        # path (future versions change the result dtype the Arrow
-        # conversion of _FOLD_OUT depends on). The values are already
-        # Python objects, so dtype=object costs nothing.
-        rest = pd.DataFrame(out, columns=cols, dtype=object)
+
+    _COLS = [f.name for f in _FOLD_OUT.fields]
+
+    def _emit_frame(pd, s_seq, s_item, s_pid, s_created, s_props, out):
+        """Assemble one output frame. Snapshot rows dominate (one per
+        emitted op) and are accumulated as columns; low-cardinality
+        alloc/person rows keep the dict path for clarity. Uniform object
+        dtype on BOTH frames: the None-filled filler columns are all-NA,
+        and concat'ing an all-NA column against an inferred int64 twin
+        trips pandas' deprecated concat dtype inference (future versions
+        change the result dtype the Arrow conversion of _FOLD_OUT
+        depends on). The values are already Python objects, so
+        dtype=object costs nothing."""
+        rest = pd.DataFrame(out, columns=_COLS, dtype=object)
         if not s_seq:
-            return rest
+            return rest if len(rest) else None
         snap = pd.DataFrame(
             {
                 "row_type": "snapshot",
@@ -454,13 +424,78 @@ def fold_person_state(
             },
             dtype=object,
         )
-        for c in cols:
+        for c in _COLS:
             if c not in snap.columns:
                 snap[c] = pd.Series([None] * len(snap), dtype=object)
-        snap = snap[cols]
+        snap = snap[_COLS]
         if not len(rest):
             return snap
         return pd.concat([snap, rest], ignore_index=True)
+
+    def _replay_stream(batches: Iterator[Any]) -> Iterator[Any]:
+        """Partition-streaming replay: rows arrive sorted by
+        (comp, request_seq, item_index, sub) — _FOLD_SORT, enforced by
+        the sortWithinPartitions below — so each component's ops are a
+        contiguous run. One kernel instance walks the whole partition,
+        switching stores at comp boundaries (state persists across Arrow
+        batches, so a component spanning batches needs no carry-over
+        buffering). This replaces groupBy().applyInPandas, whose
+        per-group Arrow-batch + pandas-frame machinery measured ~5x the
+        cost of the replay itself on realistic (many small components)
+        traffic: a no-op applyInPandas over 100k ops / 1.5k comps took
+        1.9 s where the equivalent sorted mapInPandas took 0.4 s."""
+        import pandas as pd
+
+        comp_cur: Any = None
+        store: PersonStoreReplay | None = None
+        for pdf in batches:
+            s_seq: list[int] = []
+            s_item: list[int] = []
+            s_pid: list[Any] = []
+            s_created: list[Any] = []
+            s_props: list[Any] = []
+            out: list = []
+            for row in pdf.itertuples(index=False):
+                if row.comp != comp_cur or store is None:
+                    if store is not None:
+                        _flush_store(store, out)
+                    comp_cur = row.comp
+                    store = PersonStoreReplay(comp_cur, team_id)
+                seq_linear = (
+                    int(row.request_seq) * 1_000_000
+                    + int(row.item_index) * 100
+                    + int(row.sub)
+                )
+                op_time = _parse_ts(row.timestamp, seq_linear)
+                seq = (int(row.request_seq), int(row.item_index), int(row.sub))
+                if row.kind == "seed":
+                    store.load_record(row.distinct_id, json.loads(row.update))
+                    continue
+                if row.kind == "alias":
+                    _, record = store.apply_alias(
+                        row.distinct_id, row.alias_id, op_time, seq
+                    )
+                elif row.kind == "update":
+                    _, record = store.apply_update(
+                        json.loads(row.update), op_time, seq
+                    )
+                else:
+                    _, record = store.ensure_person(row.distinct_id, op_time, seq)
+                if row.emit:
+                    pid, pcreated, pprops = snapshot_fields(record)
+                    s_seq.append(int(row.request_seq))
+                    s_item.append(int(row.item_index))
+                    s_pid.append(pid)
+                    s_created.append(pcreated)
+                    s_props.append(pprops)
+            frame = _emit_frame(pd, s_seq, s_item, s_pid, s_created, s_props, out)
+            if frame is not None:
+                yield frame
+        if store is not None:
+            out = []
+            _flush_store(store, out)
+            if out:
+                yield pd.DataFrame(out, columns=_COLS, dtype=object)
 
     # Explicit hash-partition on the fold key: the groupBy's own shuffle
     # would be AQE-coalesced by *bytes* (a few MB of narrow op rows → 1-4
@@ -470,6 +505,31 @@ def fold_person_state(
     # shuffle is added.
     n_fold = ops_with_comp.sparkSession.sparkContext.defaultParallelism
     partitioned = ops_with_comp.repartition(n_fold, "comp")
+
+    def _stream_fold(df: DataFrame) -> DataFrame:
+        # partition-local sort puts each component's ops in one
+        # contiguous, replay-ordered run; no extra exchange
+        return df.sortWithinPartitions(*_FOLD_SORT).mapInPandas(
+            _replay_stream, _FOLD_OUT
+        )
+
+    if fast_path == "mega":
+        # Cheap pre-check before the full eligibility flag pass: the
+        # mega routing only fires when SOME component's op count reaches
+        # MEGA_COMPONENT_MIN_OPS. A partial-agg count over the pinned
+        # ops frame (no extra exchange — already hash-partitioned by
+        # comp) answers that in one tiny job; the common case (no hot
+        # key) then skips the window flag pass, its full-frame
+        # localCheckpoint, and the grouped count entirely.
+        partitioned = partitioned.localCheckpoint(eager=True)
+        mx = (
+            partitioned.groupBy("comp")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("mx"))
+            .first()["mx"]
+        )
+        if mx is None or mx < MEGA_COMPONENT_MIN_OPS:
+            fast_path = False
 
     if fast_path:
         # Alias-free components whose fragments pass the byte-parity
@@ -520,9 +580,7 @@ def fold_person_state(
         }
         branches = []
         if counts.get(False, 0):
-            branches.append(
-                slow_ops.groupBy("comp").applyInPandas(_replay, _FOLD_OUT)
-            )
+            branches.append(_stream_fold(slow_ops))
         if counts.get(True, 0):
             branches.append(fast_person_fold(fast_ops, _FOLD_OUT))
         if not branches:
@@ -531,7 +589,7 @@ def fold_person_state(
         for b in branches[1:]:
             folded = folded.unionByName(b)
     else:
-        folded = partitioned.groupBy("comp").applyInPandas(_replay, _FOLD_OUT)
+        folded = _stream_fold(partitioned)
     # see FOLD_PIN: physical pin so the replay runs exactly once across
     # all consumers; O(batch) state rows
     folded = folded.localCheckpoint(eager=True) if FOLD_PIN else folded.cache()

@@ -153,11 +153,13 @@ def near_dup_pairs(
     `force_exact=True` → the exact block-partitioned O(n²/B) join at any
     threshold (an explicit, auditable opt-in to quadratic compare).
     Otherwise threshold >= 0.8 → `lsh_near_dup_pairs` (sub-quadratic:
-    banded hyperplane LSH candidates + exact verify; recall > 0.99 at
-    0.8+, precision 1.0; `dim` required). Below 0.8 the collision
-    probability math stops pruning, so without force_exact this raises —
-    at corpus scale an accidental quadratic compare is an outage, not a
-    slow query.
+    banded hyperplane LSH candidates + exact verify; precision 1.0,
+    recall concentrated at high similarity — ~0.999 for pairs at
+    s >= 0.98, ~0.99 at 0.95, falling to ~0.5 right at s = 0.90 with the
+    default 8x8-bit banding; see lsh_near_dup_pairs for the recall/cost
+    knob; `dim` required). Below 0.8 the collision probability math
+    stops pruning, so without force_exact this raises — at corpus scale
+    an accidental quadratic compare is an outage, not a slow query.
     """
     if force_exact:
         return embedding_near_dup_pairs(
@@ -176,11 +178,73 @@ def near_dup_pairs(
     )
 
 
+def band_sig_exprs(vec: Column, planes: list[list[int]], bands: int) -> list[Column]:
+    """Per-band LSH signatures: band b packs the sign bits of its
+    len(planes)/bands hyperplane dots into one small int. Kept as
+    separate per-band values (not one packed long) so the band width can
+    grow past the 63 usable bits of a BIGINT signature."""
+    per = len(planes) // bands
+    out = []
+    for b in range(bands):
+        total = F.lit(0).cast("long")
+        for j in range(per):
+            plane = planes[b * per + j]
+            dot = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(w)) for w in plane]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            total = total + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0)
+            )
+        out.append(total)
+    return out
+
+
+def _band_sigs_udf(planes: list[list[int]], bands: int):
+    """Arrow-vectorized per-band LSH signatures. The expression form
+    (band_sig_exprs) evaluates num_planes aggregate/zip_with trees per
+    row — higher-order functions are interpreted per ELEMENT, so 64
+    planes x 64 dims is ~4k lambda invocations per row (~9 s for a
+    2,200-vector corpus). This UDF computes the same dots as one numpy
+    pass per Arrow batch, accumulating over dimensions IN ORDER — the
+    same left-to-right summation the expression fold (and the DuckDB
+    oracle's list_sum) performs, so the sign decisions that pick buckets
+    are bit-identical across engines."""
+    import numpy as np
+    import pandas as pd
+
+    per = len(planes) // bands
+    M = np.asarray(planes, dtype=np.float64)  # (P, dim)
+    weights = np.array([1 << j for j in range(per)], dtype=np.int64)
+
+    def _sigs(col):
+        X = np.stack(col.to_numpy()).astype(np.float64)  # (n, dim)
+        acc = np.zeros((X.shape[0], M.shape[0]))
+        for d in range(X.shape[1]):
+            # dimension-sequential accumulation == the fold's add order
+            acc += X[:, d : d + 1] * M[:, d]
+        bits = acc > 0  # (n, P)
+        out = np.empty((X.shape[0], bands), dtype=np.int64)
+        for b in range(bands):
+            out[:, b] = bits[:, b * per : (b + 1) * per] @ weights
+        return pd.Series(list(out))
+
+    # legacy (function, returnType) form: `from __future__ import
+    # annotations` stringifies type hints, which the hint-based
+    # pandas_udf signature parser cannot resolve for local imports
+    return F.pandas_udf(_sigs, "array<long>")
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float,
     dim: int,
-    num_planes: int = 16,
+    num_planes: int = 64,
     bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -192,54 +256,53 @@ def lsh_near_dup_pairs(
     bucket; each candidate is exactly reranked, so precision is 1.0 and
     only recall is probabilistic: a pair at cosine s survives with
     1 - (1 - p^(num_planes/bands))^bands where p = 1 - arccos(s)/pi.
-    With the defaults, recall > 0.998 at s = 0.9. This is the
-    sub-quadratic scale path for high thresholds — shuffle volume is
-    n * bands rows and compare volume is bounded by bucket co-occupancy,
-    not n^2. Below ~0.8 the probability math stops working in your favor;
-    use the exact blocked join instead.
+    The 64-plane/8-band default gives 8-bit bands (256 buckets each),
+    which is what makes the path actually sub-quadratic: a random
+    (orthogonal) pair collides in a band with probability 2^-8, so
+    candidate volume is ~3% of n^2 from bucket noise plus the true
+    near-dup mass — versus 2-bit bands, where ~90% of ALL pairs collide
+    and the "LSH" silently degenerates to a quadratic join. The price is
+    that recall concentrates at high similarity: ~0.9992 at s=0.98,
+    ~0.988 at s=0.95, ~0.96 at s=0.92, but only ~0.50 right at s=0.90 —
+    the banding is tuned for near-IDENTICAL duplicate detection, where
+    dup pairs live at s >= 0.95. For high recall at a looser threshold,
+    raise `bands` (more 8-bit bands = more chances to collide) and pay
+    proportionally more shuffle volume.
+
+    Plan shape: signatures are computed once per row; only (id, band,
+    bsig) rows enter the explode and the self-join, so the shuffle
+    carries ids — the 64-double vectors join back by id for the verify
+    step, sized by candidate count, not by n * bands.
     """
     planes = hyperplanes(num_planes, dim)
-    bits_per_band = num_planes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _bucket_expr(F.col(vec_col), planes).alias("sig"),
+    sig_udf = _band_sigs_udf(planes, bands)
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).cache()
+    keyed = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(sig_udf(F.col(vec_col))).alias("band", "bsig"),
+        )
+        .cache()
     )
-    mask = (1 << bits_per_band) - 1
-    keyed = sig.select(
-        "id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("sig", b * bits_per_band)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bsig"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "v", "bk.band", "bk.bsig")
     cand = (
         keyed.alias("a")
         .join(keyed.alias("b"), ["band", "bsig"])
         .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.round(cosine_expr(F.col("va"), F.col("vb")), 9).alias("sim"),
-    ).where(F.col("sim") >= threshold)
+    va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 9).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
 
 
 def _bucket_expr(vec: Column, planes: list[list[int]]) -> Column:

@@ -922,4 +922,6 @@ def hf_flags_batch_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_flag_responses(persons, flags).orderBy("canonical_id")
 
 
-BENCH_EXTRA.update({"hf_person_fold_state", "hf_flag_eval"})
+BENCH_EXTRA.update(
+    {"hf_person_fold_state", "hf_flag_eval", "ev_stream_sessionization"}
+)

@@ -46,7 +46,12 @@ EMBED_THRESHOLD = 0.4
 TOPK = 5
 # sub-quadratic near-dup gate: planted high-sim pairs + banded LSH path
 LSH_EMBED_THRESHOLD = 0.9
-LSH_PLANES = 16
+# 64 planes / 8 bands = 8-bit band signatures (256 buckets per band):
+# random pairs collide at ~2^-8 per band, so candidate volume stays
+# sub-quadratic. The old 16/8 config gave 2-BIT bands (4 buckets) where
+# ~90% of ALL pairs collided — a silent quadratic join (observed: 96 s
+# at sf0.1 for a 2,200-vector corpus; ~2 s after the fix).
+LSH_PLANES = 64
 LSH_BANDS = 8
 EMBED_DIM = 64
 _PLANT_MOD = 10
@@ -237,27 +242,27 @@ def llm_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_sig_sql(v: str, planes: list[list[int]]) -> str:
-    """DuckDB mirror of similarity._bucket_expr: bit j = dot(v, plane_j) > 0.
-    Generated from the SAME hyperplanes() constants the Spark path uses."""
-    terms = []
-    for j, plane in enumerate(planes):
-        arr = "[" + ", ".join(f"{float(w):.1f}" for w in plane) + "]"
-        dot = (
-            f"list_sum(list_transform(generate_series(1, {EMBED_DIM}), "
-            f"i -> ({v}[i]) * (({arr})[i])))"
-        )
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
-    return "(" + " + ".join(terms) + ")"
-
-
-def _lsh_band_keys_sql(sig: str, num_planes: int, bands: int) -> str:
-    bits = num_planes // bands
-    mask = (1 << bits) - 1
-    parts = [
-        f"'{b}:' || ((({sig} >> {b * bits}) & {mask})::VARCHAR)" for b in range(bands)
-    ]
-    return "[" + ", ".join(parts) + "]"
+def _lsh_band_keys_sql(v: str, planes: list[list[int]], bands: int) -> str:
+    """DuckDB mirror of similarity.band_sig_exprs: an array of per-band
+    'b:sig' keys, where band b's sig packs the sign bits of its
+    len(planes)/bands hyperplane dots. Generated from the SAME
+    hyperplanes() constants (and the same sequential-fold dot order) as
+    the Spark path, so bucket assignment — and therefore candidate
+    recall — is identical in both engines."""
+    per = len(planes) // bands
+    band_exprs = []
+    for b in range(bands):
+        terms = []
+        for j in range(per):
+            plane = planes[b * per + j]
+            arr = "[" + ", ".join(f"{float(w):.1f}" for w in plane) + "]"
+            dot = (
+                f"list_sum(list_transform(generate_series(1, {EMBED_DIM}), "
+                f"i -> ({v}[i]) * (({arr})[i])))"
+            )
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        band_exprs.append(f"'{b}:' || ((" + " + ".join(terms) + ")::VARCHAR)")
+    return "[" + ", ".join(band_exprs) + "]"
 
 
 # corpus = embeddings (as doubles) + deterministically perturbed copies of
@@ -282,8 +287,8 @@ _LSH_CORPUS_SQL = f"""
     "llm_lsh_near_dups",
     oracle=f"""
     WITH corpus AS ({_LSH_CORPUS_SQL}),
-    sg AS (SELECT id, v, {_lsh_sig_sql('v', hyperplanes(LSH_PLANES, EMBED_DIM))} AS sig FROM corpus),
-    bk AS (SELECT id, unnest({_lsh_band_keys_sql('sig', LSH_PLANES, LSH_BANDS)}) AS bkey FROM sg),
+    sg AS (SELECT id, v FROM corpus),
+    bk AS (SELECT id, unnest({_lsh_band_keys_sql('v', hyperplanes(LSH_PLANES, EMBED_DIM), LSH_BANDS)}) AS bkey FROM sg),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.id < b.id
@@ -963,5 +968,15 @@ _register_corpus_filter_oracle()
 
 
 BENCH_EXTRA.update(
-    {"llm_minhash_near_dups", "llm_ann_topk", "llm_exact_dedup", "llm_quality_tokens"}
+    {
+        "llm_minhash_near_dups",
+        "llm_ann_topk",
+        "llm_exact_dedup",
+        "llm_quality_tokens",
+        # round-5: the graded sub-quadratic near-dup path and the CC
+        # cluster assignment join the bench so round-over-round perf
+        # tracks what the correctness window grades
+        "llm_lsh_near_dups",
+        "llm_dedup_clusters",
+    }
 )

@@ -36,7 +36,12 @@ TABLES = (
 ).split()
 # bench queries whose oracle is not an apples-to-apples table scan
 # (fabricated inputs or fixture joins on the Spark side)
-OVERHEAD_SKIP: set[str] = set()
+OVERHEAD_SKIP: set[str] = {
+    # Spark side replays the events table as a THREE-micro-batch file
+    # stream (checkpoint + state commits included); the oracle is a
+    # plain batch window over the same events — not comparable work
+    "ev_stream_sessionization",
+}
 
 
 def main() -> None:

@@ -98,8 +98,12 @@ def test_eligible_cells_take_jvm_path(spark, monkeypatch):
         spark.createDataFrame(_raw([_gi("org", "a", {"k": 1})]))
     )
     results, groups = fold_group_state(cmds, fast_path=True)
+    # the eligibility flag pass checkpoints the ops frame, hiding the
+    # upstream decode/derive MapInPandas passes; the Python replay is
+    # itself a MapInPandas stream now, so its absence proves the JVM
+    # branch ran alone
     plan = groups._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" not in plan
     rows = groups.collect()
     assert len(rows) == 1 and rows[0]["version"] == 1
     res = results.collect()

@@ -74,25 +74,32 @@ def test_person_auto_all_hot_eligible_takes_jvm_path(spark, monkeypatch):
         {"event": "e", "distinct_id": "hot", "properties": {"$set": {"k": i}}}
         for i in range(12)
     ]
-    cmds = decode_normalize_requests(spark.createDataFrame(_raw(bodies)))
+    # pin commands: decode itself is a MapInPandas pass, and the Python
+    # replay is now a MapInPandas stream too — the checkpoint hides
+    # decode so the assertion sees only the fold engine
+    cmds = decode_normalize_requests(
+        spark.createDataFrame(_raw(bodies))
+    ).localCheckpoint(eager=True)
     _, persons = fold_person_state(cmds, fast_path="auto")
     plan = persons._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" not in plan
     rows = persons.collect()
     assert len(rows) == 1 and rows[0]["version"] == 12
 
 
 def test_person_auto_small_batch_skips_flag_pass(spark, monkeypatch):
     # below MEGA_COMPONENT_MIN_OPS/2 commands no component can be mega:
-    # auto degenerates to the plain replay (single applyInPandas plan)
+    # auto degenerates to the plain replay (single MapInPandas stream)
     monkeypatch.setattr(person_state, "FOLD_PIN", False)
     bodies = [
         {"event": "e", "distinct_id": "u", "properties": {"$set": {"k": 1}}}
     ]
-    cmds = decode_normalize_requests(spark.createDataFrame(_raw(bodies)))
+    cmds = decode_normalize_requests(
+        spark.createDataFrame(_raw(bodies))
+    ).localCheckpoint(eager=True)
     _, persons = fold_person_state(cmds, fast_path="auto")
     plan = persons._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
 
 
 def _group_commands(spark):

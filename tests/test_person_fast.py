@@ -163,14 +163,17 @@ def test_eligible_input_takes_jvm_path(spark, monkeypatch):
     # FOLD_PIN hides the fold subtree behind a Scan ExistingRDD; disable
     # it so the executed plan shows which engine ran
     monkeypatch.setattr(person_state, "FOLD_PIN", False)
+    # pin commands: decode is itself a MapInPandas pass, and the Python
+    # replay fallback is now a MapInPandas stream — the checkpoint hides
+    # decode so the assertion sees only the fold engine
     cmds = decode_normalize_requests(
         spark.createDataFrame(_raw([_capture("u", {"$set": {"a": 1}})]))
-    )
+    ).localCheckpoint(eager=True)
     snapshots, persons = fold_person_state(cmds, fast_path=True)
     # all ops eligible → the Python fallback branch is skipped entirely:
-    # no FlatMapGroupsInPandas anywhere in the fold plan
+    # no MapInPandas (Python replay) anywhere in the fold plan
     plan = persons._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" not in plan
     rows = persons.collect()
     assert len(rows) == 1 and rows[0]["version"] == 1
 
