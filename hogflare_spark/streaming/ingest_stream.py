@@ -302,11 +302,16 @@ class StreamingIngestJob:
         from pyspark.sql.window import Window
 
         w = Window.partitionBy(*key_cols).orderBy(F.desc("_delta_rank"))
-        return (
+        out = (
             merged.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn", "_delta_rank")
         )
+        if "uuid" in out.columns:
+            # a winning tombstone (uuid NULL, written by the delta lane
+            # when a batch merge absorbs a canonical_id) retires the key
+            out = out.where(F.col("uuid").isNotNull())
+        return out
 
     # ---- the micro-batch body -------------------------------------------
 
@@ -354,14 +359,30 @@ class StreamingIngestJob:
         return int(row["m"] or 0)
 
     @staticmethod
-    def _has_cross_key_ops(commands: DataFrame) -> bool:
-        """True if any command creates an identity edge between two
-        distinct_ids (mirrors derive_person_ops' alias/auto-alias gates)."""
-        cross = commands.where(
-            F.col("alias").isNotNull()
-            | ((F.col("skip_person") == "0") & F.col("anon_distinct_id").isNotNull())
+    def _touched_distinct_ids(commands: DataFrame) -> DataFrame:
+        """Every distinct_id a batch's person ops can reference —
+        including BOTH endpoints of alias/auto-alias edges (mirrors
+        derive_person_ops' gates). Components of the prior table not
+        intersecting this set are provably untouched by the batch: a
+        batch can only merge records along its own alias edges, and both
+        edge endpoints appear here, so seeding the intersected records
+        (already-merged components) closes the batch's alias closure."""
+        skip0 = F.col("skip_person") == "0"
+        return (
+            commands.select(
+                F.explode(
+                    F.array_compact(
+                        F.array(
+                            F.when(skip0, F.col("distinct_id")),
+                            F.when(skip0, F.col("anon_distinct_id")),
+                            F.get_json_object("alias", "$.distinct_id"),
+                            F.get_json_object("alias", "$.alias"),
+                        )
+                    )
+                ).alias("_did")
+            )
+            .distinct()
         )
-        return bool(cross.limit(1).count())
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from hogflare_spark.operators.ingest import ingest_commands
@@ -372,11 +393,22 @@ class StreamingIngestJob:
         commands = decode_normalize_requests(batch_df).cache()
         p_pointer, p_deltas = self._batch_pointer("persons", cid)
         g_pointer, g_deltas = self._batch_pointer("groups", cid)
+        # The delta lane now takes EVERY batch once a base exists (up to
+        # the delta-compaction cap) — including alias batches: the seed
+        # below is the prior components the batch's ids touch, and both
+        # endpoints of every alias edge are in the touched set, so a
+        # cross-key merge folds correctly against its restricted seed.
+        # Records absorbed by a merge get tombstone rows in the delta
+        # (uuid NULL) so the read view drops their stale base rows —
+        # without them, a merged-away canonical_id would resurrect from
+        # the base at read time. Pre-r5 the lane refused alias batches
+        # outright, so a 1%-alias stream paid a full-corpus fold on
+        # every alias-carrying batch (reference semantics pinned by
+        # /root/reference/src/persons.rs:281-326).
         person_fast = (
             self.hybrid
             and p_pointer.get("base") is not None
             and len(p_deltas) < self.max_person_deltas
-            and not self._has_cross_key_ops(commands)
         )
         # group ops are ALWAYS per-(type,key) — no cross-key merges exist
         # in the model (groups.rs LWW upserts) — so the delta lane needs
@@ -394,14 +426,10 @@ class StreamingIngestJob:
         )
         seed_persons, floor = prior_persons, None
         if person_fast:
-            # seed only the persons whose distinct_ids this batch touches;
-            # untouched rows stay in base/deltas and are never replayed.
-            touched = (
-                commands.where(F.col("skip_person") == "0")
-                .where(F.col("distinct_id").isNotNull())
-                .select(F.col("distinct_id").alias("_did"))
-                .distinct()
-            )
+            # seed only the persons whose distinct_ids this batch touches
+            # (alias endpoints included); untouched rows stay in
+            # base/deltas and are never replayed.
+            touched = self._touched_distinct_ids(commands)
             affected_ids = (
                 prior_persons.select(
                     "canonical_id", F.explode("distinct_ids").alias("_pdid")
@@ -409,6 +437,7 @@ class StreamingIngestJob:
                 .join(F.broadcast(touched), F.col("_pdid") == F.col("_did"), "semi")
                 .select("canonical_id")
                 .distinct()
+                .localCheckpoint(eager=True)
             )
             seed_persons = prior_persons.join(
                 F.broadcast(affected_ids), "canonical_id", "semi"
@@ -478,8 +507,22 @@ class StreamingIngestJob:
         batch_max = int(row["m"] or 0)
         persons_root = self._state_root("persons")
         if person_fast:
-            # new_persons holds ONLY affected ∪ newly-created rows here
-            new_persons.write.mode("overwrite").parquet(
+            # new_persons holds ONLY affected ∪ newly-created rows here.
+            # A seeded canonical_id missing from the fold output was
+            # absorbed by a batch merge — write a tombstone (uuid NULL)
+            # so the LWW read view retires its stale base/delta row.
+            gone = affected_ids.join(
+                new_persons.select("canonical_id"), "canonical_id", "left_anti"
+            )
+            tombstones = gone.select(
+                "canonical_id",
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in PERSON_SCHEMA.fields
+                    if f.name != "canonical_id"
+                ],
+            )
+            new_persons.unionByName(tombstones).write.mode("overwrite").parquet(
                 os.path.join(persons_root, f"d={cid}")
             )
             self._commit_pointer(

@@ -197,8 +197,10 @@ def test_streaming_chaos_batch_splits_match_batch_fold(spark, tmp_path):
 HYBRID_OPS = [
     _capture(1, "anon-1", {"$set": {"plan": "free"}}),
     _capture(2, "u2", {"$set": {"t": "x"}}),
-    _alias(3, "user-1", "anon-1"),  # cross-key merge → full lane
-    # everything below is alias-free → fast lane (delta writes):
+    _alias(3, "user-1", "anon-1"),  # cross-key merge → touched-component
+    # delta: both edge endpoints are in the touched set, so the lane
+    # seeds anon-1's record, merges it into user-1, and writes a
+    # tombstone retiring the absorbed canonical id
     _capture(4, "anon-1", {"$set": {"plan": "pro"}}),  # touches the merged
     # person through its ABSORBED id — the affected-person semi-join must
     # resolve anon-1 → canonical user-1
@@ -209,10 +211,10 @@ HYBRID_OPS = [
 
 
 def test_hybrid_streaming_fast_lane_converges_to_batch_fold(spark, tmp_path):
-    """VERDICT r3 item 4: a mixed stream (captures + late alias) through
-    the hybrid job — full fold for alias batches, O(batch) delta lane for
-    alias-free batches — converges to the one-shot batch fold, ids
-    included."""
+    """VERDICT r3 item 4 (+ r4 item 7): a mixed stream (captures + late
+    alias) through the hybrid job — EVERY post-bootstrap batch takes the
+    O(touched components) delta lane, alias batches included — converges
+    to the one-shot batch fold, ids included."""
     from hogflare_spark.operators.ingest import ingest_raw_requests
     from hogflare_spark.streaming.ingest_stream import (
         StreamingIngestJob,
@@ -228,11 +230,21 @@ def test_hybrid_streaming_fast_lane_converges_to_batch_fold(spark, tmp_path):
         _write_batch(landing, f"b{bi}.json", HYBRID_OPS[start:end])
         job.run_available_now(read_request_stream(spark, landing), ckpt)
 
-    # the third micro-batch (batch id 2) was alias-free → a delta, not a
-    # full rewrite; the pointer records base=1 (the alias compaction)
+    # the alias micro-batch (batch id 1) is a DELTA now, not a full
+    # rewrite: the pointer keeps base=0 with both later batches stacked
+    # as deltas
     pointer = json.load(open(os.path.join(warehouse, "persons", "_STATE")))
-    assert pointer["base"] == 1 and pointer["deltas"] == [2], pointer
+    assert pointer["base"] == 0 and pointer["deltas"] == [1, 2], pointer
+    assert os.path.isdir(os.path.join(warehouse, "persons", "d=1"))
     assert os.path.isdir(os.path.join(warehouse, "persons", "d=2"))
+    # the alias delta is O(touched): exactly the merged record plus the
+    # tombstone for the absorbed canonical id — u2's record must NOT be
+    # replayed into it
+    d1 = spark.read.parquet(os.path.join(warehouse, "persons", "d=1"))
+    d1_rows = {r["canonical_id"]: r for r in d1.collect()}
+    assert set(d1_rows) == {"user-1", "anon-1"}, sorted(d1_rows)
+    assert d1_rows["anon-1"]["uuid"] is None  # tombstone
+    assert d1_rows["user-1"]["uuid"] is not None
 
     batch_raw = spark.createDataFrame(
         [Row(request_seq=r["request_seq"], endpoint=r["endpoint"], body=r["body"])
