@@ -152,6 +152,8 @@ def ingest_commands(
         )
         ev = ev.withColumn(f"group{i}", F.coalesce(echo_slot, F.col(f"slot{i}")))
 
+    from hogflare_spark.operators.person_fast import synth_time_expr
+
     seq_linear = F.col("request_seq") * F.lit(1_000_000) + F.col("item_index") * F.lit(100)
     events = ev.select(
         # deterministic uuid from the seq pair (divergence: uuid4 in the
@@ -169,8 +171,10 @@ def ingest_commands(
         "distinct_id",
         F.to_timestamp("timestamp").alias("timestamp"),
         # deterministic created_at (divergence: Utc::now(), pipeline.rs:193);
-        # same 2000-01-01 UTC epoch as person_store.synthetic_time
-        F.timestamp_millis(seq_linear + F.lit(946_684_800_000)).alias("created_at"),
+        # same piecewise seq mapping as person_store.synthetic_time, so
+        # event and person timestamps agree and 64-bit-scale seq values
+        # stay inside timestamp range
+        synth_time_expr(seq_linear).alias("created_at"),
         "properties",
         "context",
         F.when(F.col("skip_person") == "1", F.lit(None).cast("string"))

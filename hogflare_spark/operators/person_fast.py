@@ -72,6 +72,24 @@ _ENTRY_TYPE = "array<struct<phase:int,pos:int,k:string,mk:int,val:string>>"
 _SYNTH_EPOCH_MS = 946_684_800_000  # 2000-01-01 UTC, person_store.synthetic_time
 
 
+def synth_time_expr(seq_linear: F.Column) -> F.Column:
+    """JVM twin of person_store.synthetic_time, piecewise boundary
+    included: milliseconds below SYNTH_COMPRESS_AFTER, microseconds past
+    it (keeps 64-bit-scale seq values inside timestamp range and
+    bit-identical with the Python kernel's datetimes)."""
+    from hogflare_spark.operators.person_store import SYNTH_COMPRESS_AFTER
+
+    boundary_us = (_SYNTH_EPOCH_MS + SYNTH_COMPRESS_AFTER) * 1000
+    return F.when(
+        seq_linear < F.lit(SYNTH_COMPRESS_AFTER),
+        F.timestamp_millis(seq_linear + F.lit(_SYNTH_EPOCH_MS)),
+    ).otherwise(
+        F.timestamp_micros(
+            seq_linear - F.lit(SYNTH_COMPRESS_AFTER) + F.lit(boundary_us)
+        )
+    )
+
+
 def op_fast_eligible() -> F.Column:
     """Row-level guard over derive_person_ops output columns.
 
@@ -123,7 +141,7 @@ def _op_time(ts: F.Column, seq_linear: F.Column) -> F.Column:
     """_parse_ts twin: ISO parse (UTC session tz) else synthetic time."""
     return F.coalesce(
         F.try_to_timestamp(F.regexp_replace(ts, "Z$", "+00:00")),
-        F.timestamp_millis(seq_linear + F.lit(_SYNTH_EPOCH_MS)),
+        synth_time_expr(seq_linear),
     )
 
 

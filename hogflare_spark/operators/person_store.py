@@ -34,10 +34,24 @@ import json
 from datetime import datetime, timedelta, timezone
 
 _SYNTHETIC_EPOCH = datetime(2000, 1, 1, tzinfo=timezone.utc)
+# seq values below this map to epoch-relative MILLISECONDS (the
+# historical mapping — every fixture/oracle value at sf <= 0.1 is
+# unchanged); above it, the tail maps to MICROSECONDS. Still strictly
+# monotonic and injective, but 1000x denser past the boundary, so
+# large-id traffic (seq up to ~2.4e17, i.e. event ids < ~2.4e11) stays
+# inside datetime's year-9999 range instead of overflowing (observed at
+# the sf1 scale probe: event ids ~9e8 -> seq_linear ~9e14 ms ≈ year
+# 30,000 -> OverflowError in the fold kernel).
+SYNTH_COMPRESS_AFTER = 10_000_000_000_000  # 1e13 ms ≈ year 2316
 
 
 def synthetic_time(seq: int) -> datetime:
-    return _SYNTHETIC_EPOCH + timedelta(milliseconds=seq)
+    if seq < SYNTH_COMPRESS_AFTER:
+        return _SYNTHETIC_EPOCH + timedelta(milliseconds=seq)
+    return _SYNTHETIC_EPOCH + timedelta(
+        milliseconds=SYNTH_COMPRESS_AFTER,
+        microseconds=seq - SYNTH_COMPRESS_AFTER,
+    )
 
 
 def deterministic_uuid(*parts) -> str:

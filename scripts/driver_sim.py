@@ -36,6 +36,9 @@ def main() -> None:
     only = {n for n in os.environ.get("SIM_ONLY", "").split(",") if n}
     if only:
         qs = {n: f for n, f in qs.items() if n in only}
+    skip = {n for n in os.environ.get("SIM_SKIP", "").split(",") if n}
+    if skip:
+        qs = {n: f for n, f in qs.items() if n not in skip}
     results = {}
     for name, fn in sorted(qs.items()):
         try:
