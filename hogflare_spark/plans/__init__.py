@@ -75,6 +75,12 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # built entirely from fragments with graded representatives.
     "llm_pack_sequences",
     "llm_corpus_filter",
+    # round 5: the explicit force_exact O(n²/B) embedding compare moves
+    # OUT of the window (r4 verdict item 4) — the graded
+    # llm_embedding_near_dups slot now runs the facade's sub-quadratic
+    # banded-LSH default, and the exact path keeps sim+pytest evidence
+    # under this demoted name.
+    "llm_exact_embedding_near_dups",
     # PostHog-staple analytics shapes (paths / lifecycle / stickiness):
     # window + aggregate plans whose families are graded via
     # ev_sessionization / ev_weekly_retention / q_window gates.
