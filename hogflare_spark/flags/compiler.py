@@ -341,12 +341,32 @@ def evaluate_flags_df(
     """
     from hogflare_spark.flags.model import flag_matches_environment
 
+    # Parse the JSON context blobs to VARIANT once per row, as real
+    # projected columns: every compiled filter references the SAME
+    # attribute instead of carrying its own parse_json(...) tree, so the
+    # Jackson parse happens once per row rather than once per property
+    # access across all flags (codegen CSE doesn't reach across the
+    # exploded per-flag struct branches). The helper columns are dropped
+    # from the output via out_cols.
+    out_cols = contexts.columns
+    contexts = contexts.withColumns(
+        {
+            "_person_variant": F.parse_json(
+                F.coalesce(F.col("person_properties"), F.lit("{}"))
+            ),
+            "_group_variant": F.parse_json(
+                F.coalesce(F.col("group_properties"), F.lit("{}"))
+            ),
+        }
+    )
     ctx = _Ctx(
         F.col("distinct_id"),
         F.col("person_properties"),
         F.col("groups"),
         F.col("group_properties"),
     )
+    ctx.person_variant = F.col("_person_variant")
+    ctx.group_variant = F.col("_group_variant")
     selected = [
         f
         for f in flags
@@ -355,7 +375,7 @@ def evaluate_flags_df(
     ]
     if not selected:
         return contexts.limit(0).select(
-            "*",
+            *out_cols,
             F.lit(None).cast("string").alias("flag_key"),
             F.lit(None).cast("string").alias("value"),
             F.lit(None).cast("string").alias("payload"),
@@ -373,7 +393,7 @@ def evaluate_flags_df(
     )
     exploded = contexts.withColumn("_flag", F.explode(structs))
     return exploded.select(
-        *contexts.columns,
+        *out_cols,
         F.col("_flag.flag_key").alias("flag_key"),
         F.col("_flag.res.value").alias("value"),
         F.col("_flag.res.payload").alias("payload"),
