@@ -239,15 +239,16 @@ def _two_phase_rank(allocs: DataFrame, small_batch: bool = False) -> DataFrame:
 # eligible component. None = auto only engages it per-component via
 # MEGA_COMPONENT_MIN_OPS below: measured head-to-head (scripts/fold_crossover.py, local[32],
 # 3 keys/op), the Arrow+Python replay wins at every size we can measure —
-# 4s vs 9s at 100k ops, 16s vs 31s at 2M ops — because the expression
-# path's as-of snapshot assembly pays two extra exchanges and three wide
-# sorts over an ops×keys frame while the replay pays C-speed dict work
-# in one exchange. The JVM path stays available as fast_path=True: its
-# at-scale advantage is MEMORY ROBUSTNESS, not throughput — the replay
-# must hold each identity component's full op list in a pandas frame
-# (one mega-component = one OOM-able task) where the expression fold
-# streams through spillable sorts; it is also the only option on
-# executors without Python runtimes.
+# and the round-5 streaming-replay rewrite widened the gap: 9s vs 36s at
+# 2M ops (was 16s vs 31s with the per-group applyInPandas shape) —
+# because the expression path's as-of snapshot assembly pays two extra
+# exchanges and three wide sorts over an ops×keys frame while the replay
+# pays C-speed dict work in one exchange. The JVM path stays available
+# as fast_path=True: since the replay now streams Arrow batches (it no
+# longer buffers a component's full op list in one pandas frame), the
+# JVM path's remaining value is executors without Python runtimes and
+# wholly-spillable execution; auto's mega-component routing keeps it
+# exercised on oversized components.
 FAST_PATH_MIN_COMMANDS: int | None = None
 # Above this, the allocation rank uses the range-partitioned two-phase
 # scheme; below it, a single-reducer sort of #persons rows is cheaper.

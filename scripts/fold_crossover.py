@@ -5,14 +5,18 @@ This is the measurement behind person_state.FAST_PATH_MIN_COMMANDS
 defaulting to None (auto mode keeps the replay): on local[32] with
 3 keys/op the replay wins at every size that fits this machine —
 
-    100k ops:  replay ~4s   vs expression fold ~9s
-    2M ops:    replay ~16s  vs expression fold ~31s
+    100k ops:  replay ~4s   vs expression fold ~9s   (round 4)
+    2M ops:    replay ~16s  vs expression fold ~31s  (round 4)
+    2M ops:    replay ~9s   vs expression fold ~35s  (round 5, after
+               the sorted-mapInPandas streaming replay rewrite)
 
 The expression fold's as-of snapshot assembly pays two extra exchanges
 and three wide sorts over an ops×keys frame; the replay pays C-speed
 dict work in one pinned-width exchange. The JVM path's remaining value
-is memory robustness (spillable sorts vs per-component pandas buffers)
-and Python-less executors — a profile this harness can't exercise.
+is Python-less executors and wholly-spillable execution — the round-5
+streaming replay removed the old per-component pandas-buffer memory
+argument (kernel state is O(component records), frames are O(arrow
+batch)).
 
 Usage: python scripts/fold_crossover.py [n_users] [events_per_user]
 Prints one JSON line per timed run.

@@ -729,3 +729,39 @@ def test_fresh_checkpoint_new_run_is_not_a_replay(spark, tmp_path):
     b2.process_batch(_raw_df(spark, nb), 0)
     assert version_of(b2, "anon-1") == v_a + 1
     assert read_events(spark, b2.events_dir).count() == n_events_a + 1
+
+
+def test_alias_delta_batch_replay_is_a_rewrite(spark, tmp_path):
+    """A checkpoint replay of an ALIAS-carrying delta batch (merge +
+    tombstone) must be a rewrite: same merged record, same tombstone,
+    no double version bump, no resurrected absorbed id."""
+    from hogflare_spark.streaming.ingest_stream import StreamingIngestJob
+
+    wh = str(tmp_path / "wh")
+    job = StreamingIngestJob(wh, hybrid=True, run_id="r")
+    job.process_batch(_raw_df(spark, BATCH1), 0)  # bootstrap: anon-1, anon-2
+
+    alias_batch = [
+        _alias(10, "user-1", "anon-1"),
+        _capture(11, "user-1", {"$set": {"plan": "pro"}}),
+    ]
+
+    def snap():
+        persons = {
+            r["canonical_id"]: (r["version"], sorted(r["distinct_ids"]))
+            for r in job.read_persons(spark).collect()
+        }
+        d = spark.read.parquet(os.path.join(wh, "persons", "d=1"))
+        delta = {r["canonical_id"]: r["uuid"] is None for r in d.collect()}
+        return persons, delta
+
+    job.process_batch(_raw_df(spark, alias_batch), 1)  # alias delta
+    want = snap()
+    assert want[1] == {"user-1": False, "anon-1": True}  # merge + tombstone
+    assert "anon-1" not in want[0] and "user-1" in want[0]
+    assert sorted(want[0]["user-1"][1]) == ["anon-1", "user-1"]
+
+    job.process_batch(_raw_df(spark, alias_batch), 1)  # checkpoint replay
+    assert snap() == want
+    job.process_batch(_raw_df(spark, alias_batch), 1)  # replay of a replay
+    assert snap() == want
