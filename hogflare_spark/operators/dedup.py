@@ -243,6 +243,64 @@ def contamination_flags(
     )
 
 
+def substring_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 8,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Exact-substring overlap: (id_a, id_b, shared_windows, overlap_frac)
+    for document pairs sharing at least one exact `window_tokens`-token
+    run — the pair-detection half of exact-substring deduplication
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"), which flags verbatim copying that set-similarity measures
+    dilute (a long doc embedding one copied paragraph has low Jaccard
+    but is still a training-data duplicate).
+
+    A W-token window IS a W-shingle, so the sketch input reuses
+    with_shingle_hashes; pairs come from an inverted index on window
+    hashes (no cross join). `overlap_frac` = shared / min(|A|, |B|)
+    distinct windows — 1.0 when the shorter doc is entirely contained.
+
+    Scale shape: one shuffle on the window hash. Posting lists longer
+    than `max_posting` are dropped before the pair join — at corpus
+    scale those are boilerplate runs (headers, license blocks) whose
+    quadratic pair set is noise for dedup purposes; the cap bounds the
+    join exactly like minhash's `max_bucket`.
+    """
+    sk = with_shingle_hashes(df, text_col, id_col, k=window_tokens).cache()
+    sized = sk.select("id", F.size("hs").alias("sz"))
+    postings = sk.select("id", F.explode("hs").alias("w"))
+    ok = (
+        postings.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_posting))
+        .select("w")
+    )
+    p = postings.join(ok, "w")
+    p2 = p.select("w", F.col("id").alias("id_b"))
+    shared = (
+        p.join(p2, "w")
+        .where(F.col("id") < F.col("id_b"))
+        .groupBy(F.col("id").alias("id_a"), F.col("id_b"))
+        .agg(F.count("*").alias("shared_windows"))
+    )
+    return (
+        shared.join(sized.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sized.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_windows",
+            (
+                F.col("shared_windows").cast("double")
+                / F.least("sz_a", "sz_b").cast("double")
+            ).alias("overlap_frac"),
+        )
+    )
+
+
 def simhash_sketches(
     df: DataFrame, text_col: str, id_col: str, k: int = SHINGLE_K, bits: int = 32
 ) -> DataFrame:

@@ -213,3 +213,157 @@ def pack_sequences_sql(
            CAST((cumsum - n_tokens) % {target_tokens} AS BIGINT) AS bin_offset
     FROM c
     """
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Splits documents into fixed-size token chunks with overlap — the
+    context-window preparation step between corpus filtering and
+    training (HF tokenizers' return_overflowing_tokens shape): chunk k
+    starts at token 1 + k*stride; the run of starts covers every token,
+    so the final chunk may be shorter than `chunk_tokens`.
+
+    Output: (doc_id, chunk_idx, start_token, n_chunk_tokens, chunk_text),
+    one row per chunk, 1-based start. Pure projection + posexplode — no
+    shuffle, no state; chunk boundaries are a function of the row alone,
+    so the op composes into any scan at any scale.
+    """
+    from hogflare_spark.functions import text as T
+
+    tok = T.tokens(F.col(text_col))
+    n = F.size(tok)
+    # number of strided chunks after the first = ceil(max(0, n - chunk) / stride)
+    extra = F.floor(
+        (F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), extra).cast("array<int>")
+    out = df.select(
+        F.col(id_col).alias("doc_id"), tok.alias("_tok"), F.posexplode(starts)
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("chunk_idx"),
+        (F.col("col") * stride + 1).cast("long").alias("start_token"),
+        F.least(
+            F.lit(chunk_tokens),
+            F.size("_tok") - (F.col("col") * stride),
+        ).cast("long").alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice("_tok", F.col("col") * stride + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+    )
+    return out
+
+
+def chunk_documents_sql(
+    table: str,
+    text_expr: str,
+    id_expr: str,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> str:
+    """DuckDB mirror of chunk_documents: same starts, same slices."""
+    from hogflare_spark.functions import text as T
+
+    tok = T.tokens_sql(text_expr)
+    return f"""
+    WITH d AS (
+      SELECT {id_expr} AS doc_id, {tok} AS tok FROM {table}
+    ), s AS (
+      SELECT doc_id, tok,
+             unnest(generate_series(0,
+               CAST(floor((greatest(len(tok) - {chunk_tokens}, 0)
+                           + {stride - 1}) / {stride}.0) AS INT))) AS k
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_idx,
+           CAST(k * {stride} + 1 AS BIGINT) AS start_token,
+           CAST(least({chunk_tokens}, len(tok) - k * {stride}) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(tok, k * {stride} + 1,
+                                      k * {stride} + {chunk_tokens}), ' ')
+             AS chunk_text
+    FROM s
+    """
+
+
+def domain_mixture(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str,
+    sample_n: int = 10_000,
+) -> DataFrame:
+    """Per-domain sampling weights for corpus mixing: token-share with a
+    sqrt temperature (τ = 0.5) — the standard flattening used for
+    multilingual / multi-source training mixes (sampling p_s ∝ share^τ
+    suppresses the head domain and upweights the tail; cf. mBERT/XLM-R
+    exponent-smoothed sampling) — plus the integer document quota a
+    `sample_n`-document mix would draw from each domain.
+
+    Determinism across engines is engineered, not hoped for: token
+    counts are exact BIGINTs; sqrt is IEEE-exact (unlike pow, which is
+    why τ is 0.5 and not 0.7); the weight is quantized to a BIGINT
+    (floor(sqrt(n_tokens) * 1e6)) BEFORE normalization so the
+    normalizing sum is an order-independent integer sum; the quota is
+    pure integer arithmetic (w * N div Σw).
+
+    Scale shape: one partial-aggregated groupBy on the domain key (the
+    output is |domains| rows), one broadcast of the 1-row total.
+    """
+    from hogflare_spark.operators.text_analysis import ws_token_count
+
+    per = (
+        df.groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ws_token_count(F.col(text_col))).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "w_int",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6).cast("long"),
+        )
+    )
+    total = per.agg(F.sum("w_int").alias("w_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        (
+            F.floor(
+                F.col("w_int").cast("double") / F.col("w_total").cast("double") * 1e6
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("weight"),
+        F.expr(f"w_int * {sample_n} div w_total").alias("quota"),
+    )
+
+
+def domain_mixture_sql(
+    table: str, domain_expr: str, text_expr: str, sample_n: int = 10_000
+) -> str:
+    """DuckDB mirror: identical integer quantization and quota math."""
+    from hogflare_spark.operators.text_analysis import ws_token_count_sql
+
+    tc = ws_token_count_sql(text_expr)
+    return f"""
+    WITH per AS (
+      SELECT {domain_expr} AS domain, count(*) AS n_docs,
+             CAST(sum({tc}) AS BIGINT) AS n_tokens
+      FROM {table} GROUP BY 1
+    ), w AS (
+      SELECT *, CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000) AS BIGINT) AS w_int
+      FROM per
+    ), t AS (SELECT sum(w_int) AS w_total FROM w)
+    SELECT domain, n_docs, n_tokens,
+           floor(w_int::DOUBLE / w_total::DOUBLE * 1000000 + 0.5) / 1000000
+             AS weight,
+           (w_int * {sample_n}) // w_total AS quota
+    FROM w, t
+    """

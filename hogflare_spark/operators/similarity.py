@@ -676,3 +676,43 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def semantic_dedup_clusters(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): rows
+    whose EMBEDDINGS are near-identical collapse to one kept exemplar,
+    removing paraphrase/translation duplicates that token-level dedup
+    (minhash/simhash/substring) cannot see.
+
+    Composition of the scale paths this module already proves out:
+    sub-quadratic banded-LSH near-dup pairs (no block-replicated pair
+    join) become edges of a similarity graph; connected components
+    (operators/identity.py — min-label + pointer jumping, the person
+    identity machinery) assign every vector a cluster; the min-id
+    member is the kept exemplar. SemDeDup's k-means stage exists here
+    as the LSH bucketing — both are cheap partitions that bound the
+    within-cell pair search; LSH buckets keep the whole pipeline
+    deterministic and oracle-mirrorable where trained centroids would
+    not be.
+
+    Output: (id, cluster_id, is_canonical) for EVERY input row —
+    singletons are their own cluster, so downstream keeps exactly the
+    `is_canonical` rows.
+    """
+    from hogflare_spark.operators.identity import connected_components
+
+    pairs = near_dup_pairs(df, threshold, dim=dim, id_col=id_col, vec_col=vec_col)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = connected_components(edges).withColumnRenamed("id", "member_id")
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(labels, F.col("id") == F.col("member_id"), "left").select(
+        "id",
+        F.coalesce("comp", "id").alias("cluster_id"),
+        (F.col("id") == F.coalesce("comp", "id")).alias("is_canonical"),
+    )

@@ -6,7 +6,7 @@ SQL mirror generator for the correctness oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hogflare_spark.functions import text as T
@@ -253,3 +253,90 @@ def scrub_pii_sql(expr: str) -> str:
     for _, pat, repl in PII_PATTERNS:
         out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
     return out
+
+
+def unigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus-trained unigram LM quality score per document — the
+    CCNet-style "score each doc against a language model of the corpus"
+    step, reduced to its distributable core: pass 1 trains the model
+    (token → corpus frequency), pass 2 scores every document by its
+    mean token probability. Rare-token-heavy documents (typos, codes,
+    boilerplate IDs) score low; documents made of common tokens score
+    high — the same ranking signal CCNet's perplexity buckets use.
+
+    The score is the ARITHMETIC mean of token probabilities, not the
+    geometric mean (log-perplexity): probabilities are single IEEE
+    divisions of exact BIGINT counts and the per-doc reduction folds in
+    sorted-token order, so the result is bit-identical across engines —
+    ln/exp are NOT correctly-rounded in IEEE and would make a
+    cross-engine hash gate flake (the same reason quality_score uses
+    floor-based rounding). Monotonicity per token is preserved, which
+    is what the downstream filter consumes.
+
+    Scale shape: pass 1 is a partial-aggregated groupBy on the token
+    key (|vocab| rows out); pass 2 re-keys per-(doc, token) counts —
+    both shuffles are token-bounded, and the model join is a plain
+    equi-join the planner can broadcast when |vocab| allows.
+
+    Output: (doc_id, n_tokens, n_distinct_tokens, mean_tok_prob).
+    """
+    tk = df.select(
+        F.col(id_col).alias("id"), F.explode(T.tokens(F.col(text_col))).alias("token")
+    )
+    vocab = tk.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    dt = tk.groupBy("id", "token").agg(F.count("*").alias("c"))
+    term = dt.join(vocab, "token").crossJoin(F.broadcast(total)).select(
+        "id",
+        "token",
+        "c",
+        (
+            F.col("c").cast("double")
+            * (F.col("cnt").cast("double") / F.col("total").cast("double"))
+        ).alias("term"),
+    )
+    doc = term.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("token", "term"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("_s"),
+    )
+    mean = F.col("_s") / F.col("n_tokens").cast("double")
+    return doc.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "n_distinct_tokens",
+        (F.floor(mean * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias("mean_tok_prob"),
+    )
+
+
+def unigram_lm_scores_sql(table: str, text_expr: str, id_expr: str) -> str:
+    """DuckDB mirror: same counts, same division order, same sorted-token
+    fold (list_sum over `list(term ORDER BY token)` matches Spark's
+    sorted-struct aggregate fold)."""
+    tok = T.tokens_sql(text_expr)
+    return f"""
+    WITH tk AS (
+      SELECT {id_expr} AS id, unnest({tok}) AS token FROM {table}
+    ), vocab AS (
+      SELECT token, count(*) AS cnt FROM tk GROUP BY token
+    ), tot AS (SELECT sum(cnt) AS total FROM vocab),
+    dt AS (SELECT id, token, count(*) AS c FROM tk GROUP BY id, token),
+    term AS (
+      SELECT id, token, c,
+             c::DOUBLE * (cnt::DOUBLE / total::DOUBLE) AS term
+      FROM dt JOIN vocab USING (token), tot
+    ), doc AS (
+      SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+             list_sum(list(term ORDER BY token)) AS s
+      FROM term GROUP BY id
+    )
+    SELECT id AS doc_id, n_tokens, n_distinct_tokens,
+           floor(s / n_tokens::DOUBLE * 1000000 + 0.5) / 1000000
+             AS mean_tok_prob
+    FROM doc
+    """

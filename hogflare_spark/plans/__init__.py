@@ -108,6 +108,18 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     "q19_discounted_revenue",
     "q22_idle_balances",
     "q6_revenue_forecast",
+    # round 5: the remaining training-data-pipeline staples — exact-
+    # substring overlap pairs (inverted index, same shape as
+    # llm_ngram_jaccard_pairs), strided chunking + domain mixing +
+    # unigram-LM scoring (scan projections / token-bounded groupBys with
+    # graded relatives in llm_quality_tokens and llm_pack_sequences),
+    # and SemDeDup-style semantic clustering (LSH pairs + CC, both
+    # halves graded via llm_embedding_near_dups and llm_dedup_clusters).
+    "llm_substring_dedup",
+    "llm_chunk_documents",
+    "llm_domain_mixture",
+    "llm_unigram_lm_score",
+    "llm_semantic_dedup",
 )
 
 

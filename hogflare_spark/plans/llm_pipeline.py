@@ -1038,3 +1038,174 @@ BENCH_EXTRA.update(
         "llm_dedup_clusters",
     }
 )
+
+
+# ------------------------------------------------------- round-5 additions
+# exact-substring overlap, chunking, domain mixing, unigram-LM scoring,
+# and semantic (embedding-space) dedup — the remaining staples of a
+# training-data pipeline, registered past the grading window (every
+# shape has a graded representative; see plans/__init__.py).
+
+_SUBSTR_W = 8
+_SUBSTR_SK = (
+    f"ssk AS (SELECT doc_id AS id, "
+    f"list_distinct({T.shingle_hashes_sql(T.shingles_sql(_TOK, _SUBSTR_W))}) AS hs "
+    f"FROM documents)"
+)
+
+
+@query(
+    "llm_substring_dedup",
+    oracle=f"""
+    WITH {_SUBSTR_SK},
+    p AS (SELECT id, unnest(hs) AS w FROM ssk),
+    ok AS (SELECT w FROM p GROUP BY w HAVING count(*) > 1 AND count(*) <= 1000),
+    pp AS (SELECT p.id, p.w FROM p JOIN ok USING (w)),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_windows
+      FROM pp a JOIN pp b ON a.w = b.w AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, shared_windows,
+           {_round6_sql('shared_windows::DOUBLE / least(len(sa.hs), len(sb.hs))::DOUBLE')}
+             AS overlap_frac
+    FROM shared
+    JOIN ssk sa ON sa.id = shared.id_a
+    JOIN ssk sb ON sb.id = shared.id_b
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate pairs (operators/dedup.
+    substring_overlap_pairs): docs sharing >= 1 exact 8-token run, via
+    an inverted index on window hashes — Lee et al. 2022's dedup
+    criterion, which catches verbatim copying Jaccard dilutes."""
+    from hogflare_spark.operators.dedup import substring_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = substring_overlap_pairs(docs, "text", "doc_id", window_tokens=_SUBSTR_W)
+    return pairs.select(
+        "id_a", "id_b", "shared_windows", _round6("overlap_frac").alias("overlap_frac")
+    ).orderBy("id_a", "id_b")
+
+
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24
+
+
+@query("llm_chunk_documents", oracle=None)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/sampling.chunk_documents):
+    strided fixed-size token chunks, one output row per chunk."""
+    from hogflare_spark.operators.sampling import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "text", "doc_id", _CHUNK_TOKENS, _CHUNK_STRIDE
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def _register_chunk_oracle() -> None:
+    from hogflare_spark.operators.sampling import chunk_documents_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = chunk_documents_sql(
+        "documents", "text", "doc_id", _CHUNK_TOKENS, _CHUNK_STRIDE
+    )
+    ORACLES["llm_chunk_documents"] = (
+        f"SELECT * FROM ({inner}) ORDER BY doc_id, chunk_idx"
+    )
+
+
+_register_chunk_oracle()
+
+
+_MIX_SAMPLE_N = 10_000
+
+
+@query("llm_domain_mixture", oracle=None)
+def llm_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixing weights (operators/sampling.domain_mixture):
+    sqrt-temperature token-share weights + integer sampling quotas."""
+    from hogflare_spark.operators.sampling import domain_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mixture(docs, "source", "text", _MIX_SAMPLE_N).orderBy("domain")
+
+
+def _register_mixture_oracle() -> None:
+    from hogflare_spark.operators.sampling import domain_mixture_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = domain_mixture_sql("documents", "source", "text", _MIX_SAMPLE_N)
+    ORACLES["llm_domain_mixture"] = f"SELECT * FROM ({inner}) ORDER BY domain"
+
+
+_register_mixture_oracle()
+
+
+@query("llm_unigram_lm_score", oracle=None)
+def llm_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM scoring (operators/text_analysis.
+    unigram_lm_scores): CCNet-style rare-token quality signal."""
+    from hogflare_spark.operators.text_analysis import unigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs, "text", "doc_id").orderBy("doc_id")
+
+
+def _register_unigram_oracle() -> None:
+    from hogflare_spark.operators.text_analysis import unigram_lm_scores_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = unigram_lm_scores_sql("documents", "text", "doc_id")
+    ORACLES["llm_unigram_lm_score"] = f"SELECT * FROM ({inner}) ORDER BY doc_id"
+
+
+_register_unigram_oracle()
+
+
+@query(
+    "llm_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_LSH_CORPUS_SQL}),
+    sg AS (SELECT id, v FROM corpus),
+    bk AS (SELECT id, unnest({_lsh_band_keys_sql('v', hyperplanes(LSH_PLANES, EMBED_DIM), LSH_BANDS)}) AS bkey FROM sg),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.id < b.id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sg sa ON sa.id = cand.id_a
+      JOIN sg sb ON sb.id = cand.id_b
+      WHERE round({_cos_sql('sa.v', 'sb.v')}, 9) >= {EMBED_DUP_THRESHOLD}
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a
+    ),
+    comp AS (SELECT src AS id, least(src, min(dst)) AS comp
+             FROM reach GROUP BY src)
+    SELECT sg.id, coalesce(c.comp, sg.id) AS cluster_id,
+           sg.id = coalesce(c.comp, sg.id) AS is_canonical
+    FROM sg LEFT JOIN comp c ON sg.id = c.id
+    ORDER BY sg.id
+    """,
+)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.
+    semantic_dedup_clusters): sub-quadratic LSH near-dup pairs →
+    connected components → one kept exemplar per embedding-space
+    cluster, over the planted-duplicate corpus the LSH gates share.
+    The oracle replays the identical banding, verify, and a
+    recursive-CTE transitive closure."""
+    from hogflare_spark.operators.similarity import semantic_dedup_clusters
+
+    corpus = _lsh_spark_corpus(spark, sf_dir)
+    return semantic_dedup_clusters(
+        corpus, EMBED_DUP_THRESHOLD, dim=EMBED_DIM, id_col="vec_id", vec_col="embedding"
+    ).orderBy("id")
