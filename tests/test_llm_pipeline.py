@@ -707,3 +707,130 @@ def test_ivf_index_rebuild_is_atomic_and_expirable(spark, tmp_path):
     assert dropped == ["data.v=1"]
     # the live version still serves queries
     assert ivf_query_index(spark, str(tmp_path / "idx"), queries, k=2, n_probe=4).count() == 6
+
+
+# --------------------------------------------------- round-5 pipeline ops
+
+
+def test_substring_overlap_finds_embedded_copy(spark):
+    """A long doc embedding a verbatim 8-token run from a short doc must
+    pair with it (the case Jaccard dilutes), and overlap_frac == 1.0
+    when every window of the shorter doc is shared."""
+    from hogflare_spark.operators.dedup import substring_overlap_pairs
+
+    copied = "one two three four five six seven eight"
+    df = _docs(
+        spark,
+        [
+            copied,
+            "padding start " + copied + " padding end tail words here",
+            "completely different tokens with no shared run at all okay",
+        ],
+    )
+    out = {(r["id_a"], r["id_b"]): r for r in
+           substring_overlap_pairs(df, "text", "doc_id", window_tokens=8).collect()}
+    assert set(out) == {(0, 1)}
+    assert out[(0, 1)]["shared_windows"] == 1  # doc 0 has exactly one window
+    assert out[(0, 1)]["overlap_frac"] == 1.0
+
+
+def test_substring_overlap_posting_cap_drops_boilerplate(spark):
+    """Windows shared by more than max_posting docs are boilerplate and
+    must not generate pairs."""
+    from hogflare_spark.operators.dedup import substring_overlap_pairs
+
+    boiler = "license header the same in every file of the corpus"
+    df = _docs(spark, [boiler + f" tail{i}" for i in range(4)])
+    out = substring_overlap_pairs(
+        df, "text", "doc_id", window_tokens=8, max_posting=3
+    ).collect()
+    assert out == []
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Chunks must tile each doc: first starts at 1, starts advance by
+    stride, the union covers all n tokens, and only the tail chunk may
+    be short."""
+    from hogflare_spark.operators.sampling import chunk_documents
+
+    texts = ["w" + " w".join(str(i) for i in range(n)) for n in (0, 5, 31, 32, 33, 100)]
+    df = _docs(spark, texts)
+    rows = chunk_documents(df, "text", "doc_id", chunk_tokens=32, stride=24).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in enumerate(texts):
+        n = len(text.split())
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        assert chunks[0]["start_token"] == 1
+        covered = set()
+        for i, c in enumerate(chunks):
+            assert c["start_token"] == 1 + i * 24
+            assert c["n_chunk_tokens"] == len(c["chunk_text"].split())
+            if i < len(chunks) - 1:
+                assert c["n_chunk_tokens"] == 32
+            covered.update(range(c["start_token"], c["start_token"] + c["n_chunk_tokens"]))
+        assert covered == set(range(1, n + 1))
+
+
+def test_domain_mixture_weights_and_quotas(spark):
+    """Weights must sum to ~1, quotas to <= sample_n, and the sqrt
+    temperature must upweight the tail domain relative to raw share."""
+    from pyspark.sql import Row as R
+
+    from hogflare_spark.operators.sampling import domain_mixture
+
+    rows = [R(source="big", text="t " * 900)] + [
+        R(source="small", text="t " * 100)
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["domain"]: r for r in domain_mixture(df, "source", "text", 1000).collect()}
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-5
+    assert sum(r["quota"] for r in out.values()) <= 1000
+    # raw shares are 0.9/0.1; sqrt flattening must pull weights toward
+    # each other: small's weight > its raw share, big's < its raw share
+    assert out["small"]["weight"] > 0.1 + 1e-6
+    assert out["big"]["weight"] < 0.9 - 1e-6
+
+
+def test_unigram_lm_score_ranks_rare_token_docs_lower(spark):
+    """A doc of corpus-frequent tokens must outscore a doc of hapaxes —
+    the ranking signal the downstream quality filter consumes."""
+    from hogflare_spark.operators.text_analysis import unigram_lm_scores
+
+    df = _docs(
+        spark,
+        ["common common common", "common common common", "zxqj vvkw plmn"],
+    )
+    out = {r["doc_id"]: r for r in unigram_lm_scores(df, "text", "doc_id").collect()}
+    assert out[0]["mean_tok_prob"] > out[2]["mean_tok_prob"]
+    assert out[2]["n_distinct_tokens"] == 3
+    assert out[0]["n_tokens"] == 3
+
+
+def test_semantic_dedup_clusters_planted_pairs(spark):
+    """Planted near-identical vectors must collapse to their original's
+    cluster with the original as the kept exemplar; unrelated vectors
+    stay singletons."""
+    from hogflare_spark.operators.similarity import semantic_dedup_clusters
+    from hogflare_spark.plans.llm_pipeline import (
+        EMBED_DIM,
+        EMBED_DUP_THRESHOLD,
+        _lsh_spark_corpus,
+    )
+
+    corpus = _lsh_spark_corpus(spark, SF_SMOKE)
+    out = {r["id"]: r for r in semantic_dedup_clusters(
+        corpus, EMBED_DUP_THRESHOLD, dim=EMBED_DIM,
+        id_col="vec_id", vec_col="embedding",
+    ).collect()}
+    assert len(out) == corpus.count()
+    planted = [i for i in out if i >= 10_000]
+    assert planted, "fixture must contain planted duplicates"
+    clustered = sum(1 for i in planted if out[i]["cluster_id"] == i - 10_000)
+    # banded-LSH recall at s~0.98-0.99 is ~0.999; allow a miss or two
+    assert clustered >= int(0.95 * len(planted))
+    for i in planted:
+        if out[i]["cluster_id"] == i - 10_000:
+            assert not out[i]["is_canonical"]
+            assert out[i - 10_000]["is_canonical"]
