@@ -120,6 +120,9 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     "llm_domain_mixture",
     "llm_unigram_lm_score",
     "llm_semantic_dedup",
+    # round 5: incremental cross-snapshot dedup — the streaming twin of
+    # llm_exact_dedup (family graded there and via ev_stream_exact_dedup).
+    "llm_stream_incremental_dedup",
 )
 
 

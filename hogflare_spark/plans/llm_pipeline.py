@@ -1209,3 +1209,45 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_clusters(
         corpus, EMBED_DUP_THRESHOLD, dim=EMBED_DIM, id_col="vec_id", vec_col="embedding"
     ).orderBy("id")
+
+
+@query(
+    "llm_stream_incremental_dedup",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {h60_sql('text')} AS content_hash FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, content_hash
+    FROM h GROUP BY content_hash
+    ORDER BY doc_id
+    """,
+)
+def llm_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) corpus dedup
+    (streaming/corpus_dedup.StreamingCorpusDedup): the documents table
+    arrives as three ascending doc_id-range micro-batches; each batch
+    dedups within itself and anti-joins the persisted hash state of
+    everything previously kept. Because batches are id-ascending, the
+    accumulated kept set must equal batch dedup's keeper set — min
+    doc_id per content hash — which is the oracle."""
+    import shutil
+    import tempfile
+
+    from hogflare_spark.streaming.corpus_dedup import StreamingCorpusDedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    b1, b2 = n // 3, 2 * n // 3
+    work = tempfile.mkdtemp(prefix="llm_stream_dedup_")
+    try:
+        job = StreamingCorpusDedup(work)
+        job.process_batch(docs.where(F.col("doc_id") < b1), 0)
+        job.process_batch(
+            docs.where((F.col("doc_id") >= b1) & (F.col("doc_id") < b2)), 1
+        )
+        job.process_batch(docs.where(F.col("doc_id") >= b2), 2)
+        return (
+            job.read_kept(spark).orderBy("doc_id").localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -834,3 +834,27 @@ def test_semantic_dedup_clusters_planted_pairs(spark):
         if out[i]["cluster_id"] == i - 10_000:
             assert not out[i]["is_canonical"]
             assert out[i - 10_000]["is_canonical"]
+
+
+def test_streaming_corpus_dedup_cross_batch_and_replay(spark, tmp_path):
+    """A later batch's copy of an earlier batch's content must be
+    dropped; within-batch dups keep the min id; replaying a batch id
+    (at-least-once delivery) must not change the kept set."""
+    from hogflare_spark.streaming.corpus_dedup import StreamingCorpusDedup
+
+    job = StreamingCorpusDedup(str(tmp_path / "w"))
+    b0 = _docs(spark, ["alpha", "beta", "alpha"])  # ids 0,1,2; 2 dups 0
+    job.process_batch(b0, 0)
+
+    b1 = spark.createDataFrame(
+        [Row(doc_id=10, text="beta"), Row(doc_id=11, text="gamma")]
+    )
+    job.process_batch(b1, 1)
+
+    kept = {r["doc_id"] for r in job.read_kept(spark).collect()}
+    assert kept == {0, 1, 11}  # 2 (in-batch dup) and 10 (cross-batch) dropped
+
+    job.process_batch(b1, 1)  # checkpoint replay: identical rewrite
+    assert {r["doc_id"] for r in job.read_kept(spark).collect()} == kept
+    job.process_batch(b0, 0)  # replay of an OLD batch id is also a rewrite
+    assert {r["doc_id"] for r in job.read_kept(spark).collect()} == kept
