@@ -108,21 +108,32 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     "q19_discounted_revenue",
     "q22_idle_balances",
     "q6_revenue_forecast",
-    # round 5: the remaining training-data-pipeline staples — exact-
-    # substring overlap pairs (inverted index, same shape as
-    # llm_ngram_jaccard_pairs), strided chunking + domain mixing +
-    # unigram-LM scoring (scan projections / token-bounded groupBys with
-    # graded relatives in llm_quality_tokens and llm_pack_sequences),
-    # and SemDeDup-style semantic clustering (LSH pairs + CC, both
-    # halves graded via llm_embedding_near_dups and llm_dedup_clusters).
-    "llm_substring_dedup",
+    # round 5: strided chunking + domain mixing + unigram-LM scoring —
+    # scan projections / token-bounded groupBys with graded relatives in
+    # llm_quality_tokens and llm_pack_sequences.
     "llm_chunk_documents",
     "llm_domain_mixture",
     "llm_unigram_lm_score",
-    "llm_semantic_dedup",
-    # round 5: incremental cross-snapshot dedup — the streaming twin of
-    # llm_exact_dedup (family graded there and via ev_stream_exact_dedup).
-    "llm_stream_incremental_dedup",
+    # round 7 rotation (r6 verdict #1): the three genuinely-new round-5
+    # operator classes — exact-substring overlap dedup, SemDeDup-style
+    # semantic clustering, and incremental cross-snapshot streaming
+    # dedup — move INSIDE the 50-entry window so the driver's hard
+    # signal executes them at least once. Three transitively-covered
+    # gates cede their slots:
+    #  - llm_simhash_near_dups: simhash sketch expression + Hamming
+    #    band join stay pytest- and sim-covered; the banded-pair-join
+    #    shape keeps graded representatives in llm_minhash_near_dups
+    #    and llm_lsh_near_dups.
+    #  - ev_approx_distinct_users: approx_count_distinct keeps a
+    #    bounded-error pytest gate; exact distinct-users stays graded
+    #    via ev_skew_distinct_users, approx family via
+    #    q_percentiles_totalprice.
+    #  - llm_ann_ivf_exhaustive: ANN family keeps two graded gates
+    #    (llm_ann_topk brute baseline + llm_ann_lsh_exhaustive); the
+    #    IVF cell-pruned path keeps its pytest recall gate + sim.
+    "llm_simhash_near_dups",
+    "ev_approx_distinct_users",
+    "llm_ann_ivf_exhaustive",
 )
 
 
