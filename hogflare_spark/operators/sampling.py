@@ -235,7 +235,11 @@ def chunk_documents(
     """
     from hogflare_spark.functions import text as T
 
-    tok = T.tokens(F.col(text_col))
+    # NULL text must not diverge from the oracle: un-coalesced, Spark's
+    # size(NULL)=-1 still yields one garbage chunk row while DuckDB's
+    # generate_series(NULL) yields zero. '' makes both emit one empty
+    # chunk — identical on both sides.
+    tok = T.tokens(F.coalesce(F.col(text_col), F.lit("")))
     n = F.size(tok)
     # number of strided chunks after the first = ceil(max(0, n - chunk) / stride)
     extra = F.floor(
@@ -270,7 +274,7 @@ def chunk_documents_sql(
     """DuckDB mirror of chunk_documents: same starts, same slices."""
     from hogflare_spark.functions import text as T
 
-    tok = T.tokens_sql(text_expr)
+    tok = T.tokens_sql(f"coalesce({text_expr}, '')")
     return f"""
     WITH d AS (
       SELECT {id_expr} AS doc_id, {tok} AS tok FROM {table}
@@ -311,7 +315,13 @@ def domain_mixture(
     why τ is 0.5 and not 0.7); the weight is quantized to a BIGINT
     (floor(sqrt(n_tokens) * 1e6)) BEFORE normalization so the
     normalizing sum is an order-independent integer sum; the quota is
-    pure integer arithmetic (w * N div Σw).
+    pure integer arithmetic (w * N div Σw) carried in decimal(38,0) —
+    w_int reaches ~9.2e14 at an 8.5e17-token domain, so both the
+    weight-sum over many domains and w_int * sample_n can exceed
+    signed-64; int64 would overflow SILENTLY exactly at the 100 TB
+    corpus scale this operator exists for. The DuckDB mirror carries
+    the same two quantities in HUGEINT (int128), so both engines
+    floor-divide exact integers and agree bit-for-bit.
 
     Scale shape: one partial-aggregated groupBy on the domain key (the
     output is |domains| rows), one broadcast of the 1-row total.
@@ -329,7 +339,17 @@ def domain_mixture(
             F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6).cast("long"),
         )
     )
-    total = per.agg(F.sum("w_int").alias("w_total"))
+    return mixture_weights(per, sample_n)
+
+
+def mixture_weights(per: DataFrame, sample_n: int) -> DataFrame:
+    """Normalization + quota over a (domain, n_docs, n_tokens, w_int)
+    frame. Split out from domain_mixture so the overflow-safe integer
+    math is testable with PLANTED near-int64-max token counts (no test
+    corpus can physically contain 8.5e17 tokens)."""
+    total = per.agg(
+        F.sum(F.col("w_int").cast("decimal(38,0)")).alias("w_total")
+    )
     return per.crossJoin(F.broadcast(total)).select(
         "domain",
         "n_docs",
@@ -341,8 +361,26 @@ def domain_mixture(
             )
             / F.lit(1e6)
         ).alias("weight"),
-        F.expr(f"w_int * {sample_n} div w_total").alias("quota"),
+        # decimal(38,0) * int stays decimal(38,0); `div` floor-divides
+        # decimals to BIGINT — no intermediate ever touches int64.
+        F.expr(f"CAST(w_int AS DECIMAL(38,0)) * {sample_n} div w_total")
+        .cast("long")
+        .alias("quota"),
     )
+
+
+def mixture_weights_sql(table: str, sample_n: int) -> str:
+    """DuckDB mirror of mixture_weights over a pre-aggregated
+    (domain, n_docs, n_tokens, w_int) table — lets tests plant
+    near-int64-max counts and check both engines' int128 quota math."""
+    return f"""
+    WITH t AS (SELECT sum(w_int::HUGEINT) AS w_total FROM {table})
+    SELECT domain, n_docs, n_tokens,
+           floor(w_int::DOUBLE / w_total::DOUBLE * 1000000 + 0.5) / 1000000
+             AS weight,
+           CAST((w_int::HUGEINT * {sample_n}) // w_total AS BIGINT) AS quota
+    FROM {table}, t
+    """
 
 
 def domain_mixture_sql(
@@ -360,10 +398,13 @@ def domain_mixture_sql(
     ), w AS (
       SELECT *, CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000) AS BIGINT) AS w_int
       FROM per
-    ), t AS (SELECT sum(w_int) AS w_total FROM w)
+    ), t AS (SELECT sum(w_int::HUGEINT) AS w_total FROM w)
     SELECT domain, n_docs, n_tokens,
            floor(w_int::DOUBLE / w_total::DOUBLE * 1000000 + 0.5) / 1000000
              AS weight,
-           (w_int * {sample_n}) // w_total AS quota
+           -- HUGEINT (int128) mirror of Spark's decimal(38,0) quota:
+           -- w_int * sample_n overflows int64 for domains past ~8.5e17
+           -- tokens, so neither engine may touch int64 mid-expression.
+           CAST((w_int::HUGEINT * {sample_n}) // w_total AS BIGINT) AS quota
     FROM w, t
     """
