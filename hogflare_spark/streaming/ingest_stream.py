@@ -53,6 +53,7 @@ from pyspark.sql.types import (
 )
 
 from hogflare_spark.schemas import GROUP_SCHEMA, PERSON_SCHEMA
+from hogflare_spark.functions.caching import cached, unpersist_all
 
 RAW_STREAM_SCHEMA = StructType(
     [
@@ -132,26 +133,70 @@ class StreamingIngestJob:
     _EPOCH_STRIDE = 1_000_000_000
 
     def _resolve_epoch(self) -> int:
-        """The warehouse-scoped epoch of this run. `_RUN` records the
-        last writer's (run_id, epoch); a different run_id bumps the
-        epoch, so commit ids from distinct streams can never collide —
-        which is what makes replay detection (and the state/event
-        directory names derived from commit ids) safe across stream
-        restarts with fresh checkpoints."""
+        """The warehouse-scoped epoch of this run, claimed ATOMICALLY
+        and PER-RUN via O_EXCL files under `_epochs/<n>` (content: the
+        claiming run_id). A run's epoch is the one it claimed, forever:
+        a checkpoint resume re-reads its own claim file, so interleaved
+        writers can never move a run onto a fresh epoch (the old
+        last-writer `_RUN` scheme did exactly that, making a resumed
+        run's replayed batches miss their `committed_batch` markers and
+        double-apply), and two fresh runs racing resolve via O_EXCL —
+        the loser observes FileExistsError and claims the next number.
+        `_RUN` is still written (non-authoritative) for older tooling;
+        legacy warehouses with only `_RUN` are adopted by materializing
+        a claim file for the recorded (run_id, epoch)."""
         if self._epoch is not None:
             return self._epoch
         os.makedirs(self.warehouse_dir, exist_ok=True)
-        path = os.path.join(self.warehouse_dir, "_RUN")
-        rec = None
-        if os.path.exists(path):
-            with open(path) as fh:
-                rec = json.load(fh)
-        if rec is not None and rec.get("run_id") == self.run_id:
-            self._epoch = int(rec["epoch"])
+        epochs_dir = os.path.join(self.warehouse_dir, "_epochs")
+        os.makedirs(epochs_dir, exist_ok=True)
+        run_key = str(self.run_id)
+
+        def scan() -> dict[int, str]:
+            out = {}
+            for name in os.listdir(epochs_dir):
+                if name.isdigit():
+                    with open(os.path.join(epochs_dir, name)) as fh:
+                        out[int(name)] = fh.read()
+            return out
+
+        def claim(epoch: int) -> bool:
+            try:
+                fd = os.open(
+                    os.path.join(epochs_dir, str(epoch)),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "w") as fh:
+                fh.write(run_key)
+            return True
+
+        claimed = scan()
+        mine = [e for e, rid in claimed.items() if rid == run_key]
+        if mine:
+            self._epoch = min(mine)
             return self._epoch
-        if rec is not None:
-            self._epoch = int(rec["epoch"]) + 1
-        else:
+
+        legacy_path = os.path.join(self.warehouse_dir, "_RUN")
+        legacy = None
+        if os.path.exists(legacy_path):
+            with open(legacy_path) as fh:
+                legacy = json.load(fh)
+        if (
+            legacy is not None
+            and legacy.get("run_id") == self.run_id
+            and claim(int(legacy["epoch"]))
+        ):
+            # Adopted a pre-claim-dir warehouse where this run was the
+            # last writer: its on-disk commit ids carry this epoch.
+            self._epoch = int(legacy["epoch"])
+            return self._epoch
+
+        floor = max(claimed, default=-1)
+        if legacy is not None:
+            floor = max(floor, int(legacy["epoch"]))
+        if floor < 0:
             # Pre-_RUN warehouses already hold epoch-0-style ids; a new
             # run over one must not reuse them.
             has_state = any(
@@ -159,11 +204,22 @@ class StreamingIngestJob:
                 for t in ("persons", "groups")
                 for f in ("_STATE", "_LATEST")
             )
-            self._epoch = 1 if has_state else 0
-        tmp = path + ".tmp"
+            floor = 0 if has_state else -1
+        while self._epoch is None:
+            candidate = floor + 1
+            if claim(candidate):
+                self._epoch = candidate
+                break
+            claimed = scan()
+            mine = [e for e, rid in claimed.items() if rid == run_key]
+            if mine:  # a concurrent attempt of THIS run won the race
+                self._epoch = min(mine)
+                break
+            floor = max(max(claimed, default=floor), floor)
+        tmp = legacy_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"run_id": self.run_id, "epoch": self._epoch}, fh)
-        os.replace(tmp, path)
+        os.replace(tmp, legacy_path)
         return self._epoch
 
     def _commit_id(self, batch_id: int) -> int:
@@ -200,6 +256,19 @@ class StreamingIngestJob:
         return None
 
     def _commit_pointer(self, table: str, pointer: dict) -> None:
+        # `committed_by_epoch` (epoch → last commit id) merges from the
+        # LIVE pointer, not the caller's (possibly replay_base-derived)
+        # one: every run's latest committed batch stays remembered even
+        # after other runs' commits, which is what lets a replay that
+        # arrives AFTER an interleaved writer be recognized as already
+        # applied (see process_batch) instead of double-applying. One
+        # entry per run — bounded by run count, not batch count.
+        live = self._read_pointer(table) or {}
+        by_epoch = dict(live.get("committed_by_epoch") or {})
+        cb = pointer.get("committed_batch")
+        if cb is not None:
+            by_epoch[str(int(cb) // self._EPOCH_STRIDE)] = int(cb)
+        pointer = {**pointer, "committed_by_epoch": by_epoch}
         root = self._state_root(table)
         os.makedirs(root, exist_ok=True)
         tmp = os.path.join(root, "_STATE.tmp")
@@ -390,7 +459,31 @@ class StreamingIngestJob:
 
         spark = batch_df.sparkSession
         cid = self._commit_id(batch_id)
-        commands = decode_normalize_requests(batch_df).cache()
+
+        # Replay-after-interleave detection: if THIS cid is recorded as
+        # its epoch's last committed batch but some OTHER run has
+        # committed since (committed_batch moved on), the batch's
+        # effects are already folded into state that later writers built
+        # on. Re-applying would double-apply; "rewriting" would clobber
+        # the interleaved commits. The only exactly-once behavior is a
+        # full no-op (the batch's events dir already holds its committed
+        # rows). Checked per table — a crash between the groups and
+        # persons commits legitimately leaves one table applied and the
+        # other not.
+        def _already_applied(table: str) -> bool:
+            live = self._read_pointer(table) or {}
+            by_epoch = live.get("committed_by_epoch") or {}
+            return (
+                by_epoch.get(str(cid // self._EPOCH_STRIDE)) == cid
+                and live.get("committed_batch") != cid
+            )
+
+        p_applied = _already_applied("persons")
+        g_applied = _already_applied("groups")
+        if p_applied and g_applied:
+            return
+
+        commands = cached(decode_normalize_requests(batch_df))
         p_pointer, p_deltas = self._batch_pointer("persons", cid)
         g_pointer, g_deltas = self._batch_pointer("groups", cid)
         # The delta lane now takes EVERY batch once a base exists (up to
@@ -481,7 +574,9 @@ class StreamingIngestJob:
         new_persons = out["persons"].localCheckpoint(eager=True)
         new_groups = out["groups"].localCheckpoint(eager=True)
         groups_root = self._state_root("groups")
-        if group_fast:
+        if g_applied:
+            pass  # already committed before an interleaved writer — no-op
+        elif group_fast:
             # new_groups holds ONLY touched ∪ newly-created keys here
             new_groups.write.mode("overwrite").parquet(
                 os.path.join(groups_root, f"d={cid}")
@@ -506,7 +601,9 @@ class StreamingIngestJob:
         row = new_persons.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m")).collect()[0]
         batch_max = int(row["m"] or 0)
         persons_root = self._state_root("persons")
-        if person_fast:
+        if p_applied:
+            pass  # already committed before an interleaved writer — no-op
+        elif person_fast:
             # new_persons holds ONLY affected ∪ newly-created rows here.
             # A seeded canonical_id missing from the fold output was
             # absorbed by a batch merge — write a tombstone (uuid NULL)
@@ -549,7 +646,10 @@ class StreamingIngestJob:
                     "replay_base": self._replay_base_of(p_pointer),
                 },
             )
-        commands.unpersist()
+        # release every operator cache this batch registered (commands,
+        # fold pins, id-allocation intermediates) — a long-lived stream
+        # must not accumulate JVM cache blocks across micro-batches
+        unpersist_all()
 
     def start(
         self,

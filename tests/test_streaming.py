@@ -765,3 +765,79 @@ def test_alias_delta_batch_replay_is_a_rewrite(spark, tmp_path):
     assert snap() == want
     job.process_batch(_raw_df(spark, alias_batch), 1)  # replay of a replay
     assert snap() == want
+
+
+def test_resume_after_interleaved_writer_is_exactly_once(spark, tmp_path):
+    """r6 verdict #3: run A commits batch 0; run B (fresh checkpoint)
+    interleaves a write; A resumes from ITS OWN checkpoint and replays
+    batch 0. Under the old last-writer `_RUN` scheme A's resume derived
+    a FRESH epoch, so the replay missed its committed-batch marker and
+    double-applied (duplicate events, state applied twice). The O_EXCL
+    per-run epoch claim keeps A's epoch stable: the replay must be a
+    pure rewrite."""
+    from hogflare_spark.sinks.lake import read_events
+    from hogflare_spark.streaming.ingest_stream import StreamingIngestJob
+
+    wh = str(tmp_path / "wh")
+
+    def version_of(job, did):
+        return {
+            did_: r["version"]
+            for r in job.read_persons(spark).collect()
+            for did_ in (r["distinct_ids"] or [])
+        }[did]
+
+    a = StreamingIngestJob(wh, run_id="run-a")
+    epoch_a = a._resolve_epoch()
+    a.process_batch(_raw_df(spark, BATCH1), 0)
+
+    b = StreamingIngestJob(wh, run_id="run-b")
+    assert b._resolve_epoch() != epoch_a  # distinct runs, distinct epochs
+    b.process_batch(
+        _raw_df(spark, [_capture(10, "anon-1", {"$set": {"plan": "pro"}})]), 0
+    )
+    v_after_b = version_of(b, "anon-1")
+    n_events = read_events(spark, b.events_dir).count()
+
+    # A resumes from its own checkpoint AFTER B wrote: same epoch back,
+    # and the at-least-once replay of its batch 0 is a rewrite.
+    a2 = StreamingIngestJob(wh, run_id="run-a")
+    assert a2._resolve_epoch() == epoch_a, "resume must reuse the claimed epoch"
+    a2.process_batch(_raw_df(spark, BATCH1), 0)
+    assert version_of(a2, "anon-1") == v_after_b, "replay double-applied state"
+    assert read_events(spark, a2.events_dir).count() == n_events, (
+        "replay duplicated events"
+    )
+
+    # and B's own resume is likewise stable
+    b2 = StreamingIngestJob(wh, run_id="run-b")
+    assert b2._resolve_epoch() == b._resolve_epoch()
+
+
+def test_epoch_claims_are_per_run_and_monotonic(tmp_path):
+    """Sequential fresh runs claim strictly increasing epochs; a resume
+    always resolves to the run's original claim regardless of how many
+    writers interleaved; legacy `_RUN`-only warehouses are adopted at
+    their recorded epoch."""
+    import json as _json
+
+    from hogflare_spark.streaming.ingest_stream import StreamingIngestJob
+
+    wh = str(tmp_path / "wh")
+    epochs = {}
+    for rid in ("r1", "r2", "r3"):
+        epochs[rid] = StreamingIngestJob(wh, run_id=rid)._resolve_epoch()
+    assert len(set(epochs.values())) == 3
+    assert epochs["r1"] < epochs["r2"] < epochs["r3"]
+    for rid, e in epochs.items():
+        assert StreamingIngestJob(wh, run_id=rid)._resolve_epoch() == e
+
+    # legacy warehouse: only a _RUN record from the old scheme
+    wh2 = str(tmp_path / "wh2")
+    os.makedirs(wh2)
+    with open(os.path.join(wh2, "_RUN"), "w") as fh:
+        _json.dump({"run_id": "old", "epoch": 5}, fh)
+    assert StreamingIngestJob(wh2, run_id="old")._resolve_epoch() == 5
+    assert StreamingIngestJob(wh2, run_id="new")._resolve_epoch() == 6
+    # ...and the adopted legacy run keeps 5 even after "new" wrote _RUN
+    assert StreamingIngestJob(wh2, run_id="old")._resolve_epoch() == 5
