@@ -14,25 +14,37 @@ incremental half:
   which earlier batch kept it.
 
 State layout: `state/batch=<n>/` parquet of the content hashes kept by
-batch n; `kept/batch=<n>/` the kept (doc_id, content_hash) rows.
-Deterministic replays are idempotent by construction: a re-delivered
-batch id OVERWRITES its own two subdirectories with identical content
-(the anti-join reads only batches strictly below the current id, so a
-replay never sees its own hashes and drops everything).
+batch n, rolled up every `compact_every` batches into a single bucketed
+snapshot `state/snapshot=<v>/` (+ `_SNAPSHOT` pointer) so the per-batch
+anti-join never unions an unbounded list of per-batch directories —
+at 10^5 micro-batches the un-compacted layout is 10^5 small files per
+join, the classic streaming small-files scale-killer. Snapshot rows
+keep their source `batch` id, which is what preserves replay
+idempotence THROUGH compaction: a re-delivered batch id n anti-joins
+against `batch < n` only, so absorbing a not-yet-checkpoint-committed
+batch into a snapshot can never make its own replay see its own hashes
+(the filter excludes them), and the replay rewrites identical content.
+`kept/batch=<n>/` holds the kept (doc_id, content_hash) rows.
 
 Scale shape: the only shuffles are the within-batch hash groupBy
 (|batch|-sized) and the anti-join on the 60-bit hash key — |batch| on
-the probe side against the accumulated state on the build side. At
-100 TB the state table is the thing to co-locate: write it bucketed by
-`content_hash` (sinks/bucketed.py) and the anti-join plans shuffle-free
-on the state side; the per-batch probe shuffle is batch-sized, never
-corpus-sized. The state holds ONE 8-byte hash per kept document —
-~orders of magnitude smaller than the corpus it summarizes.
+the probe side against the accumulated state on the build side. The
+snapshot is written as a bucketed-by-`content_hash` catalog table
+(sinks/bucketed.py), so at 100 TB the corpus-sized build side is read
+pre-partitioned with ZERO Exchange — only the batch-sized probe side
+shuffles, every micro-batch. A fresh session re-registers the external
+bucketed table from the `_SNAPSHOT` pointer; if no catalog is usable it
+degrades to a plain parquet read of the same files (correct, one extra
+build-side shuffle). The state holds ONE 8-byte hash per kept document
+— orders of magnitude smaller than the corpus it summarizes.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,6 +53,7 @@ from hogflare_spark.functions.hashing import h60
 
 KEPT_SCHEMA = "doc_id bigint, content_hash bigint"
 STATE_SCHEMA = "content_hash bigint"
+SNAPSHOT_SCHEMA = "content_hash bigint, batch bigint"
 
 
 class StreamingCorpusDedup:
@@ -52,22 +65,90 @@ class StreamingCorpusDedup:
     accumulated kept set.
     """
 
-    def __init__(self, work_dir: str, id_col: str = "doc_id", text_col: str = "text"):
+    def __init__(
+        self,
+        work_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        compact_every: int = 16,
+        n_state_buckets: int = 32,
+    ):
         self.work_dir = work_dir
         self.id_col = id_col
         self.text_col = text_col
+        self.compact_every = compact_every
+        self.n_state_buckets = n_state_buckets
         self.state_dir = os.path.join(work_dir, "state")
         self.kept_dir = os.path.join(work_dir, "kept")
+        self._pointer_path = os.path.join(work_dir, "_SNAPSHOT")
 
-    def _prior_state(self, spark: SparkSession, batch_id: int) -> DataFrame:
-        dirs = []
+    # ---- snapshot pointer ------------------------------------------------
+
+    def _read_snapshot_pointer(self) -> dict | None:
+        if os.path.exists(self._pointer_path):
+            with open(self._pointer_path) as fh:
+                return json.load(fh)
+        return None
+
+    def _table_name(self, version: int) -> str:
+        tag = hashlib.md5(self.work_dir.encode()).hexdigest()[:10]
+        return f"corpus_dedup_state_{tag}_v{version}"
+
+    def _snapshot_path(self, version: int) -> str:
+        return os.path.join(self.state_dir, f"snapshot={version}")
+
+    def _snapshot_df(self, spark: SparkSession, ptr: dict) -> DataFrame:
+        """The snapshot as a DataFrame, preferring the bucketed catalog
+        table (zero build-side Exchange in the anti-join); re-registers
+        it after a session restart; plain parquet as the last resort."""
+        name, path = ptr["table"], ptr["path"]
+        if not ptr.get("bucketed", False):
+            # written by the fallback writer: registering CLUSTERED over
+            # files without bucket-id names would declare a layout the
+            # data doesn't have — a silently-wrong anti-join. Plain read.
+            return spark.read.schema(SNAPSHOT_SCHEMA).parquet(path)
+        try:
+            if not spark.catalog.tableExists(name):
+                spark.sql(
+                    f"CREATE TABLE {name} (content_hash BIGINT, batch BIGINT) "
+                    f"USING PARQUET CLUSTERED BY (content_hash) "
+                    f"INTO {ptr['n_buckets']} BUCKETS LOCATION '{path}'"
+                )
+            return spark.table(name)
+        except Exception:
+            return spark.read.schema(SNAPSHOT_SCHEMA).parquet(path)
+
+    # ---- state reads -----------------------------------------------------
+
+    def _batch_dirs(self, above: int) -> list[tuple[int, str]]:
+        out = []
         if os.path.isdir(self.state_dir):
             for d in os.listdir(self.state_dir):
-                if d.startswith("batch=") and int(d.split("=", 1)[1]) < batch_id:
-                    dirs.append(os.path.join(self.state_dir, d))
-        if not dirs:
+                if d.startswith("batch=") and int(d.split("=", 1)[1]) > above:
+                    out.append((int(d.split("=", 1)[1]), os.path.join(self.state_dir, d)))
+        return sorted(out)
+
+    def _prior_state(self, spark: SparkSession, batch_id: int) -> DataFrame:
+        ptr = self._read_snapshot_pointer()
+        covered = ptr["covered_max"] if ptr else -1
+        parts = []
+        if ptr is not None:
+            parts.append(
+                self._snapshot_df(spark, ptr)
+                .where(F.col("batch") < batch_id)
+                .select("content_hash")
+            )
+        dirs = [p for b, p in self._batch_dirs(covered) if b < batch_id]
+        if dirs:
+            parts.append(spark.read.schema(STATE_SCHEMA).parquet(*dirs))
+        if not parts:
             return spark.createDataFrame([], STATE_SCHEMA)
-        return spark.read.schema(STATE_SCHEMA).parquet(*dirs)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ---- write path ------------------------------------------------------
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -89,6 +170,71 @@ class StreamingCorpusDedup:
         fresh.select("content_hash").write.mode("overwrite").parquet(
             os.path.join(self.state_dir, f"batch={batch_id}")
         )
+        self._maybe_compact(spark)
+
+    def _maybe_compact(self, spark: SparkSession) -> None:
+        """Roll loose `batch=` dirs into the next snapshot version once
+        `compact_every` of them accumulate. Crash-safe ordering: write
+        snapshot data → swing `_SNAPSHOT` (atomic os.replace) → delete
+        absorbed dirs + the superseded snapshot. A crash between any two
+        steps leaves a state every reader handles (orphan snapshot dir
+        is overwritten by the next attempt; un-deleted absorbed dirs are
+        excluded by the covered_max filter)."""
+        ptr = self._read_snapshot_pointer()
+        covered = ptr["covered_max"] if ptr else -1
+        loose = self._batch_dirs(covered)
+        if len(loose) < self.compact_every:
+            return
+        new_max = max(b for b, _ in loose)
+        version = (ptr["version"] + 1) if ptr else 0
+        # basePath read lifts the batch=N dir name into a `batch` column
+        # — the provenance that keeps replays exact through compaction.
+        loose_df = (
+            spark.read.schema(STATE_SCHEMA)
+            .option("basePath", self.state_dir)
+            .parquet(*[p for _, p in loose])
+            .select("content_hash", F.col("batch").cast("long").alias("batch"))
+        )
+        merged = (
+            self._snapshot_df(spark, ptr).unionByName(loose_df) if ptr else loose_df
+        )
+        path = self._snapshot_path(version)
+        name = self._table_name(version)
+        try:
+            from hogflare_spark.sinks.bucketed import write_bucketed
+
+            write_bucketed(
+                merged, name, ["content_hash"], self.n_state_buckets, path=path
+            )
+            bucketed = True
+        except Exception:
+            # no usable catalog: same files, bounded count, no bucket spec
+            merged.repartition(self.n_state_buckets, "content_hash").write.mode(
+                "overwrite"
+            ).parquet(path)
+            bucketed = False
+        tmp = self._pointer_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": version,
+                    "covered_max": new_max,
+                    "table": name,
+                    "path": path,
+                    "n_buckets": self.n_state_buckets,
+                    "bucketed": bucketed,
+                },
+                fh,
+            )
+        os.replace(tmp, self._pointer_path)
+        for _, p in loose:
+            shutil.rmtree(p, ignore_errors=True)
+        if ptr is not None:
+            shutil.rmtree(self._snapshot_path(ptr["version"]), ignore_errors=True)
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {ptr['table']}")
+            except Exception:
+                pass
 
     def read_kept(self, spark: SparkSession) -> DataFrame:
         return spark.read.schema(KEPT_SCHEMA).parquet(
