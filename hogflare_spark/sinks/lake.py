@@ -37,6 +37,12 @@ from pyspark.sql import functions as F
 TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
+# Test-only hook: called (if set) between writing the pointer tmp file and
+# the pre-swing fence, letting tests deterministically simulate a holder
+# that pauses exactly where the stale-break race bites.
+_TEST_PAUSE = None
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed since this writer's merge base was read.
 
@@ -183,7 +189,7 @@ def _commit_lock(root: str, timeout: float = 60.0, stale_after: float = 30.0):
     while True:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
+            break  # acquired
         except FileExistsError:
             try:
                 age = time.time() - os.path.getmtime(path)
@@ -200,8 +206,19 @@ def _commit_lock(root: str, timeout: float = 60.0, stale_after: float = 30.0):
             if time.monotonic() > deadline:
                 raise TimeoutError(f"commit lock on {root} not released")
             time.sleep(0.02)
+
+    def still_held() -> bool:
+        """Fencing check: does the live lock path still name OUR lock?
+        False once a waiter declared us stale and broke it — the signal
+        that a successor may have committed and we must abort rather
+        than swing the pointer over their commit."""
+        try:
+            return os.fstat(fd).st_ino == os.stat(path).st_ino
+        except FileNotFoundError:
+            return False
+
     try:
-        yield
+        yield still_held
     finally:
         try:
             if os.fstat(fd).st_ino == os.stat(path).st_ino:
@@ -224,7 +241,7 @@ def _commit_version(df: DataFrame, root: str, base_version: int | None) -> int:
     version = _claim_version(root, (base_version or 0) + 1)
     df.write.mode("overwrite").parquet(os.path.join(root, f"v={version}"))
     conflicted = False
-    with _commit_lock(root):
+    with _commit_lock(root) as still_held:
         # Critical section is exactly: one pointer read + one rename.
         # Nothing slow (no directory rewrites) may run in here — the
         # stale-lock breaker's "held for milliseconds" premise depends
@@ -235,7 +252,18 @@ def _commit_version(df: DataFrame, root: str, base_version: int | None) -> int:
             tmp = os.path.join(root, f"_LATEST.tmp.{version}")
             with open(tmp, "w") as fh:
                 fh.write(str(version))
-            os.replace(tmp, os.path.join(root, "_LATEST"))
+            if _TEST_PAUSE is not None:
+                _TEST_PAUSE()  # test hook: simulate a paused holder here
+            # Fence (ADVICE, lake.py TOCTOU): a holder paused long
+            # enough to be declared stale may have been broken, and a
+            # successor may have committed on the same base. Re-check
+            # BOTH lock ownership and the pointer immediately before
+            # the swing; abort with conflict instead of clobbering.
+            if not still_held() or _latest_version(root) != base_version:
+                conflicted = True
+                os.unlink(tmp)
+            else:
+                os.replace(tmp, os.path.join(root, "_LATEST"))
     if conflicted:
         import shutil
 

@@ -4,6 +4,7 @@ versioning, small-file compaction."""
 from __future__ import annotations
 
 import os
+import pytest
 
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -344,3 +345,48 @@ def test_streaming_batch_layout_compaction_and_mixed_read(spark, tmp_path):
         leaf = os.path.join(events_dir, f"batch={b}", "event_date=2025-03-01")
         files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
         assert len(files) == 1, "batch leaf not bin-packed to one file"
+
+
+def test_paused_holder_fenced_after_stale_break(spark, tmp_path):
+    """ADVICE TOCTOU regression: a holder paused between its base check
+    and the pointer swing gets stale-broken; a successor commits on the
+    same base. When the paused holder wakes it must ABORT (CommitConflict
+    via the ownership/pointer fence), not clobber the successor's commit.
+    Driven deterministically via the lake._TEST_PAUSE hook, which fires
+    exactly at the pause point."""
+    import hogflare_spark.sinks.lake as lake
+    from hogflare_spark.sinks.lake import (
+        CommitConflict,
+        _commit_version,
+        _latest_version,
+        read_table,
+        upsert_table,
+    )
+
+    root = str(tmp_path / "dim")
+    upsert_table(spark, spark.range(0, 3).select(F.col("id")), root, ["id"])
+    base = _latest_version(root)
+    interloper_version = []
+
+    def pause():
+        # simulate: holder stalls; a waiter breaks the lock; a successor
+        # commits on the SAME base (no _TEST_PAUSE recursion: clear it)
+        lock = os.path.join(root, "_COMMIT.lock")
+        os.rename(lock, lock + ".broken.test")
+        os.unlink(lock + ".broken.test")
+        lake._TEST_PAUSE = None
+        v = _commit_version(
+            spark.range(10, 13).select(F.col("id")), root, base
+        )
+        interloper_version.append(v)
+
+    lake._TEST_PAUSE = pause
+    try:
+        with pytest.raises(CommitConflict):
+            _commit_version(spark.range(20, 23).select(F.col("id")), root, base)
+    finally:
+        lake._TEST_PAUSE = None
+    # the successor's commit survives; the fenced writer's rows are absent
+    assert _latest_version(root) == interloper_version[0]
+    ids = {r["id"] for r in read_table(spark, root).collect()}
+    assert ids == {10, 11, 12}
