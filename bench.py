@@ -85,6 +85,12 @@ def main() -> None:
                 spark.catalog.clearCache()
             except Exception:
                 pass
+            # drain the tracked-cache registry too (operators register
+            # their .cache() sites there; clearCache freed the blocks,
+            # this frees the handles)
+            from hogflare_spark.functions.caching import unpersist_all
+
+            unpersist_all()
             gc.collect()
             t0 = time.time()
             try:

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from hogflare_spark.functions import text as T
 from hogflare_spark.functions.hashing import h60
+from hogflare_spark.functions.caching import cached
 
 # Default LSH geometry: 32 perms as 8 bands x 4 rows -> ~0.59 Jaccard
 # threshold knee; catches everything >= 0.8 with near-certain recall and
@@ -96,7 +97,7 @@ def minhash_candidate_pairs(
     # cache the exploded band keys: the groupBy and both sides of the
     # candidate self-join would otherwise each re-inline (and re-codegen —
     # seconds of Janino time per stage) the full signature expression
-    buckets = sig.select("id", F.explode("bk").alias("band_key")).cache()
+    buckets = cached(sig.select("id", F.explode("bk").alias("band_key")))
     small = (
         buckets.groupBy("band_key")
         .agg(F.collect_list("id").alias("ids"), F.count("*").alias("n"))
@@ -129,7 +130,7 @@ def minhash_near_dup_pairs(
     pairs whose 8x4 bands all missed — probability (1-j^4)^8, < 1e-4 at
     j >= 0.8 with the default geometry).
     """
-    sketched = with_shingle_hashes(df, text_col, id_col, k).cache()
+    sketched = cached(with_shingle_hashes(df, text_col, id_col, k))
     cands = minhash_candidate_pairs(sketched, num_perm, bands, rows)
     verified = (
         cands.join(sketched.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
@@ -269,7 +270,7 @@ def substring_overlap_pairs(
     quadratic pair set is noise for dedup purposes; the cap bounds the
     join exactly like minhash's `max_bucket`.
     """
-    sk = with_shingle_hashes(df, text_col, id_col, k=window_tokens).cache()
+    sk = cached(with_shingle_hashes(df, text_col, id_col, k=window_tokens))
     sized = sk.select("id", F.size("hs").alias("sz"))
     postings = sk.select("id", F.explode("hs").alias("w"))
     ok = (
@@ -325,7 +326,7 @@ def simhash_near_dup_pairs(
     then verifies with popcount — the classic Manku/Jain/Sarma (WWW'07)
     near-duplicate detection layout.
     """
-    sk = simhash_sketches(df, text_col, id_col, k, bits).cache()
+    sk = cached(simhash_sketches(df, text_col, id_col, k, bits))
     nbands = bits // band_bits
     mask = (1 << band_bits) - 1
     bandarr = F.array(
@@ -364,7 +365,7 @@ def ngram_jaccard_pairs(
     join shape; at 100 TB you'd add prefix filtering, here posting lists
     are short because shingles are near-unique.
     """
-    sk = with_shingle_hashes(df, text_col, id_col, k).cache()
+    sk = cached(with_shingle_hashes(df, text_col, id_col, k))
     sized = sk.select("id", F.size("hs").alias("sz"), "hs")
     postings = sk.select("id", F.explode("hs").alias("sh"))
     p2 = postings.select(F.col("sh"), F.col("id").alias("id_b"))

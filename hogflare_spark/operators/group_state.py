@@ -41,6 +41,7 @@ from pyspark.sql.types import (
 )
 
 from hogflare_spark.operators.person_store import synthetic_time
+from hogflare_spark.functions.caching import cached
 
 _GROUP_OPS = StructType(
     [
@@ -437,7 +438,7 @@ def fold_group_state(
     folded = (
         folded.localCheckpoint(eager=True)
         if person_state.FOLD_PIN
-        else folded.cache()
+        else cached(folded)
     )
 
     results = folded.where(F.col("row_type") == "result").select(

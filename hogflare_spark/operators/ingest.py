@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hogflare_spark.schemas import EVENT_COLUMNS
+from hogflare_spark.functions.caching import cached
 
 DEFAULT_GROUP_TYPES: tuple[str | None, ...] = (None, None, None, None, None)
 
@@ -80,7 +81,7 @@ def ingest_commands(
     from hogflare_spark.operators.group_state import fold_group_state
     from hogflare_spark.operators.person_state import fold_person_state
 
-    commands = commands.cache()
+    commands = cached(commands)
 
     snapshots, persons = fold_person_state(
         commands,

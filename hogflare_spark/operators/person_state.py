@@ -42,6 +42,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from hogflare_spark.functions.caching import cached
 from hogflare_spark.operators.person_store import (
     PersonStoreReplay,
     snapshot_fields,
@@ -218,8 +219,8 @@ def _two_phase_rank(allocs: DataFrame, small_batch: bool = False) -> DataFrame:
             F.shiftrightunsigned("mid", 33).alias("pid"),
             (F.col("mid").bitwiseAND(F.lit((1 << 33) - 1))).alias("local_idx"),
         )
-        .cache()
     )
+    local = cached(local)
     counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     offsets = counts.select(
         "pid",
@@ -593,7 +594,7 @@ def fold_person_state(
         folded = _stream_fold(partitioned)
     # see FOLD_PIN: physical pin so the replay runs exactly once across
     # all consumers; O(batch) state rows
-    folded = folded.localCheckpoint(eager=True) if FOLD_PIN else folded.cache()
+    folded = folded.localCheckpoint(eager=True) if FOLD_PIN else cached(folded)
 
     snapshots = folded.where(F.col("row_type") == "snapshot").select(
         "request_seq", "item_index", "person_id", "person_created_at", "person_properties"

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hogflare_spark.functions.hashing import hyperplanes
+from hogflare_spark.functions.caching import cached
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
@@ -276,13 +277,12 @@ def lsh_near_dup_pairs(
     """
     planes = hyperplanes(num_planes, dim)
     sig_udf = _band_sigs_udf(planes, bands)
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).cache()
-    keyed = (
+    vecs = cached(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
+    keyed = cached(
         df.select(
             F.col(id_col).alias("id"),
             F.posexplode(sig_udf(F.col(vec_col))).alias("band", "bsig"),
         )
-        .cache()
     )
     cand = (
         keyed.alias("a")

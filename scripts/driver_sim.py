@@ -39,9 +39,12 @@ def main() -> None:
     skip = {n for n in os.environ.get("SIM_SKIP", "").split(",") if n}
     if skip:
         qs = {n: f for n, f in qs.items() if n not in skip}
+    from hogflare_spark.functions.caching import unpersist_all
+
     results = {}
     for name, fn in sorted(qs.items()):
         try:
+            unpersist_all()  # operator caches must not accumulate across gates
             sdf = fn(spark, SF_DIR)
             srows = [tuple(r) for r in sdf.collect()]
             scols = list(sdf.columns)
