@@ -613,10 +613,20 @@ def hf_flag_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("group_properties"),
     )
     flags = parse_flag_config(_FLAG_CONFIG)
-    out = evaluate_flags_df(contexts, flags)
+    # Output must be ordered by (c_custkey, flag_key). Sorting AFTER the
+    # per-flag explode sorts |contexts| x |flags| wide result rows; the
+    # sf1 probe (scripts/flag_scale_probe.py) measured that post-explode
+    # sort at ~2.8s of the gate's ~8.7s. Instead sort the narrow context
+    # rows BEFORE the explode and emit the flag structs in key order:
+    # Project/Generate preserve per-partition row order and the range
+    # sort fixes the partition order, so the result arrives fully
+    # ordered with the sort paying |contexts| rows, not |result| rows.
+    out = evaluate_flags_df(
+        contexts.orderBy("c_custkey"), sorted(flags, key=lambda f: f.key)
+    )
     return out.select(
         "c_custkey", "flag_key", "value", "reason", "condition_index"
-    ).orderBy("c_custkey", "flag_key")
+    )
 
 
 @query(

@@ -33,18 +33,20 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from hogflare_spark import plans
-    from hogflare_spark.flags.compiler import evaluate_flags_df
-    from hogflare_spark.flags.model import parse_flag_config
-    from hogflare_spark.plans.hogflare_semantics import _FLAG_CONFIG
     from hogflare_spark.session import get_spark
-    from hogflare_spark.sources.readers import load_table
 
-    plans.load_all()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
         app_name="flag-probe", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # flags.compiler builds Column literals at import — needs the session
+    plans.load_all()
+    from hogflare_spark.flags.compiler import evaluate_flags_df
+    from hogflare_spark.flags.model import parse_flag_config
+    from hogflare_spark.plans.hogflare_semantics import _FLAG_CONFIG
+    from hogflare_spark.sources.readers import load_table
 
     gate = plans.QUERIES["hf_flag_eval"]
     gate(spark, SF_DIR).count()  # warm
@@ -70,6 +72,16 @@ def main() -> None:
     t("context assembly only", lambda: contexts.count())
     ev = evaluate_flags_df(contexts, flags)
     t("eval, no sort (count)", lambda: ev.count())
+    # count() lets Catalyst prune the flag expressions entirely — force
+    # full evaluation JVM-side by aggregating over every output column,
+    # still with zero rows transferred to the driver
+    t("eval FORCED, JVM-only (agg all cols)", lambda: ev.agg(
+        F.sum(F.length("value")),
+        F.sum(F.length("reason")),
+        F.sum(F.length("flag_key")),
+        F.sum("condition_index"),
+        F.sum(F.length(F.coalesce("payload", F.lit(""))))
+    ).collect())
     t("eval, no sort (collect)", lambda: ev.select(
         "c_custkey", "flag_key", "value", "reason", "condition_index"
     ).collect())
