@@ -79,17 +79,9 @@ _FOLD_SORT = ["comp", "request_seq", "item_index", "sub"]
 
 
 def _parse_ts(value: str | None, fallback_seq: int) -> datetime:
-    if value:
-        try:
-            ts = datetime.fromisoformat(value.replace("Z", "+00:00"))
-            if ts.tzinfo is None:
-                from datetime import timezone
+    from hogflare_spark.operators.person_store import parse_event_time
 
-                ts = ts.replace(tzinfo=timezone.utc)
-            return ts
-        except ValueError:
-            pass
-    return synthetic_time(fallback_seq)
+    return parse_event_time(value, fallback_seq)
 
 
 def derive_person_ops(commands: DataFrame) -> DataFrame:
@@ -278,8 +270,17 @@ def fold_person_state(
     prior_persons: DataFrame | None = None,
     fast_path: bool | str = "auto",
     person_id_floor: int | None = None,
+    emit_snapshots: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (snapshots, persons).
+
+    `emit_snapshots=False` skips the per-op snapshot assembly inside the
+    Python replay (merged-property dict + JSON dump per emitted op) for
+    callers that consume ONLY the persons table — a persons rebuild at
+    100 TB shouldn't serialize one snapshot per event it never reads.
+    The returned snapshots frame is then empty. Python-replay path only;
+    the JVM twin assembles snapshots in codegen where the saving is
+    negligible.
 
     snapshots: (request_seq, item_index, person_id, person_created_at,
     person_properties) — join back to events on the seq pair.
@@ -450,6 +451,7 @@ def fold_person_state(
 
         comp_cur: Any = None
         store: PersonStoreReplay | None = None
+        loads = json.loads
         for pdf in batches:
             s_seq: list[int] = []
             s_item: list[int] = []
@@ -457,36 +459,46 @@ def fold_person_state(
             s_created: list[Any] = []
             s_props: list[Any] = []
             out: list = []
-            for row in pdf.itertuples(index=False):
-                if row.comp != comp_cur or store is None:
+            # Columnar extraction + plain zip: .tolist() converts the
+            # numpy int64 columns to Python ints ONCE (itertuples paid a
+            # namedtuple._make per row plus int() casts per field —
+            # measured ~15% of the kernel). op_time is passed as the RAW
+            # (timestamp, seq_linear) pair; the store parses it only
+            # when a record is actually created (person_store
+            # _resolve_time — per-op eager parsing was another ~10%).
+            for rseq, item, sub, kind, did, alias_id, update, ts, emit, comp in zip(
+                pdf["request_seq"].tolist(),
+                pdf["item_index"].tolist(),
+                pdf["sub"].tolist(),
+                pdf["kind"].tolist(),
+                pdf["distinct_id"].tolist(),
+                pdf["alias_id"].tolist(),
+                pdf["update"].tolist(),
+                pdf["timestamp"].tolist(),
+                pdf["emit"].tolist(),
+                pdf["comp"].tolist(),
+            ):
+                if comp != comp_cur or store is None:
                     if store is not None:
                         _flush_store(store, out)
-                    comp_cur = row.comp
+                    comp_cur = comp
                     store = PersonStoreReplay(comp_cur, team_id)
-                seq_linear = (
-                    int(row.request_seq) * 1_000_000
-                    + int(row.item_index) * 100
-                    + int(row.sub)
-                )
-                op_time = _parse_ts(row.timestamp, seq_linear)
-                seq = (int(row.request_seq), int(row.item_index), int(row.sub))
-                if row.kind == "seed":
-                    store.load_record(row.distinct_id, json.loads(row.update))
+                seq_linear = rseq * 1_000_000 + item * 100 + sub
+                op_time = (ts, seq_linear)
+                seq = (rseq, item, sub)
+                if kind == "seed":
+                    store.load_record(did, loads(update))
                     continue
-                if row.kind == "alias":
-                    _, record = store.apply_alias(
-                        row.distinct_id, row.alias_id, op_time, seq
-                    )
-                elif row.kind == "update":
-                    _, record = store.apply_update(
-                        json.loads(row.update), op_time, seq
-                    )
+                if kind == "alias":
+                    _, record = store.apply_alias(did, alias_id, op_time, seq)
+                elif kind == "update":
+                    _, record = store.apply_update(loads(update), op_time, seq)
                 else:
-                    _, record = store.ensure_person(row.distinct_id, op_time, seq)
-                if row.emit:
+                    _, record = store.ensure_person(did, op_time, seq)
+                if emit_snapshots and emit:
                     pid, pcreated, pprops = snapshot_fields(record)
-                    s_seq.append(int(row.request_seq))
-                    s_item.append(int(row.item_index))
+                    s_seq.append(rseq)
+                    s_item.append(item)
                     s_pid.append(pid)
                     s_created.append(pcreated)
                     s_props.append(pprops)
@@ -518,20 +530,33 @@ def fold_person_state(
     if fast_path == "mega":
         # Cheap pre-check before the full eligibility flag pass: the
         # mega routing only fires when SOME component's op count reaches
-        # MEGA_COMPONENT_MIN_OPS. A partial-agg count over the pinned
-        # ops frame (no extra exchange — already hash-partitioned by
-        # comp) answers that in one tiny job; the common case (no hot
-        # key) then skips the window flag pass, its full-frame
-        # localCheckpoint, and the grouped count entirely.
-        partitioned = partitioned.localCheckpoint(eager=True)
+        # MEGA_COMPONENT_MIN_OPS. Computed WITHOUT materializing the ops
+        # frame (the old eager localCheckpoint of every op row measured
+        # ~1.5s of the sf1 gate): per-id op counts partial-aggregate to
+        # |ids| rows map-side, join the (tiny) CC labels, and sum per
+        # component — a component's op count is exactly the sum of its
+        # member ids' op counts. The common case (no hot key) then skips
+        # the window flag pass and its full-frame localCheckpoint
+        # entirely; the fold re-reads ops from the cached commands.
+        id_counts = ops.groupBy("distinct_id").agg(F.count(F.lit(1)).alias("c"))
         mx = (
-            partitioned.groupBy("comp")
-            .agg(F.count(F.lit(1)).alias("c"))
+            id_counts.join(
+                components.withColumnRenamed("id", "distinct_id"),
+                "distinct_id",
+                "left",
+            )
+            .withColumn("comp", F.coalesce("comp", "distinct_id"))
+            .groupBy("comp")
+            .agg(F.sum("c").alias("c"))
             .agg(F.max("c").alias("mx"))
             .first()["mx"]
         )
         if mx is None or mx < MEGA_COMPONENT_MIN_OPS:
             fast_path = False
+        else:
+            # hot key present: the flag pass below fans this frame out
+            # to several consumers — pin it once
+            partitioned = partitioned.localCheckpoint(eager=True)
 
     if fast_path:
         # Alias-free components whose fragments pass the byte-parity

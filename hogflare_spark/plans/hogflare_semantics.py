@@ -88,11 +88,21 @@ _PERSON_FOLD_ORACLE = """
 
 @query("hf_person_fold_state", oracle=_PERSON_FOLD_ORACLE)
 def hf_person_fold_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Runs the full ingest fold and reads back the persons table."""
-    from hogflare_spark.operators.ingest import ingest_raw_requests
+    """Decode + person fold, persons table only. A persons-table rebuild
+    consumes neither per-event snapshots nor the group fold, so the plan
+    calls the fold directly with emit_snapshots=False instead of running
+    the full ingest composition (which eagerly pins the group fold and
+    serializes one snapshot per event for nobody to read) — the
+    full-ingest path stays pinned by hf_event_snapshots,
+    hf_event_group_props, and the streaming gates."""
+    from hogflare_spark.operators.normalize import decode_normalize_requests
+    from hogflare_spark.operators.person_state import fold_person_state
+
+    from hogflare_spark.functions.caching import cached
 
     raw = _capture_requests_from_events(spark, sf_dir)
-    persons = ingest_raw_requests(raw)["persons"]
+    commands = cached(decode_normalize_requests(raw))
+    _, persons = fold_person_state(commands, emit_snapshots=False)
     return persons.select(
         F.col("canonical_id").cast("long").alias("user_id"),
         F.element_at("properties", "k").cast("long").alias("k_last"),
@@ -111,11 +121,16 @@ def hf_person_fold_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver validates it against the identical oracle as the
     Python-replay gate; auto mode prefers the replay (measured faster
     locally, scripts/fold_crossover.py), so this gate is what pins the
-    JVM path at sf scale."""
-    from hogflare_spark.operators.ingest import ingest_raw_requests
+    JVM path at sf scale. Persons-only, like hf_person_fold_state: the
+    fold is invoked directly (snapshot assembly lives in codegen on this
+    path, so only the group-fold/events composition is skipped)."""
+    from hogflare_spark.functions.caching import cached
+    from hogflare_spark.operators.normalize import decode_normalize_requests
+    from hogflare_spark.operators.person_state import fold_person_state
 
     raw = _capture_requests_from_events(spark, sf_dir)
-    persons = ingest_raw_requests(raw, person_fast_path=True)["persons"]
+    commands = cached(decode_normalize_requests(raw))
+    _, persons = fold_person_state(commands, fast_path=True)
     return persons.select(
         F.col("canonical_id").cast("long").alias("user_id"),
         F.element_at("properties", "k").cast("long").alias("k_last"),
