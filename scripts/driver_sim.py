@@ -41,6 +41,14 @@ def main() -> None:
         qs = {n: f for n, f in qs.items() if n not in skip}
     from hogflare_spark.functions.caching import unpersist_all
 
+    # SIM_SCALE_CHECKS=1: at scaled SF dirs, queries whose DuckDB oracles
+    # are super-linear get a bounded hard check (restricted-view oracle /
+    # replication expectation / invariants) instead of the full oracle —
+    # every query still gets a verdict, nothing is skipped.
+    scale_checks = {}
+    if os.environ.get("SIM_SCALE_CHECKS"):
+        from hogflare_spark.plans.scale_checks import CHECKS as scale_checks
+
     results = {}
     for name, fn in sorted(qs.items()):
         try:
@@ -48,6 +56,9 @@ def main() -> None:
             sdf = fn(spark, SF_DIR)
             srows = [tuple(r) for r in sdf.collect()]
             scols = list(sdf.columns)
+            if name in scale_checks:
+                results[name] = scale_checks[name](spark, SF_DIR, srows, scols)
+                continue
             if name not in oracles:
                 results[name] = {"mode": "rows_only", "rows": len(srows), "ok": True}
                 continue

@@ -1019,3 +1019,46 @@ def test_streaming_corpus_dedup_compaction_bounds_state_dirs(spark, tmp_path):
     )
     kept2 = {r["doc_id"] for r in job.read_kept(spark).collect()}
     assert kept2 == kept | {1000}
+
+
+def test_scale_checks_machinery_on_base_sf(spark):
+    """The sf-scale check families (plans/scale_checks.py) must agree
+    with ground truth on an UNSCALED dir too: the restricted-view pair
+    check reproduces the full oracle restricted to the sample, and the
+    cluster invariant check accepts the real clusters output (stride >
+    max id makes every doc its own base, so cohesion is the degenerate
+    true case)."""
+    import hogflare_spark.plans as plans
+    from hogflare_spark.plans import scale_checks
+
+    plans.load_all()
+    QUERIES = plans.QUERIES
+    sf = SF_SMOKE
+    for name in ("llm_minhash_near_dups", "llm_dedup_clusters"):
+        df = QUERIES[name](spark, sf)
+        srows = [tuple(r) for r in df.collect()]
+        out = scale_checks.CHECKS[name](spark, sf, srows, list(df.columns))
+        assert out["ok"], (name, out)
+
+    # and the check actually DETECTS a wrong answer: inject a bogus pair
+    # whose ids are inside the sample (so the restricted compare sees it)
+    # and which the real result does not contain
+    from hogflare_spark.plans.scale_checks import _doc_sample
+
+    name = "llm_minhash_near_dups"
+    df = QUERIES[name](spark, sf)
+    srows = [tuple(r) for r in df.collect()]
+    cols = list(df.columns)
+    ia, ib = cols.index("id_a"), cols.index("id_b")
+    real = {(r[ia], r[ib]) for r in srows}
+    sample = sorted(_doc_sample(sf))
+    fake = next(
+        (a, b)
+        for a in sample
+        for b in sample
+        if a < b and (a, b) not in real
+    )
+    out2 = scale_checks.CHECKS[name](
+        spark, sf, srows + [fake + (0.999999,)], cols
+    )
+    assert not out2["ok"], out2
