@@ -74,7 +74,12 @@ def hash_split_sql(id_expr: str, train_pct: int = 80, val_pct: int = 10) -> tupl
 
 
 def stratified_sample(
-    df: DataFrame, id_col: str, stratum_col: str, n_per_stratum: int
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    n_per_stratum: int,
+    prefilter_min_stratum: int = 100_000,
+    safety: float = 4.0,
 ) -> DataFrame:
     """Keeps the `n_per_stratum` lowest-hash rows of each stratum.
 
@@ -82,17 +87,70 @@ def stratified_sample(
     tiebreak makes the order total even under (astronomically unlikely)
     hash collisions, so the kept set is engine-independent.
 
-    At 100 TB with mega-strata, pre-filter before the window (e.g.
-    `sample_hash < quota_share_of_hash_space * safety_factor`) so the
-    per-stratum sort ranks a bounded superset instead of the whole
-    stratum; at these sizes the plain window is the clearer plan.
+    Mega-stratum pre-filter (the 100 TB path): when any stratum exceeds
+    `prefilter_min_stratum` rows, rows of such strata are pre-filtered
+    to `sample_hash <= 2^60 * n * safety / |stratum|` BEFORE the ranking
+    window, so the per-stratum sort ranks an expected n*safety-row
+    superset instead of the whole stratum. EXACT by construction, not in
+    expectation: the filter keeps EVERY row below the threshold, so if a
+    stratum retains >= min(n, |stratum|) rows its true n lowest hashes
+    are all present; strata where the hash draw undershot (probability
+    ~ e^-n at safety 4, but nonzero) are detected by a grouped count and
+    re-ranked over their FULL rows, so the result equals the plain
+    window bit-for-bit on every input. Strata at or below the size
+    cutoff skip the filter entirely — the common/test path adds only one
+    partial-aggregated stratum count.
     """
     sample_hash = h60(F.concat(F.lit(SAMPLE_SALT), F.col(id_col).cast("string")))
     w = Window.partitionBy(stratum_col).orderBy(sample_hash, F.col(id_col))
+
+    def plain(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= n_per_stratum)
+            .drop("_rk")
+        )
+
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_sn"))
+    big = counts.where(F.col("_sn") > F.lit(prefilter_min_stratum))
+    if big.isEmpty():
+        return plain(df)
+
+    h_max = float(1 << 60)
+    thr = F.least(
+        F.lit(h_max),
+        F.ceil(F.lit(h_max * n_per_stratum * safety) / F.col("_sn")),
+    )
+    pre = (
+        df.join(F.broadcast(counts), stratum_col)
+        .where(
+            (F.col("_sn") <= prefilter_min_stratum) | (sample_hash <= thr)
+        )
+        .select(*df.columns)  # USING-join moved the key column first
+    )
+    kept = plain(pre)
+    # exactness guard: a pre-filtered stratum is correct iff it retained
+    # at least min(n, |stratum|) rows — otherwise re-rank its FULL rows
+    deficient = (
+        big.join(  # LEFT from big: a stratum with ZERO kept rows must
+            # still be flagged — an inner join would drop its group
+            kept.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_kn")),
+            stratum_col,
+            "left",
+        )
+        .where(
+            F.coalesce(F.col("_kn"), F.lit(0))
+            < F.least(F.lit(n_per_stratum), F.col("_sn"))
+        )
+        .select(stratum_col)
+    )
+    if deficient.isEmpty():
+        return kept
+    refill = plain(df.join(F.broadcast(deficient), stratum_col, "semi"))
     return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= n_per_stratum)
-        .drop("_rk")
+        kept.join(F.broadcast(deficient), stratum_col, "anti")
+        .select(*df.columns)
+        .unionByName(refill.select(*df.columns))
     )
 
 

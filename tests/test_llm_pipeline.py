@@ -1062,3 +1062,40 @@ def test_scale_checks_machinery_on_base_sf(spark):
         spark, sf, srows + [fake + (0.999999,)], cols
     )
     assert not out2["ok"], out2
+
+
+def test_stratified_sample_prefilter_exact_vs_plain_window(spark):
+    """The mega-stratum pre-filter path (r5 carry-over, previously
+    documented-only) must reproduce the plain-window result bit-for-bit:
+    on a stratum above the cutoff, with a normal safety factor, AND with
+    a pathological safety factor small enough to force the deficiency
+    refill."""
+    from pyspark.sql import Row as R
+
+    from hogflare_spark.operators.sampling import stratified_sample
+
+    rows = [R(doc_id=i, lang="big" if i < 5000 else "small") for i in range(5200)]
+    df = spark.createDataFrame(rows)
+
+    plain = sorted(
+        tuple(r)
+        for r in stratified_sample(
+            df, "doc_id", "lang", 40, prefilter_min_stratum=10**9
+        ).collect()
+    )
+    pre = sorted(
+        tuple(r)
+        for r in stratified_sample(
+            df, "doc_id", "lang", 40, prefilter_min_stratum=1000, safety=4.0
+        ).collect()
+    )
+    assert pre == plain
+    # safety so small the threshold keeps ~0 rows: the refill MUST fire
+    # and the result must still be exact
+    forced = sorted(
+        tuple(r)
+        for r in stratified_sample(
+            df, "doc_id", "lang", 40, prefilter_min_stratum=1000, safety=1e-6
+        ).collect()
+    )
+    assert forced == plain
