@@ -127,8 +127,19 @@ def embedding_near_dup_pairs(
     )
     # diagonal keys see every ordered pair (dedup by id order); off-diagonal
     # keys see each unordered pair exactly once (keep both id orders)
-    pairs = left.join(right, ["ki", "kj"]).where(
-        (F.col("ki") < F.col("kj")) | (F.col("id_a") < F.col("id_b"))
+    #
+    # Pin the join's shuffle width: the shuffled BYTES here are tiny
+    # (n * (num_blocks+1) narrow rows) but the per-pair cosine work after
+    # the join is quadratic, so AQE's byte-based coalescing collapses the
+    # compare onto a couple of tasks (observed at the sf1 probe: 2 tasks
+    # grinding 2e8 pairs). An explicit repartition on the join key is
+    # exempt from AQE coalescing and satisfies the join's distribution,
+    # keeping the O(n²/B) compare as wide as the cluster.
+    n_wide = df.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        left.repartition(n_wide, "ki", "kj")
+        .join(right.repartition(n_wide, "ki", "kj"), ["ki", "kj"])
+        .where((F.col("ki") < F.col("kj")) | (F.col("id_a") < F.col("id_b")))
     )
     return (
         pairs.select(
