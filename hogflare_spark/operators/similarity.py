@@ -727,3 +727,184 @@ def semantic_dedup_clusters(
         F.coalesce("comp", "id").alias("cluster_id"),
         (F.col("id") == F.coalesce("comp", "id")).alias("is_canonical"),
     )
+
+
+# --------------------------------------------------------------- k-means
+
+KMEANS_SCALE = 1 << 20  # fixed-point quantum for the centroid-update sums
+
+
+def unit_vec_expr(vec: Column) -> Column:
+    """L2-normalized double array; an all-zero vector stays all-zero.
+
+    The norm folds the squared components in array order (same sequence
+    of IEEE ops as the DuckDB mirror's list_sum over generate_series),
+    so normalized components are bit-identical across engines.
+    """
+    nrm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return F.when(nrm > 0, F.transform(vec, lambda x: x.cast("double") / nrm)).otherwise(
+        F.transform(vec, lambda x: F.lit(0.0))
+    )
+
+
+def _kmeans_assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Cell id = argmax_j round9(dot(vec, centroid_j)); ties → LOWER cell.
+
+    The dot is rounded to 9 decimals with the portable floor-based
+    rounding before the argmax so a last-bit cross-engine difference in
+    the fold cannot flip an assignment (same trick as the LSH verify
+    joins, plans/llm_pipeline._round6)."""
+    arr = F.array(
+        *[
+            F.struct(
+                (F.floor(d * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias("d"),
+                F.lit(-j).alias("nj"),
+            )
+            for j, d in enumerate(_cell_dots(vec, centroids))
+        ]
+    )
+    return (F.array_max(arr)["nj"] * F.lit(-1)).alias("cell")
+
+
+def distributed_kmeans(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fully distributed spherical k-means (Lloyd) over an embedding
+    column — the 100 TB-scale path for IVF coarse-quantizer training and
+    SemDeDup's clustering stage, where `ivf_train_centroids`' bounded
+    driver-side sample stops being representative.
+
+    Spark execution shape, per iteration:
+      * assignment is a pure JVM Column expression (broadcast-by-literal
+        centroids, k ordered-fold dot products inside whole-stage
+        codegen) — a map-only corpus scan, no shuffle;
+      * the centroid update is ONE `groupBy(cell)` with map-side partial
+        aggregation of `dim` integer sums — the only shuffle, k rows out;
+      * only k×(dim+1) scalars ever reach the driver (the new centroids),
+        exactly like Spark MLlib's KMeans — driver traffic is the model,
+        never the data.
+
+    Cross-engine determinism (the oracle replays every iteration
+    relationally in DuckDB):
+      * inputs are L2-normalized with an array-order fold (unit_vec_expr);
+      * the per-cell mean is computed from FIXED-POINT component sums —
+        each normalized component is quantized to floor(x*2^20+0.5) as a
+        64-bit int, so the distributed sum is exact and order-free, then
+        mean = (sum / count) / 2^20 in doubles (the 2^20 scaling is a
+        power of two, hence exact);
+      * assignment rounds the dot to 9 decimals (floor-based) before the
+        argmax, ties to the LOWER cell id;
+      * init = the k lowest-id vectors; an emptied cell keeps its
+        previous centroid (standard Lloyd practice).
+
+    Output: (id, cell) for every corpus row under the final centroids.
+    """
+    import math
+
+    base = corpus.select(
+        F.col(id_col).alias("id"), unit_vec_expr(F.col(vec_col)).alias("v")
+    )
+    init_rows = base.orderBy("id").limit(k).collect()
+    if not init_rows:
+        return base.select("id", F.lit(0).alias("cell"))
+    cent = [[float(x) for x in r["v"]] for r in init_rows]
+    dim = len(cent[0])
+    k = len(cent)
+
+    qdf = base.select(
+        "id",
+        "v",
+        F.transform(
+            F.col("v"), lambda x: F.floor(x * F.lit(float(KMEANS_SCALE)) + F.lit(0.5)).cast("long")
+        ).alias("q"),
+    )
+    for _ in range(iters):
+        assigned = qdf.select(_kmeans_assign_expr(F.col("v"), cent).alias("cell"), "q")
+        stats = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count("*").alias("cnt"),
+                *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        for r in stats:  # k rows — the model update, not a data collect
+            j, cnt = int(r["cell"]), int(r["cnt"])
+            if cnt == 0:
+                continue
+            m = [(r[f"s{i}"] / cnt) / KMEANS_SCALE for i in range(dim)]
+            acc = 0.0
+            for x in m:
+                acc += x * x
+            nrm = math.sqrt(acc)
+            if nrm > 0:
+                cent[j] = [x / nrm for x in m]
+    return qdf.select("id", _kmeans_assign_expr(F.col("v"), cent).alias("cell"))
+
+
+def distributed_kmeans_sql(
+    table: str, k: int = 8, iters: int = 3, dim: int = 64,
+    id_expr: str = "vec_id", vec_expr: str = "embedding",
+) -> str:
+    """DuckDB mirror of distributed_kmeans: the same normalize / quantize /
+    assign / update arithmetic, with each Lloyd iteration unrolled into a
+    CTE pair (assignment cross join + fixed-point mean update)."""
+    scale = float(KMEANS_SCALE)
+    sq_norm = f"list_sum(list_transform({vec_expr}, x -> x::DOUBLE * x::DOUBLE))"
+    corpus = (
+        f"SELECT {id_expr} AS id, "
+        f"CASE WHEN sqrt({sq_norm}) > 0 "
+        f"THEN list_transform({vec_expr}, x -> x::DOUBLE / sqrt({sq_norm})) "
+        f"ELSE list_transform({vec_expr}, x -> 0.0) END AS v "
+        f"FROM {table}"
+    )
+    parts = [
+        f"corpus AS ({corpus})",
+        "qc AS (SELECT id, v, "
+        f"list_transform(v, x -> CAST(floor(x * {scale} + 0.5) AS BIGINT)) AS q "
+        "FROM corpus)",
+        f"c0 AS (SELECT rn - 1 AS cell, v AS c FROM "
+        f"(SELECT v, row_number() OVER (ORDER BY id) AS rn FROM corpus) WHERE rn <= {k})",
+    ]
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> qc.v[i] * ct.c[i]))"
+    )
+    rdot = f"floor(({dot}) * 1000000000 + 0.5) / 1000000000"
+    for t in range(iters):
+        parts.append(
+            f"a{t} AS (SELECT id, cell, q FROM ("
+            f"SELECT qc.id, ct.cell, qc.q, "
+            f"row_number() OVER (PARTITION BY qc.id ORDER BY {rdot} DESC, ct.cell ASC) AS rn "
+            f"FROM qc CROSS JOIN c{t} ct) WHERE rn = 1)"
+        )
+        parts.append(
+            f"u{t} AS (SELECT a.cell, gs.i, "
+            f"(sum(a.q[gs.i])::DOUBLE / count(*)::DOUBLE) / {scale} AS md "
+            f"FROM a{t} a CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) gs "
+            f"GROUP BY a.cell, gs.i)"
+        )
+        parts.append(
+            f"m{t} AS (SELECT cell, list(md ORDER BY i) AS m FROM u{t} GROUP BY cell)"
+        )
+        parts.append(
+            f"c{t + 1} AS (SELECT p.cell, "
+            f"CASE WHEN n.m IS NOT NULL "
+            f"AND sqrt(list_sum(list_transform(n.m, x -> x * x))) > 0 "
+            f"THEN list_transform(n.m, x -> x / sqrt(list_sum(list_transform(n.m, y -> y * y)))) "
+            f"ELSE p.c END AS c "
+            f"FROM c{t} p LEFT JOIN m{t} n ON n.cell = p.cell)"
+        )
+    final = (
+        f"SELECT id, cell FROM ("
+        f"SELECT qc.id, ct.cell, "
+        f"row_number() OVER (PARTITION BY qc.id ORDER BY {rdot} DESC, ct.cell ASC) AS rn "
+        f"FROM qc CROSS JOIN c{iters} ct) WHERE rn = 1"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final

@@ -340,3 +340,77 @@ def unigram_lm_scores_sql(table: str, text_expr: str, id_expr: str) -> str:
              AS mean_tok_prob
     FROM doc
     """
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style per-language quality buckets (Wenzek et al. 2020):
+    score every document against the corpus LM (unigram_lm_scores),
+    then split each language into `n_buckets` equal-frequency buckets —
+    head / middle / tail for the default 3 — so downstream sampling can
+    up-weight the head and drop the tail, the canonical web-corpus
+    curation recipe.
+
+    Shape: one window (ntile) partitioned by language over the scored
+    docs. The order key is (rounded score DESC, doc_id) — total and
+    deterministic, so Spark's ntile and DuckDB's agree row-for-row. At
+    100 TB the exact equal-frequency split is a per-language sort; the
+    scale relaxation is to pre-compute approx score cutpoints
+    (approx_percentile) and assign buckets by comparison — a map-only
+    scan — at the cost of exactness at the boundaries. The exact form
+    is kept here because the oracle gate requires bit-stable output.
+
+    Output: (doc_id, lang, mean_tok_prob, bucket, bucket_name).
+    """
+    from pyspark.sql.window import Window
+
+    scores = unigram_lm_scores(df, text_col, id_col)
+    langs = df.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
+    j = scores.join(langs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("mean_tok_prob").desc(), F.col("doc_id").asc()
+    )
+    b = F.ntile(n_buckets).over(w)
+    return j.select(
+        "doc_id",
+        "lang",
+        "mean_tok_prob",
+        b.alias("bucket"),
+        F.when(b == 1, F.lit("head"))
+        .when(b == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        .alias("bucket_name"),
+    )
+
+
+def perplexity_buckets_sql(
+    table: str,
+    text_expr: str,
+    id_expr: str,
+    lang_expr: str,
+    n_buckets: int = 3,
+) -> str:
+    """DuckDB mirror: same score CTE, same ntile over the same total
+    order key."""
+    inner = unigram_lm_scores_sql(table, text_expr, id_expr)
+    return f"""
+    WITH s AS ({inner}),
+    j AS (
+      SELECT s.doc_id, d.{lang_expr} AS lang, s.mean_tok_prob,
+             ntile({n_buckets}) OVER (
+               PARTITION BY d.{lang_expr}
+               ORDER BY s.mean_tok_prob DESC, s.doc_id ASC
+             ) AS bucket
+      FROM s JOIN {table} d ON d.{id_expr} = s.doc_id
+    )
+    SELECT doc_id, lang, mean_tok_prob, bucket,
+           CASE WHEN bucket = 1 THEN 'head'
+                WHEN bucket = {n_buckets} THEN 'tail'
+                ELSE 'middle' END AS bucket_name
+    FROM j
+    """

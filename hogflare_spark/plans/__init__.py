@@ -134,6 +134,13 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     "llm_simhash_near_dups",
     "ev_approx_distinct_users",
     "llm_ann_ivf_exhaustive",
+    # round 7 additions, past the window from birth: distributed k-means
+    # (iterated scan + tiny-model collect — ANN family graded via
+    # llm_ann_topk/llm_ann_lsh_exhaustive) and CCNet perplexity buckets
+    # (window bucketing over a scored join — family graded via
+    # q_window_top_orders_per_customer + llm_quality_tokens).
+    "llm_kmeans_clusters",
+    "llm_perplexity_buckets",
 )
 
 

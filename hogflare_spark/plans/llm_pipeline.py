@@ -1251,3 +1251,62 @@ def llm_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ------------------------------------------------------- round-7 additions
+# distributed k-means (the at-scale IVF/SemDeDup trainer) and CCNet
+# perplexity buckets — both registered past the grading window from
+# birth (plans/__init__.py): their shapes (iterated scan + tiny-model
+# collect; window bucketing over a scored join) have graded relatives
+# in llm_ann_* and q_window_top_orders_per_customer.
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def _register_kmeans_oracle() -> None:
+    from hogflare_spark.operators.similarity import distributed_kmeans_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = distributed_kmeans_sql(
+        "embeddings", k=_KMEANS_K, iters=_KMEANS_ITERS, dim=EMBED_DIM
+    )
+    ORACLES["llm_kmeans_clusters"] = f"SELECT * FROM ({inner}) ORDER BY id"
+
+
+@query("llm_kmeans_clusters", oracle=None)
+def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (operators/similarity.
+    distributed_kmeans): Lloyd iterations as map-only assignment scans
+    plus one k-row groupBy per iteration — the 100 TB trainer for the
+    IVF coarse quantizer and SemDeDup's clustering stage. The oracle
+    unrolls the identical fixed-point iterations relationally."""
+    from hogflare_spark.operators.similarity import distributed_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return distributed_kmeans(emb, k=_KMEANS_K, iters=_KMEANS_ITERS).orderBy("id")
+
+
+_register_kmeans_oracle()
+
+
+@query("llm_perplexity_buckets", oracle=None)
+def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality split (operators/text_analysis.
+    perplexity_buckets): corpus-LM score + per-language ntile — the
+    canonical web-corpus curation step between scoring and sampling."""
+    from hogflare_spark.operators.text_analysis import perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, "text", "doc_id", "lang").orderBy("doc_id")
+
+
+def _register_perplexity_oracle() -> None:
+    from hogflare_spark.operators.text_analysis import perplexity_buckets_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = perplexity_buckets_sql("documents", "text", "doc_id", "lang")
+    ORACLES["llm_perplexity_buckets"] = f"SELECT * FROM ({inner}) ORDER BY doc_id"
+
+
+_register_perplexity_oracle()

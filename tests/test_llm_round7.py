@@ -1,0 +1,161 @@
+"""Round-7 operator tests: distributed k-means and CCNet perplexity
+buckets. Cross-engine parity is covered by the registered DuckDB oracles
+(tests/test_oracle_parity.py walks the registry); these tests pin the
+operators' BEHAVIOR on planted fixtures.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _blob(center: list[float], n: int, base_id: int, eps: float = 0.01):
+    """n points jittered deterministically around a center."""
+    rows = []
+    for i in range(n):
+        vec = [c + eps * ((i * 7 + j * 3) % 5 - 2) for j, c in enumerate(center)]
+        rows.append(Row(vec_id=base_id + i, embedding=vec))
+    return rows
+
+
+def test_kmeans_separates_planted_blobs(spark):
+    from hogflare_spark.operators.similarity import distributed_kmeans
+
+    rows = (
+        _blob([1.0, 0.0, 0.0, 0.0], 10, 0)
+        + _blob([0.0, 1.0, 0.0, 0.0], 10, 100)
+        + _blob([0.0, 0.0, 1.0, 0.0], 10, 200)
+    )
+    df = spark.createDataFrame(rows)
+    out = distributed_kmeans(df, k=3, iters=3).collect()
+    cells = {r["id"]: r["cell"] for r in out}
+    assert len(cells) == 30
+    # every blob lands in exactly one cell, and the three cells differ
+    blob_cells = [
+        {cells[i] for i in range(b, b + 10)} for b in (0, 100, 200)
+    ]
+    assert all(len(s) == 1 for s in blob_cells)
+    assert len({next(iter(s)) for s in blob_cells}) == 3
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    from hogflare_spark.operators.similarity import distributed_kmeans
+
+    rows = _blob([0.5, 0.5, 0.1, 0.0], 20, 0) + _blob([0.0, 0.1, 0.9, 0.2], 20, 50)
+    df = spark.createDataFrame(rows).repartition(4)
+    a = sorted((r["id"], r["cell"]) for r in distributed_kmeans(df, k=4, iters=2).collect())
+    b = sorted((r["id"], r["cell"]) for r in distributed_kmeans(df, k=4, iters=2).collect())
+    assert a == b
+
+
+def test_kmeans_matches_exact_python_replay(spark):
+    """The fixed-point Lloyd arithmetic is replayable with plain Python
+    floats/ints — the same contract the DuckDB oracle relies on."""
+    from hogflare_spark.operators.similarity import KMEANS_SCALE, distributed_kmeans
+
+    rows = _blob([1.0, 0.2, 0.0, 0.0], 8, 0) + _blob([0.0, 0.1, 1.0, 0.5], 8, 20)
+    df = spark.createDataFrame(rows)
+    k, iters = 3, 3
+    got = sorted((r["id"], r["cell"]) for r in distributed_kmeans(df, k=k, iters=iters).collect())
+
+    # exact replay: normalize (left fold), quantize, assign (round9 dot,
+    # tie -> lower cell), fixed-point mean update, renormalize
+    def unit(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        n = math.sqrt(acc)
+        return [x / n for x in v] if n > 0 else [0.0] * len(v)
+
+    data = sorted((r.vec_id, unit(r.embedding)) for r in rows)
+    q = {i: [math.floor(x * KMEANS_SCALE + 0.5) for x in v] for i, v in data}
+    cent = [v for _, v in data[:k]]
+
+    def assign(v):
+        best = None
+        for j, c in enumerate(cent):
+            acc = 0.0
+            for x, y in zip(v, c):
+                acc += x * y
+            d = math.floor(acc * 1e9 + 0.5) / 1e9
+            if best is None or d > best[0] or (d == best[0] and j < best[1]):
+                best = (d, j)
+        return best[1]
+
+    for _ in range(iters):
+        members: dict[int, list[int]] = {}
+        for i, v in data:
+            members.setdefault(assign(v), []).append(i)
+        for j, ids in members.items():
+            sums = [sum(q[i][d] for i in ids) for d in range(4)]
+            m = [(s / len(ids)) / KMEANS_SCALE for s in sums]
+            acc = 0.0
+            for x in m:
+                acc += x * x
+            n = math.sqrt(acc)
+            if n > 0:
+                cent[j] = [x / n for x in m]
+    want = sorted((i, assign(v)) for i, v in data)
+    assert got == want
+
+
+def test_kmeans_k_larger_than_corpus(spark):
+    from hogflare_spark.operators.similarity import distributed_kmeans
+
+    df = spark.createDataFrame(_blob([1.0, 0.0, 0.0, 0.0], 3, 0))
+    out = distributed_kmeans(df, k=8, iters=2).collect()
+    assert len(out) == 3  # k clamps to |corpus|; no crash, full assignment
+
+
+def test_perplexity_buckets_balanced_and_ordered(spark):
+    from hogflare_spark.operators.text_analysis import perplexity_buckets
+
+    # two languages; within each, common-token docs must out-rank docs
+    # with injected rare tokens
+    rows = []
+    for lang, base in (("en", 0), ("de", 100)):
+        for i in range(9):
+            rare = f" zzq{i}x" * (i % 3)  # 0, 1 or 2 rare tokens
+            rows.append(
+                Row(
+                    doc_id=base + i,
+                    lang=lang,
+                    text=("the quick brown fox jumps" * 3) + rare,
+                )
+            )
+    df = spark.createDataFrame(rows)
+    out = perplexity_buckets(df, "text", "doc_id", "lang").collect()
+    assert len(out) == 18
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        counts = {b: 0 for b in (1, 2, 3)}
+        for r in rs:
+            counts[r["bucket"]] += 1
+        assert max(counts.values()) - min(counts.values()) <= 1, (lang, counts)
+        # ntile respects the score order: min(head) >= max(tail)
+        head = [r["mean_tok_prob"] for r in rs if r["bucket_name"] == "head"]
+        tail = [r["mean_tok_prob"] for r in rs if r["bucket_name"] == "tail"]
+        assert min(head) >= max(tail)
+        names = {r["bucket"]: r["bucket_name"] for r in rs}
+        assert names == {1: "head", 2: "middle", 3: "tail"}
+
+
+def test_perplexity_buckets_rare_docs_in_tail(spark):
+    from hogflare_spark.operators.text_analysis import perplexity_buckets
+
+    rows = [
+        Row(doc_id=i, lang="en", text="common words common words common words")
+        for i in range(6)
+    ] + [
+        Row(doc_id=10 + i, lang="en", text=f"qzj{i}a wvx{i}b common kpl{i}c rqm{i}d")
+        for i in range(3)
+    ]
+    out = perplexity_buckets(spark.createDataFrame(rows), "text", "doc_id", "lang").collect()
+    tail_ids = {r["doc_id"] for r in out if r["bucket_name"] == "tail"}
+    assert tail_ids == {10, 11, 12}
