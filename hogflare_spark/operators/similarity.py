@@ -21,6 +21,11 @@
   the corpus written cell-PARTITIONED with persisted centroids, probes
   pushed as partition filters so the scan opens only probed cells
   (PartitionFilters asserted in test).
+- distributed_kmeans: fully distributed Lloyd — map-only JVM assignment
+  scans + one k-row groupBy per iteration — the trainer to use when the
+  corpus outgrows ivf_train_centroids' bounded driver-side sample;
+  fixed-point centroid sums keep every iteration exactly replayable by
+  the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -107,47 +112,97 @@ def embedding_near_dup_pairs(
     bounded candidate volume at this threshold. For genuinely high
     thresholds (>= ~0.8) use `lsh_near_dup_pairs`, the sub-quadratic
     approximate path.
+
+    The per-pair compare runs as ONE Arrow-batched matrix kernel per
+    block-pair key (applyInPandas → int64 matmul), not as a per-pair
+    Column expression: Catalyst's higher-order functions (aggregate /
+    zip_with) are interpreted, never whole-stage-codegen'd, so folding
+    3×dim lambdas per pair costs ~20 min for the 1.3e7 sf1 pairs where
+    the matmul kernel takes seconds. Data movement does NOT grow: the
+    kernel input is the same n×(num_blocks+1) narrow replicated rows
+    the pair join would shuffle — vectors are never replicated per
+    PAIR, only per block-pair key.
+
+    Cross-engine determinism: vectors are L2-normalized then quantized
+    to fixed-point (floor(x·2^20+0.5), the kmeans trick), so the pair
+    dot is an EXACT int64 sum — order-free, hence identical between
+    numpy's matmul and the oracle's list_sum — and sim = dot/2^40 is a
+    power-of-two scaling (exact), rounded to 9 decimals floor-based.
+    sim therefore equals true cosine only to ~1e-6 (quantization), a
+    documented contract shared bit-for-bit by both engines; the planted
+    threshold margins (≥5e-4) dwarf it.
     """
+    import pandas as pd
+
     base = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
+        F.transform(
+            unit_vec_expr(F.col(vec_col)),
+            lambda x: F.floor(x * F.lit(float(KMEANS_SCALE)) + F.lit(0.5)).cast("long"),
+        ).alias("q"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int").alias("blk"),
     )
-    left = base.select(
-        F.col("id").alias("id_a"),
-        F.col("v").alias("va"),
+    a_side = base.select(
+        "id",
+        "q",
         F.col("blk").alias("ki"),
         F.explode(F.sequence(F.col("blk"), F.lit(num_blocks - 1))).alias("kj"),
+        F.lit(0).alias("side"),
     )
-    right = base.select(
-        F.col("id").alias("id_b"),
-        F.col("v").alias("vb"),
+    b_side = base.select(
+        "id",
+        "q",
         F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ki"),
         F.col("blk").alias("kj"),
+        F.lit(1).alias("side"),
     )
-    # diagonal keys see every ordered pair (dedup by id order); off-diagonal
-    # keys see each unordered pair exactly once (keep both id orders)
-    #
-    # Pin the join's shuffle width: the shuffled BYTES here are tiny
-    # (n * (num_blocks+1) narrow rows) but the per-pair cosine work after
-    # the join is quadratic, so AQE's byte-based coalescing collapses the
-    # compare onto a couple of tasks (observed at the sf1 probe: 2 tasks
-    # grinding 2e8 pairs). An explicit repartition on the join key is
-    # exempt from AQE coalescing and satisfies the join's distribution,
-    # keeping the O(n²/B) compare as wide as the cluster.
-    n_wide = df.sparkSession.sparkContext.defaultParallelism
-    pairs = (
-        left.repartition(n_wide, "ki", "kj")
-        .join(right.repartition(n_wide, "ki", "kj"), ["ki", "kj"])
-        .where((F.col("ki") < F.col("kj")) | (F.col("id_a") < F.col("id_b")))
-    )
-    return (
-        pairs.select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 9).alias("sim"),
+    scale2 = float(KMEANS_SCALE) * float(KMEANS_SCALE)
+    thr = float(threshold)
+
+    def _compare(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
         )
-        .where(F.col("sim") >= threshold)
+        am = pdf[pdf["side"] == 0]
+        bm = pdf[pdf["side"] == 1]
+        if len(am) == 0 or len(bm) == 0:
+            return empty
+        qa = np.array(am["q"].tolist(), dtype=np.int64)
+        qb = np.array(bm["q"].tolist(), dtype=np.int64)
+        ids_a = am["id"].to_numpy(dtype=np.int64)
+        ids_b = bm["id"].to_numpy(dtype=np.int64)
+        dots = qa @ qb.T  # exact: |dot| <= dim * 2^40 << 2^63
+        sims = np.floor((dots / scale2) * 1e9 + 0.5) / 1e9
+        ii, jj = np.nonzero(sims >= thr)
+        if len(ii) == 0:
+            return empty
+        id_a, id_b, s = ids_a[ii], ids_b[jj], sims[ii, jj]
+        if int(pdf["ki"].iat[0]) == int(pdf["kj"].iat[0]):
+            # diagonal key: both sides are the same block — keep i<j once
+            keep = id_a < id_b
+            id_a, id_b, s = id_a[keep], id_b[keep], s[keep]
+        else:
+            lo = np.minimum(id_a, id_b)
+            id_b = np.maximum(id_a, id_b)
+            id_a = lo
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "sim": s})
+
+    # explicit width: the shuffled bytes are tiny, so AQE would coalesce
+    # the quadratic-work groups onto a couple of tasks (observed at the
+    # sf1 probe); an explicit repartition on the group key is exempt
+    # from coalescing and satisfies applyInPandas' distribution
+    n_wide = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        a_side.unionByName(b_side)
+        .repartition(n_wide, "ki", "kj")
+        .groupBy("ki", "kj")
+        .applyInPandas(_compare, "id_a long, id_b long, sim double")
     )
 
 

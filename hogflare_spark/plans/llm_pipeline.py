@@ -217,14 +217,42 @@ def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _qcos_pairs_sql(dim: int) -> str:
+    """Quantized-cosine pair CTEs mirroring embedding_near_dup_pairs:
+    L2-normalize, fixed-point quantize (2^20), exact int64 dot (order-
+    free — list_sum == numpy matmul as integers), sim = dot/2^40
+    rounded to 9 decimals floor-based."""
+    from hogflare_spark.operators.similarity import KMEANS_SCALE
+
+    scale = float(KMEANS_SCALE)
+    scale2 = scale * scale
+    sq = "list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))"
+    return f"""
+    u AS (
+      SELECT vec_id AS id,
+             CASE WHEN sqrt({sq}) > 0
+                  THEN list_transform(embedding, x -> x::DOUBLE / sqrt({sq}))
+                  ELSE list_transform(embedding, x -> 0.0) END AS v
+      FROM embeddings
+    ),
+    qv AS (
+      SELECT id,
+             list_transform(v, x -> CAST(floor(x * {scale} + 0.5) AS BIGINT)) AS q
+      FROM u
+    ),
+    cos AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             floor((list_sum(list_transform(generate_series(1, {dim}),
+                    i -> a.q[i] * b.q[i]))::DOUBLE / {scale2})
+                   * 1000000000 + 0.5) / 1000000000 AS sim
+      FROM qv a JOIN qv b ON a.id < b.id
+    )"""
+
+
 @query(
     "llm_exact_embedding_near_dups",
     oracle=f"""
-    WITH cos AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round({_cos_sql('a.embedding', 'b.embedding')}, 9) AS sim
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    )
+    WITH {_qcos_pairs_sql(EMBED_DIM)}
     SELECT id_a, id_b, round(sim, 6) AS sim
     FROM cos WHERE sim >= {EMBED_THRESHOLD}
     ORDER BY id_a, id_b

@@ -49,8 +49,12 @@ def main() -> None:
     if os.environ.get("SIM_SCALE_CHECKS"):
         from hogflare_spark.plans.scale_checks import CHECKS as scale_checks
 
+    import time
+
     results = {}
     for name, fn in sorted(qs.items()):
+        t0 = time.monotonic()
+        print(f"[sim] {name} ...", file=sys.stderr, flush=True)
         try:
             unpersist_all()  # operator caches must not accumulate across gates
             sdf = fn(spark, SF_DIR)
@@ -92,6 +96,11 @@ def main() -> None:
             }
         except Exception as ex:  # noqa: BLE001
             results[name] = {"ok": False, "error": str(ex)[:200]}
+        print(
+            f"[sim] {name} done in {time.monotonic() - t0:.1f}s ok={results[name]['ok']}",
+            file=sys.stderr,
+            flush=True,
+        )
 
     n_ok = sum(1 for r in results.values() if r["ok"])
     print(json.dumps({"sf_dir": SF_DIR, "passed": n_ok, "total": len(results),
