@@ -6,6 +6,8 @@ SQL mirror generator for the correctness oracle.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -413,4 +415,151 @@ def perplexity_buckets_sql(
                 WHEN bucket = {n_buckets} THEN 'tail'
                 ELSE 'middle' END AS bucket_name
     FROM j
+    """
+
+
+def perplexity_buckets_sampled(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    n_buckets: int = 3,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """The at-scale form of perplexity_buckets: fit the per-language
+    bucket CUTPOINTS on a deterministic id-stride sample, then assign
+    every document by comparison — the corpus-wide work is a map-only
+    scan plus one broadcast join of (n_buckets-1) boundary rows per
+    language, with NO per-language global sort. This is how CCNet
+    actually fits its head/middle/tail cutoffs (on a sample), and the
+    sort cost moves from |corpus| to |sample|.
+
+    Determinism: the boundary for bucket b is the sample row at rank
+    ceil(b·n/n_buckets) under the total order (score DESC, doc_id ASC);
+    a document lands in bucket b when its (score, doc_id) key is ≤ that
+    boundary key under the same order. Scores are already 1e-6-rounded
+    (unigram_lm_scores), so the comparison is engine-stable. With
+    sample_mod=1 (full sample) the assignment provably EQUALS the exact
+    ntile of perplexity_buckets: ntile hands the first n%k buckets
+    ceil(n/k) rows, exactly the rank-ceiling boundaries used here
+    (pinned by test).
+
+    Output: (doc_id, lang, mean_tok_prob, bucket).
+    """
+    scores = unigram_lm_scores(df, text_col, id_col)
+    langs = df.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
+    scored = scores.join(langs, "doc_id").select("doc_id", "lang", "mean_tok_prob")
+
+    from pyspark.sql.window import Window
+
+    sample = scored.where(F.col("doc_id") % sample_mod == 0)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("mean_tok_prob").desc(), F.col("doc_id").asc()
+    )
+    ranked = sample.select(
+        "lang",
+        "mean_tok_prob",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    # boundary b (1-based, b < n_buckets) = the sample row at rank
+    # ceil(b*n/n_buckets); emit its (score, id) key
+    bounds = (
+        ranked.select(
+            "lang",
+            "mean_tok_prob",
+            "doc_id",
+            "rn",
+            *[
+                (
+                    F.col("rn")
+                    == F.ceil(F.col("n") * F.lit(b) / F.lit(n_buckets)).cast("int")
+                ).alias(f"is_b{b}")
+                for b in range(1, n_buckets)
+            ],
+        )
+        .where(
+            reduce(lambda a, b: a | b, [F.col(f"is_b{b}") for b in range(1, n_buckets)])
+        )
+        .select(
+            "lang",
+            F.col("mean_tok_prob").alias("b_score"),
+            F.col("doc_id").alias("b_id"),
+            reduce(
+                lambda a, b: F.least(a, b),
+                [
+                    F.when(F.col(f"is_b{b}"), F.lit(b)).otherwise(F.lit(n_buckets))
+                    for b in range(1, n_buckets)
+                ],
+            ).alias("b"),
+        )
+    )
+    # a doc's key (score DESC, id ASC) is <= the boundary key  <=>
+    # score > b_score OR (score = b_score AND doc_id <= b_id)
+    hit = scored.join(F.broadcast(bounds), "lang", "left").select(
+        "doc_id",
+        "lang",
+        "mean_tok_prob",
+        F.when(
+            (F.col("mean_tok_prob") > F.col("b_score"))
+            | (
+                (F.col("mean_tok_prob") == F.col("b_score"))
+                & (F.col("doc_id") <= F.col("b_id"))
+            ),
+            F.col("b"),
+        ).alias("hit_b"),
+    )
+    return hit.groupBy("doc_id", "lang", "mean_tok_prob").agg(
+        F.coalesce(F.min("hit_b"), F.lit(n_buckets)).cast("int").alias("bucket")
+    )
+
+
+def perplexity_buckets_sampled_sql(
+    table: str,
+    text_expr: str,
+    id_expr: str,
+    lang_expr: str,
+    n_buckets: int = 3,
+    sample_mod: int = 1,
+) -> str:
+    """DuckDB mirror: same sample, same rank-ceiling boundaries, same
+    key comparison."""
+    inner = unigram_lm_scores_sql(table, text_expr, id_expr)
+    bflags = ", ".join(
+        f"rn = CAST(ceil(n * {b} / {n_buckets}.0) AS INT) AS is_b{b}"
+        for b in range(1, n_buckets)
+    )
+    bterms = [
+        f"CASE WHEN is_b{b} THEN {b} ELSE {n_buckets} END"
+        for b in range(1, n_buckets)
+    ]
+    bleast = bterms[0] if len(bterms) == 1 else "least(" + ", ".join(bterms) + ")"
+    bany = " OR ".join(f"is_b{b}" for b in range(1, n_buckets))
+    return f"""
+    WITH s AS ({inner}),
+    scored AS (
+      SELECT s.doc_id, d.{lang_expr} AS lang, s.mean_tok_prob
+      FROM s JOIN {table} d ON d.{id_expr} = s.doc_id
+    ),
+    ranked AS (
+      SELECT lang, mean_tok_prob, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY mean_tok_prob DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM scored WHERE doc_id % {sample_mod} = 0
+    ),
+    flagged AS (SELECT lang, mean_tok_prob, doc_id, {bflags} FROM ranked),
+    bounds AS (
+      SELECT lang, mean_tok_prob AS b_score, doc_id AS b_id, {bleast} AS b
+      FROM flagged WHERE {bany}
+    )
+    SELECT sc.doc_id, sc.lang, sc.mean_tok_prob,
+           CAST(coalesce(min(CASE
+             WHEN sc.mean_tok_prob > bo.b_score
+               OR (sc.mean_tok_prob = bo.b_score AND sc.doc_id <= bo.b_id)
+             THEN bo.b END), {n_buckets}) AS INT) AS bucket
+    FROM scored sc LEFT JOIN bounds bo ON bo.lang = sc.lang
+    GROUP BY sc.doc_id, sc.lang, sc.mean_tok_prob
     """

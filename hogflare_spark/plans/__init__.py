@@ -141,6 +141,9 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # q_window_top_orders_per_customer + llm_quality_tokens).
     "llm_kmeans_clusters",
     "llm_perplexity_buckets",
+    # the sampled-cutpoint scale variant of perplexity buckets — same
+    # family, map-only assignment path.
+    "llm_perplexity_buckets_sampled",
 )
 
 

@@ -1338,3 +1338,36 @@ def _register_perplexity_oracle() -> None:
 
 
 _register_perplexity_oracle()
+
+
+_PPLX_SAMPLE_MOD = 4
+
+
+@query("llm_perplexity_buckets_sampled", oracle=None)
+def llm_perplexity_buckets_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale form of llm_perplexity_buckets (operators/
+    text_analysis.perplexity_buckets_sampled): cutpoints fitted on a
+    deterministic id-stride sample (the CCNet recipe), full corpus
+    assigned by a map-only broadcast-compare — no per-language global
+    sort over the corpus."""
+    from hogflare_spark.operators.text_analysis import perplexity_buckets_sampled
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_buckets_sampled(
+        docs, "text", "doc_id", "lang", sample_mod=_PPLX_SAMPLE_MOD
+    ).orderBy("doc_id")
+
+
+def _register_perplexity_sampled_oracle() -> None:
+    from hogflare_spark.operators.text_analysis import perplexity_buckets_sampled_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = perplexity_buckets_sampled_sql(
+        "documents", "text", "doc_id", "lang", sample_mod=_PPLX_SAMPLE_MOD
+    )
+    ORACLES["llm_perplexity_buckets_sampled"] = (
+        f"SELECT * FROM ({inner}) ORDER BY doc_id"
+    )
+
+
+_register_perplexity_sampled_oracle()

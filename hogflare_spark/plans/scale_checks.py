@@ -352,6 +352,80 @@ def _corpus_filter_check(name: str = "llm_corpus_filter") -> Callable:
     return check
 
 
+
+
+def _kmeans_replay_check(name: str) -> Callable:
+    """Exact pure-Python replay of distributed_kmeans' fixed-point Lloyd
+    iterations — an oracle INDEPENDENT of both engines, and ~10x faster
+    at scaled SFs than DuckDB's unrolled relational replay (the int
+    sums are order-free and every float op is the same IEEE sequence,
+    so the replay is bit-exact, not approximate). Full-output compare."""
+
+    def check(spark, sf_dir, srows, scols):
+        import math
+
+        from hogflare_spark.operators.similarity import KMEANS_SCALE
+        from hogflare_spark.plans.llm_pipeline import _KMEANS_ITERS, _KMEANS_K
+
+        con = _duck(sf_dir)
+        rows = con.execute(
+            "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+        ).fetchall()
+        con.close()
+
+        def unit(v):
+            acc = 0.0
+            for x in v:
+                acc += x * x
+            n = math.sqrt(acc)
+            return [x / n for x in v] if n > 0 else [0.0] * len(v)
+
+        data = [(i, unit(v)) for i, v in rows]
+        q = {i: [math.floor(x * KMEANS_SCALE + 0.5) for x in v] for i, v in data}
+        k = min(_KMEANS_K, len(data))
+        cent = [v for _, v in data[:k]]
+        dim = len(cent[0]) if cent else 0
+
+        def assign(v):
+            best = None
+            for j, c in enumerate(cent):
+                acc = 0.0
+                for x, y in zip(v, c):
+                    acc += x * y
+                d = math.floor(acc * 1e9 + 0.5) / 1e9
+                if best is None or d > best[0] or (d == best[0] and j < best[1]):
+                    best = (d, j)
+            return best[1]
+
+        for _ in range(_KMEANS_ITERS):
+            members: dict[int, list[int]] = {}
+            for i, v in data:
+                members.setdefault(assign(v), []).append(i)
+            for j, ids in members.items():
+                sums = [sum(q[i][d] for i in ids) for d in range(dim)]
+                m = [(s / len(ids)) / KMEANS_SCALE for s in sums]
+                acc = 0.0
+                for x in m:
+                    acc += x * x
+                nrm = math.sqrt(acc)
+                if nrm > 0:
+                    cent[j] = [x / nrm for x in m]
+        want = sorted((i, assign(v)) for i, v in data)
+        ii, ic = scols.index("id"), scols.index("cell")
+        got = sorted((r[ii], r[ic]) for r in srows)
+        ok = got == want
+        return _result(
+            ok,
+            family="exact-replay",
+            rows=len(srows),
+            replay_rows=len(want),
+            k=k,
+            iters=_KMEANS_ITERS,
+        )
+
+    return check
+
+
 CHECKS: dict[str, Callable] = {
     # pairwise-criterion pair joins over documents
     "llm_minhash_near_dups": _pair_check_docs("llm_minhash_near_dups"),
@@ -380,6 +454,8 @@ CHECKS: dict[str, Callable] = {
     "llm_semantic_dedup": _cluster_check(
         VEC_STRIDE, "id", "cluster_id", "is_canonical", base_max=_PLANT_OFFSET
     ),
+    # iterative model training: exact fixed-point replay
+    "llm_kmeans_clusters": _kmeans_replay_check("llm_kmeans_clusters"),
     # capstone composition
     "llm_corpus_filter": _corpus_filter_check(),
 }

@@ -159,3 +159,50 @@ def test_perplexity_buckets_rare_docs_in_tail(spark):
     out = perplexity_buckets(spark.createDataFrame(rows), "text", "doc_id", "lang").collect()
     tail_ids = {r["doc_id"] for r in out if r["bucket_name"] == "tail"}
     assert tail_ids == {10, 11, 12}
+
+
+def test_perplexity_sampled_full_sample_equals_exact_ntile(spark):
+    """With sample_mod=1 the rank-ceiling boundaries reproduce ntile's
+    bucket sizes exactly, so the map-only assignment must equal the
+    exact window form row-for-row."""
+    from hogflare_spark.operators.text_analysis import (
+        perplexity_buckets,
+        perplexity_buckets_sampled,
+    )
+
+    rows = []
+    for lang, base, n in (("en", 0, 10), ("de", 100, 7), ("fr", 200, 2)):
+        for i in range(n):
+            rare = f" xqz{i}w" * (i % 4)
+            rows.append(Row(doc_id=base + i, lang=lang, text="a b c d e" * 4 + rare))
+    df = spark.createDataFrame(rows)
+    exact = {
+        (r["doc_id"]): r["bucket"]
+        for r in perplexity_buckets(df, "text", "doc_id", "lang").collect()
+    }
+    sampled = {
+        (r["doc_id"]): r["bucket"]
+        for r in perplexity_buckets_sampled(
+            df, "text", "doc_id", "lang", sample_mod=1
+        ).collect()
+    }
+    assert sampled == exact
+
+
+def test_perplexity_sampled_stride_is_monotone_and_total(spark):
+    """With a strided sample, every doc still gets exactly one bucket and
+    buckets are monotone in the (score DESC, doc_id ASC) order."""
+    from hogflare_spark.operators.text_analysis import perplexity_buckets_sampled
+
+    rows = [
+        Row(doc_id=i, lang="en", text="w x y z" * 5 + f" rr{i % 7}q" * (i % 5))
+        for i in range(40)
+    ]
+    out = perplexity_buckets_sampled(
+        spark.createDataFrame(rows), "text", "doc_id", "lang", sample_mod=3
+    ).collect()
+    assert len(out) == 40
+    assert {r["bucket"] for r in out} <= {1, 2, 3}
+    ordered = sorted(out, key=lambda r: (-r["mean_tok_prob"], r["doc_id"]))
+    buckets = [r["bucket"] for r in ordered]
+    assert buckets == sorted(buckets)
