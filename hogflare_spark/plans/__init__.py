@@ -144,6 +144,10 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # the sampled-cutpoint scale variant of perplexity buckets — same
     # family, map-only assignment path.
     "llm_perplexity_buckets_sampled",
+    # distributed linear-probe quality classifier: class-balanced
+    # full-batch GD over embeddings — same iterated-scan + tiny-model
+    # shape as llm_kmeans_clusters (family graded via llm_ann_topk).
+    "llm_linear_probe",
 )
 
 

@@ -1371,3 +1371,34 @@ def _register_perplexity_sampled_oracle() -> None:
 
 
 _register_perplexity_sampled_oracle()
+
+
+_PROBE_LABEL = 0
+_PROBE_ITERS = 12
+
+
+@query("llm_linear_probe", oracle=None)
+def llm_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed linear-probe quality classifier (operators/classifier.
+    linear_probe): the corpus-scale trainer behind CCNet/LLaMA-style
+    quality filtering — full-batch GD where each iteration is one
+    map-only scan + a (dim+1)-scalar aggregate, and only the model
+    reaches the driver. One-vs-rest on embeddings.label == 0; the
+    oracle unrolls the identical fixed-point iterations relationally."""
+    from hogflare_spark.operators.classifier import linear_probe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return linear_probe(emb, _PROBE_LABEL, iters=_PROBE_ITERS).orderBy("id")
+
+
+def _register_linear_probe_oracle() -> None:
+    from hogflare_spark.operators.classifier import linear_probe_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = linear_probe_sql(
+        "embeddings", _PROBE_LABEL, iters=_PROBE_ITERS, dim=EMBED_DIM
+    )
+    ORACLES["llm_linear_probe"] = f"SELECT * FROM ({inner}) ORDER BY id"
+
+
+_register_linear_probe_oracle()

@@ -206,3 +206,60 @@ def test_perplexity_sampled_stride_is_monotone_and_total(spark):
     ordered = sorted(out, key=lambda r: (-r["mean_tok_prob"], r["doc_id"]))
     buckets = [r["bucket"] for r in ordered]
     assert buckets == sorted(buckets)
+
+
+def test_linear_probe_separates_toy_classes(spark):
+    """A linearly separable toy set (positives along +e1, negatives along
+    -e1 with noise dims) must be classified perfectly after a few
+    balanced GD steps."""
+    from hogflare_spark.operators.classifier import linear_probe
+
+    rows = []
+    for i in range(30):
+        vec = [0.0] * 8
+        vec[0] = 1.0 if i % 3 == 0 else -1.0
+        vec[1 + i % 7] = 0.3
+        rows.append(Row(vec_id=i, embedding=vec, label=0 if i % 3 == 0 else 1))
+    out = linear_probe(
+        spark.createDataFrame(rows), target_label=0, iters=12
+    ).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r["predicted"] == (r["id"] % 3 == 0)
+
+
+def test_linear_probe_partition_invariant(spark):
+    """The fixed-point gradient sums are order-free, so the trained model
+    (hence every score) must be identical under any partitioning."""
+    from hogflare_spark.operators.classifier import linear_probe
+
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[((i * 7 + d * 3) % 11) / 11.0 - 0.5 for d in range(8)],
+            label=i % 4,
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    a = {r["id"]: (r["score"], r["predicted"]) for r in linear_probe(df, 0, iters=6).collect()}
+    b = {
+        r["id"]: (r["score"], r["predicted"])
+        for r in linear_probe(df.repartition(13), 0, iters=6).collect()
+    }
+    assert a == b
+
+
+def test_linear_probe_predicts_both_classes_on_imbalanced_data(spark):
+    """Class balancing is the point: with a 25% positive class the probe
+    must not collapse to the constant-negative classifier."""
+    from hogflare_spark.operators.classifier import linear_probe
+
+    rows = []
+    for i in range(40):
+        pos = i % 4 == 0
+        vec = [1.0 if pos else -1.0] + [((i + d) % 5) / 10.0 for d in range(7)]
+        rows.append(Row(vec_id=i, embedding=vec, label=0 if pos else 1 + i % 3))
+    out = linear_probe(spark.createDataFrame(rows), 0, iters=12).collect()
+    preds = {r["predicted"] for r in out}
+    assert preds == {True, False}
