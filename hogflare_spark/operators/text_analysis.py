@@ -563,3 +563,163 @@ def perplexity_buckets_sampled_sql(
     FROM scored sc LEFT JOIN bounds bo ON bo.lang = sc.lang
     GROUP BY sc.doc_id, sc.lang, sc.mean_tok_prob
     """
+
+
+def _ngrams12(tok: Column) -> Column:
+    """Unigrams + space-joined bigrams, WITH multiplicity (unlike
+    T.shingles, which deduplicates) — DSIR's hashed feature stream."""
+    # Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty — guard
+    # the single-token case explicitly (DuckDB's generate_series(1, 0)
+    # is empty, so the mirror needs no guard).
+    idx = F.when(F.size(tok) >= 2, F.sequence(F.lit(1), F.size(tok) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bi = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, 2)))
+    return F.concat(tok, bi)
+
+
+def _ngrams12_sql(tok_expr: str) -> str:
+    return (
+        f"list_concat({tok_expr}, "
+        f"list_transform(generate_series(1, len({tok_expr}) - 1), "
+        f"i -> array_to_string(list_slice({tok_expr}, i, i + 1), ' ')))"
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_col: str,
+    target_value: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023):
+    score every document by how much more likely its hashed n-gram
+    features are under the TARGET distribution (rows where
+    `target_col == target_value`, e.g. a trusted reference domain) than
+    under the RAW corpus distribution. Downstream selection keeps the
+    high-weight documents — the published recipe for steering a web
+    crawl toward a target domain without training a model.
+
+    Features are unigram+bigram tokens hashed into `n_buckets` buckets
+    with the cross-engine 60-bit md5 hash (functions/hashing.h60), the
+    paper's hashed-n-gram generative model. Both distributions get
+    add-one (Laplace) smoothing over the bucket vocabulary, so buckets
+    unseen in the target contribute a finite down-weight instead of a
+    zero.
+
+    The weight is the ARITHMETIC mean over the document's features of
+    the per-bucket likelihood ratio p_target(b)/p_raw(b) — not the
+    paper's log-product: ln/exp are not correctly-rounded IEEE ops and
+    would flake a cross-engine hash gate, while the mean ratio is built
+    from exact BIGINT counts with a fixed divide/multiply sequence and
+    a sorted-bucket fold, bit-identical across engines (the same
+    determinism argument as unigram_lm_scores). Monotonicity in each
+    feature's ratio — the signal selection consumes — is preserved.
+    Count-to-double conversions stay exact below 2^53 tokens per side.
+
+    Scale shape: two token-bounded groupBys train both distributions
+    (n_buckets rows out — broadcastable by construction), one
+    (doc, bucket) groupBy re-keys the corpus, and the model join is a
+    broadcast of n_buckets rows: no shuffle wider than the corpus
+    token stream, same as unigram_lm_scores.
+
+    Output: (doc_id, n_feats, imp_weight) — imp_weight >= 1 means
+    "more target-like than the raw average".
+    """
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(target_col) == F.lit(target_value)).alias("is_target"),
+        F.explode(_ngrams12(T.tokens(F.col(text_col)))).alias("f"),
+    ).select("id", "is_target", (h60(F.col("f")) % n_buckets).alias("b"))
+
+    raw = feats.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = feats.where("is_target").groupBy("b").agg(F.count("*").alias("ct"))
+    model = (
+        raw.join(tgt, "b", "left")
+        .select("b", "cr", F.coalesce("ct", F.lit(0)).alias("ct"))
+    )
+    totals = model.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    # ratio = ((ct+1)/(tt+B)) / ((cr+1)/(tr+B)), evaluated as two exact
+    # int->double conversions per operand and one divide of products —
+    # the same op sequence as the SQL mirror
+    ratio = (
+        (F.col("ct") + 1).cast("double") * (F.col("tr") + n_buckets).cast("double")
+    ) / (
+        (F.col("cr") + 1).cast("double") * (F.col("tt") + n_buckets).cast("double")
+    )
+    scored_model = model.crossJoin(F.broadcast(totals)).select(
+        "b", ratio.alias("ratio")
+    )
+
+    db = feats.groupBy("id", "b").agg(F.count("*").alias("c"))
+    term = db.join(F.broadcast(scored_model), "b").select(
+        "id", "b", "c", (F.col("c").cast("double") * F.col("ratio")).alias("term")
+    )
+    doc = term.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_feats"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("b", "term"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("_s"),
+    )
+    mean = F.col("_s") / F.col("n_feats").cast("double")
+    return doc.select(
+        F.col("id").alias("doc_id"),
+        "n_feats",
+        (F.floor(mean * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias("imp_weight"),
+    )
+
+
+def dsir_weights_sql(
+    table: str,
+    text_expr: str,
+    id_expr: str,
+    target_expr: str,
+    target_value: str,
+    n_buckets: int = 256,
+) -> str:
+    """DuckDB mirror: same hashed features, same Laplace ratio with the
+    same divide/multiply sequence, same sorted-bucket fold."""
+    from hogflare_spark.functions.hashing import h60_sql
+
+    tok = T.tokens_sql(text_expr)
+    ng = _ngrams12_sql("tok")
+    return f"""
+    WITH base AS (
+      SELECT {id_expr} AS id, {target_expr} = '{target_value}' AS is_target,
+             {tok} AS tok FROM {table}
+    ), feats AS (
+      SELECT id, is_target, {h60_sql('f')} % {n_buckets} AS b
+      FROM (SELECT id, is_target, unnest({ng}) AS f FROM base)
+    ), raw AS (
+      SELECT b, count(*) AS cr FROM feats GROUP BY b
+    ), tgt AS (
+      SELECT b, count(*) AS ct FROM feats WHERE is_target GROUP BY b
+    ), model AS (
+      SELECT raw.b, raw.cr, coalesce(tgt.ct, 0) AS ct
+      FROM raw LEFT JOIN tgt ON tgt.b = raw.b
+    ), tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM model),
+    scored AS (
+      SELECT b,
+             ((ct + 1)::DOUBLE * (tr + {n_buckets})::DOUBLE)
+               / ((cr + 1)::DOUBLE * (tt + {n_buckets})::DOUBLE) AS ratio
+      FROM model, tot
+    ), db AS (
+      SELECT id, b, count(*) AS c FROM feats GROUP BY id, b
+    ), term AS (
+      SELECT id, b, c, c::DOUBLE * ratio AS term
+      FROM db JOIN scored USING (b)
+    ), doc AS (
+      SELECT id, CAST(sum(c) AS BIGINT) AS n_feats,
+             list_sum(list(term ORDER BY b)) AS s
+      FROM term GROUP BY id
+    )
+    SELECT id AS doc_id, n_feats,
+           floor(s / n_feats::DOUBLE * 1000000 + 0.5) / 1000000 AS imp_weight
+    FROM doc
+    """

@@ -148,6 +148,9 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # full-batch GD over embeddings — same iterated-scan + tiny-model
     # shape as llm_kmeans_clusters (family graded via llm_ann_topk).
     "llm_linear_probe",
+    # DSIR importance weights: token-bounded groupBys + broadcast model
+    # join — the unigram_lm_scores shape with a second (target) count.
+    "llm_dsir_weights",
 )
 
 

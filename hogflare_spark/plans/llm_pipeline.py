@@ -1402,3 +1402,34 @@ def _register_linear_probe_oracle() -> None:
 
 
 _register_linear_probe_oracle()
+
+
+_DSIR_TARGET = ("lang", "en")
+_DSIR_BUCKETS = 256
+
+
+@query("llm_dsir_weights", oracle=None)
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/text_analysis.dsir_weights):
+    hashed-n-gram likelihood ratios of the target domain (lang='en')
+    vs the raw corpus — the published model-free recipe for steering a
+    crawl toward a target distribution (Xie et al. 2023)."""
+    from hogflare_spark.operators.text_analysis import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs, "text", "doc_id", *_DSIR_TARGET, n_buckets=_DSIR_BUCKETS
+    ).orderBy("doc_id")
+
+
+def _register_dsir_oracle() -> None:
+    from hogflare_spark.operators.text_analysis import dsir_weights_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = dsir_weights_sql(
+        "documents", "text", "doc_id", *_DSIR_TARGET, n_buckets=_DSIR_BUCKETS
+    )
+    ORACLES["llm_dsir_weights"] = f"SELECT * FROM ({inner}) ORDER BY doc_id"
+
+
+_register_dsir_oracle()

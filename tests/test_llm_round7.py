@@ -263,3 +263,45 @@ def test_linear_probe_predicts_both_classes_on_imbalanced_data(spark):
     out = linear_probe(spark.createDataFrame(rows), 0, iters=12).collect()
     preds = {r["predicted"] for r in out}
     assert preds == {True, False}
+
+
+def test_dsir_weights_upweight_target_like_docs(spark):
+    """Documents made of target-domain vocabulary must out-weigh
+    documents made of off-target vocabulary; weights straddle 1.0."""
+    from hogflare_spark.operators.text_analysis import dsir_weights
+
+    rows = []
+    for i in range(12):
+        rows.append(Row(doc_id=i, lang="en", text="alpha beta gamma delta " * 4))
+    for i in range(12, 24):
+        rows.append(Row(doc_id=i, lang="de", text="zug bahn strasse wagen " * 4))
+    # score two held-out-ish docs, one per vocabulary
+    rows.append(Row(doc_id=100, lang="fr", text="alpha beta gamma delta"))
+    rows.append(Row(doc_id=101, lang="fr", text="zug bahn strasse wagen"))
+    out = {
+        r["doc_id"]: r["imp_weight"]
+        for r in dsir_weights(
+            spark.createDataFrame(rows), "text", "doc_id", "lang", "en"
+        ).collect()
+    }
+    assert out[100] > 1.0 > out[101]
+    assert out[100] > out[101]
+
+
+def test_dsir_weights_single_token_doc(spark):
+    """A single-token document has no bigrams (Spark's sequence(1,0) is
+    descending, not empty — the operator guards it) and still scores."""
+    from hogflare_spark.operators.text_analysis import dsir_weights
+
+    rows = [
+        Row(doc_id=0, lang="en", text="hello"),
+        Row(doc_id=1, lang="en", text="hello world hello"),
+        Row(doc_id=2, lang="de", text="zug"),
+    ]
+    out = dsir_weights(
+        spark.createDataFrame(rows), "text", "doc_id", "lang", "en"
+    ).collect()
+    assert len(out) == 3
+    n = {r["doc_id"]: r["n_feats"] for r in out}
+    assert n[0] == 1 and n[2] == 1  # unigram only
+    assert n[1] == 5  # 3 unigrams + 2 bigrams
