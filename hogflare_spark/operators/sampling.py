@@ -466,3 +466,66 @@ def domain_mixture_sql(
            CAST((w_int::HUGEINT * {sample_n}) // w_total AS BIGINT) AS quota
     FROM w, t
     """
+
+
+def budget_select(df: DataFrame, text_col: str, id_col: str, token_budget: int) -> DataFrame:
+    """Quality-ranked token-budget selection — the "assemble the
+    training mix" step that closes the curation pipeline: score every
+    document against the corpus LM (text_analysis.unigram_lm_scores),
+    rank by (score DESC, doc_id ASC), and keep documents from the top
+    until the cumulative token count exceeds `token_budget` (a document
+    is kept iff the running total THROUGH it stays within budget).
+
+    Scale shape: the ranking order is realized as a range partition on
+    the (already 1e-6-rounded) score key, and the running token total is
+    the two-phase `_distributed_prefix_sum` — partition-local window
+    sums plus a broadcast of per-partition offsets — so no single
+    reducer ever sees the corpus, unlike a bare `Window.orderBy`
+    cumsum. The budget cut is then a pure filter on the prefix sum.
+
+    Output: (doc_id, n_tokens, mean_tok_prob, cum_tokens), kept rows
+    only.
+    """
+    from hogflare_spark.operators.text_analysis import unigram_lm_scores
+
+    scores = unigram_lm_scores(df, text_col, id_col).select(
+        "doc_id",
+        "n_tokens",
+        "mean_tok_prob",
+        # negate the rounded score so the global order is a plain ASC
+        # composite key (rounding to 1e-6 makes the negation exact)
+        (-F.col("mean_tok_prob")).alias("_neg"),
+    )
+    cum = _distributed_prefix_sum(scores, "n_tokens", ["_neg", "doc_id"])
+    return (
+        cum.where(F.col("cumsum") <= token_budget)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "mean_tok_prob",
+            F.col("cumsum").alias("cum_tokens"),
+        )
+    )
+
+
+def budget_select_sql(
+    table: str, text_expr: str, id_expr: str, token_budget: int
+) -> str:
+    """DuckDB mirror: the same score CTE and one window cumsum over the
+    same total order."""
+    from hogflare_spark.operators.text_analysis import unigram_lm_scores_sql
+
+    inner = unigram_lm_scores_sql(table, text_expr, id_expr)
+    return f"""
+    WITH s AS ({inner}),
+    c AS (
+      SELECT doc_id, n_tokens, mean_tok_prob,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY mean_tok_prob DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM s
+    )
+    SELECT doc_id, n_tokens, mean_tok_prob, cum_tokens
+    FROM c WHERE cum_tokens <= {token_budget}
+    """

@@ -151,6 +151,10 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # DSIR importance weights: token-bounded groupBys + broadcast model
     # join — the unigram_lm_scores shape with a second (target) count.
     "llm_dsir_weights",
+    # token-budget corpus selection: scored rank + the two-phase
+    # distributed prefix sum (shape graded via llm_pack_sequences' sim
+    # lineage and the window family gates).
+    "llm_budget_select",
 )
 
 

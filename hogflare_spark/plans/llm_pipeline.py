@@ -1433,3 +1433,29 @@ def _register_dsir_oracle() -> None:
 
 
 _register_dsir_oracle()
+
+
+_BUDGET_TOKENS = 12_000
+
+
+@query("llm_budget_select", oracle=None)
+def llm_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (operators/sampling.budget_select):
+    keep the highest-quality documents until the token budget is
+    exhausted — ranked by the corpus-LM score, running total via the
+    two-phase distributed prefix sum (no single-reducer window)."""
+    from hogflare_spark.operators.sampling import budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return budget_select(docs, "text", "doc_id", _BUDGET_TOKENS).orderBy("doc_id")
+
+
+def _register_budget_select_oracle() -> None:
+    from hogflare_spark.operators.sampling import budget_select_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = budget_select_sql("documents", "text", "doc_id", _BUDGET_TOKENS)
+    ORACLES["llm_budget_select"] = f"SELECT * FROM ({inner}) ORDER BY doc_id"
+
+
+_register_budget_select_oracle()

@@ -305,3 +305,38 @@ def test_dsir_weights_single_token_doc(spark):
     n = {r["doc_id"]: r["n_feats"] for r in out}
     assert n[0] == 1 and n[2] == 1  # unigram only
     assert n[1] == 5  # 3 unigrams + 2 bigrams
+
+
+def test_budget_select_matches_greedy_python_oracle(spark):
+    """Kept set == greedy take-while over (score DESC, doc_id ASC)."""
+    from hogflare_spark.operators.sampling import budget_select
+    from hogflare_spark.operators.text_analysis import unigram_lm_scores
+
+    rows = [
+        Row(doc_id=i, text="common words here " * 3 + f" odd{i}tok" * (i % 4))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    budget = 60
+    scored = sorted(
+        unigram_lm_scores(df, "text", "doc_id").collect(),
+        key=lambda r: (-r["mean_tok_prob"], r["doc_id"]),
+    )
+    want, cum = set(), 0
+    for r in scored:
+        cum += r["n_tokens"]
+        if cum <= budget:
+            want.add(r["doc_id"])
+    got = {r["doc_id"] for r in budget_select(df, "text", "doc_id", budget).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_budget_select_extremes(spark):
+    from hogflare_spark.operators.sampling import budget_select
+
+    rows = [Row(doc_id=i, text="a b c d e") for i in range(5)]
+    df = spark.createDataFrame(rows)
+    assert budget_select(df, "text", "doc_id", 2).count() == 0  # budget < any doc
+    big = budget_select(df, "text", "doc_id", 10_000).collect()
+    assert {r["doc_id"] for r in big} == set(range(5))  # budget > corpus
+    assert max(r["cum_tokens"] for r in big) == 25
