@@ -26,6 +26,8 @@ state per key is one property bag.
 from __future__ import annotations
 
 import json
+
+from hogflare_spark.functions.fastjson import loads as fj_loads
 from datetime import datetime
 from typing import Any
 
@@ -84,7 +86,7 @@ def derive_group_ops(commands: DataFrame) -> DataFrame:
                 seq, item = int(r.request_seq), int(r.item_index)
                 ts = r.timestamp
                 if r.group_identify:
-                    gi = json.loads(r.group_identify)
+                    gi = fj_loads(r.group_identify)
                     rows.append(
                         {
                             "request_seq": seq,
@@ -102,7 +104,7 @@ def derive_group_ops(commands: DataFrame) -> DataFrame:
                     continue
                 sub = 0
                 if r.group_updates:
-                    for upd in json.loads(r.group_updates):
+                    for upd in fj_loads(r.group_updates):
                         rows.append(
                             {
                                 "request_seq": seq,
@@ -119,7 +121,7 @@ def derive_group_ops(commands: DataFrame) -> DataFrame:
                         )
                         sub += 1
                 if r.groups:
-                    groups = json.loads(r.groups)
+                    groups = fj_loads(r.groups)
                     for j, (gtype, gkey) in enumerate(groups.items()):
                         if not isinstance(gkey, str):
                             continue
@@ -311,14 +313,14 @@ def fold_group_state(
                     + min(int(row.sub), 99)
                 )
                 if row.kind == "seed":
-                    payload = json.loads(row.props)
+                    payload = fj_loads(row.props)
                     state["record"] = {
                         "created_at": datetime.fromisoformat(payload["created_at"]),
                         "version": int(payload["version"]),
                         # table values are JSON-encoded for lossless
                         # nesting
                         "props": {
-                            k: json.loads(v) for k, v in payload["properties"].items()
+                            k: fj_loads(v) for k, v in payload["properties"].items()
                         },
                     }
                     continue
@@ -331,7 +333,7 @@ def fold_group_state(
                         }
                         state["record"] = record
                     record["version"] += 1
-                    record["props"].update(json.loads(row.props))
+                    record["props"].update(fj_loads(row.props))
                 if row.kind in ("lookup", "gi_lookup", "gi_update"):
                     record = state["record"]
                     out.append(

@@ -23,6 +23,8 @@ with input splits. Everything downstream operates on typed columns.
 from __future__ import annotations
 
 import json
+
+from hogflare_spark.functions.fastjson import loads as fj_loads
 from collections.abc import Iterator
 from typing import Any
 
@@ -565,7 +567,7 @@ def command_row(
     # absent (extractors.rs:82-178, pipeline.rs:414-433)
     enrichment: dict = {}
     if isinstance(geo_json, str):
-        enrichment.update(json.loads(geo_json))
+        enrichment.update(fj_loads(geo_json))
     if isinstance(ip, str):
         enrichment.setdefault("$ip", ip)
     props = merge_enrichment(cmd["properties"], enrichment)
@@ -642,7 +644,7 @@ def normalize_items(decoded: DataFrame) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 r = row._asdict()
                 try:
-                    item = json.loads(r["body_json"])
+                    item = fj_loads(r["body_json"])
                     out_rows.append(
                         command_row(
                             r["endpoint"],

@@ -451,7 +451,7 @@ def fold_person_state(
 
         comp_cur: Any = None
         store: PersonStoreReplay | None = None
-        loads = json.loads
+        from hogflare_spark.functions.fastjson import loads
         for pdf in batches:
             s_seq: list[int] = []
             s_item: list[int] = []

@@ -37,6 +37,8 @@ import base64
 import binascii
 import gzip
 import json
+
+from hogflare_spark.functions.fastjson import loads as fj_loads
 import urllib.parse
 import zlib
 
@@ -94,13 +96,13 @@ def decode_data_string(data: str, compression: str | None):
         raw = decoded
 
     try:
-        return _require_container(json.loads(raw.decode("utf-8")))
+        return _require_container(fj_loads(raw))
     except (UnicodeDecodeError, json.JSONDecodeError):
         if comp is None:
             # undeclared compression sniffing: zlib then gzip
             for fn in (_unzlib, _gunzip):
                 try:
-                    return _require_container(json.loads(fn(decoded).decode("utf-8")))
+                    return _require_container(fj_loads(fn(decoded)))
                 except (OSError, zlib.error, gzip.BadGzipFile, UnicodeDecodeError,
                         json.JSONDecodeError, EOFError):
                     continue
@@ -172,7 +174,7 @@ def parse_payload(
         items = _data_items(data, compression)
         return [merge_shared_fields(i, shared) for i in items]
 
-    payload = json.loads(raw.decode("utf-8"))
+    payload = fj_loads(raw)
     if isinstance(payload, list):
         return [merge_shared_fields(i, {}) for i in payload]
     if isinstance(payload, dict):
@@ -205,7 +207,7 @@ def parse_batch_body(
         data, compression, envelope = _parse_form_pairs(raw)
         content = decode_data_content(data, compression)
     else:
-        payload = json.loads(raw.decode("utf-8"))
+        payload = fj_loads(raw)
         if not isinstance(payload, dict):
             raise ValueError("expected JSON object payload for batch endpoint")
         compression = payload.pop("compression", None)
