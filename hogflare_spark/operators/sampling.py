@@ -529,3 +529,130 @@ def budget_select_sql(
     SELECT doc_id, n_tokens, mean_tok_prob, cum_tokens
     FROM c WHERE cum_tokens <= {token_budget}
     """
+
+
+MIX_SALT = "mixture-draw:"
+
+
+def mixture_materialize(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str,
+    id_col: str,
+    sample_n: int = 10_000,
+    prefilter_min_domain: int = 100_000,
+    safety: float = 4.0,
+) -> DataFrame:
+    """Materialize the domain mixture: draw each domain's integer quota
+    (domain_mixture's sqrt-temperature token-share allocation) as the
+    quota lowest-hash documents of that domain — turning the weights
+    table into the actual sampled corpus a training run reads. A domain
+    whose quota exceeds its document count contributes everything it
+    has.
+
+    Deterministic: the draw key is (h60(salt || id), id), so the kept
+    set is engine- and partitioning-independent, and growing the corpus
+    only ever appends to a domain's draw order (the same growth-stable
+    property hash_split relies on).
+
+    Mega-domain pre-filter (the 100 TB path — the per-quota
+    generalization of stratified_sample's): when a domain exceeds
+    `prefilter_min_domain` rows, its rows are pre-filtered to
+    `hash <= 2^60 * quota * safety / n_docs` BEFORE the ranking window,
+    so the per-domain sort ranks an expected quota*safety-row superset
+    instead of the whole domain. Exact by construction: every row below
+    the threshold is kept, so a domain retaining >= min(quota, n_docs)
+    rows has its true lowest hashes present; undershot domains are
+    detected by a grouped count and re-ranked over their full rows.
+
+    Output: (doc_id, domain, draw_rank), draw_rank = 1..quota within
+    the domain's hash order.
+    """
+    quotas = domain_mixture(df, domain_col, text_col, sample_n).select(
+        F.col("domain").alias(domain_col), "quota", F.col("n_docs").alias("_dn")
+    )
+    sample_hash = h60(F.concat(F.lit(MIX_SALT), F.col(id_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(sample_hash, F.col(id_col))
+    base = df.select(id_col, domain_col).join(F.broadcast(quotas), domain_col)
+
+    def plain(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= F.col("quota"))
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.col(domain_col).alias("domain"),
+                F.col("_rk").cast("int").alias("draw_rank"),
+            )
+        )
+
+    big = quotas.where(F.col("_dn") > F.lit(prefilter_min_domain)).select(domain_col)
+    if big.isEmpty():
+        return plain(base)
+
+    h_max = float(1 << 60)
+    thr = F.least(
+        F.lit(h_max),
+        F.ceil(
+            F.lit(h_max * safety) * F.col("quota").cast("double") / F.col("_dn")
+        ),
+    )
+    pre = base.where(
+        (F.col("_dn") <= prefilter_min_domain) | (sample_hash <= thr)
+    )
+    kept = plain(pre)
+    deficient = (
+        big.join(
+            kept.groupBy(F.col("domain").alias(domain_col)).agg(
+                F.count(F.lit(1)).alias("_kn")
+            ),
+            domain_col,
+            "left",
+        )
+        .join(F.broadcast(quotas), domain_col)
+        .where(
+            F.coalesce(F.col("_kn"), F.lit(0))
+            < F.least(F.col("quota"), F.col("_dn"))
+        )
+        .select(domain_col)
+    )
+    if deficient.isEmpty():
+        return kept
+    refill = plain(base.join(F.broadcast(deficient), domain_col, "semi"))
+    return (
+        kept.join(
+            F.broadcast(deficient.withColumnRenamed(domain_col, "domain")),
+            "domain",
+            "anti",
+        )
+        .select("doc_id", "domain", "draw_rank")
+        .unionByName(refill)
+    )
+
+
+def mixture_materialize_sql(
+    table: str,
+    domain_expr: str,
+    text_expr: str,
+    id_expr: str,
+    sample_n: int = 10_000,
+) -> str:
+    """DuckDB mirror: the quota CTE plus one per-domain row_number over
+    the same (hash, id) draw order."""
+    from hogflare_spark.functions.hashing import h60_sql
+
+    quotas = domain_mixture_sql(table, domain_expr, text_expr, sample_n)
+    hash_expr = h60_sql(f"'{MIX_SALT}' || CAST({id_expr} AS VARCHAR)")
+    return f"""
+    WITH q AS ({quotas}),
+    ranked AS (
+      SELECT d.{id_expr} AS doc_id, d.{domain_expr} AS domain, q.quota,
+             row_number() OVER (
+               PARTITION BY d.{domain_expr}
+               ORDER BY {hash_expr.replace(id_expr, 'd.' + id_expr)}, d.{id_expr}
+             ) AS _rk
+      FROM {table} d JOIN q ON q.domain = d.{domain_expr}
+    )
+    SELECT doc_id, domain, CAST(_rk AS INT) AS draw_rank
+    FROM ranked WHERE _rk <= quota
+    """

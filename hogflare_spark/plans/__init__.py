@@ -155,6 +155,9 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # distributed prefix sum (shape graded via llm_pack_sequences' sim
     # lineage and the window family gates).
     "llm_budget_select",
+    # materialized domain mixture: per-domain quota draw in (hash, id)
+    # order — the stratified_sample shape with data-dependent quotas.
+    "llm_mixture_materialize",
 )
 
 

@@ -1459,3 +1459,34 @@ def _register_budget_select_oracle() -> None:
 
 
 _register_budget_select_oracle()
+
+
+_MIX_SAMPLE_N = 200
+
+
+@query("llm_mixture_materialize", oracle=None)
+def llm_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized domain mixture (operators/sampling.
+    mixture_materialize): each source domain contributes its
+    sqrt-temperature quota of documents, drawn in the deterministic
+    (hash, id) order — the weights table turned into the actual sampled
+    corpus."""
+    from hogflare_spark.operators.sampling import mixture_materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_materialize(
+        docs, "source", "text", "doc_id", sample_n=_MIX_SAMPLE_N
+    ).orderBy("doc_id")
+
+
+def _register_mixture_materialize_oracle() -> None:
+    from hogflare_spark.operators.sampling import mixture_materialize_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = mixture_materialize_sql(
+        "documents", "source", "text", "doc_id", sample_n=_MIX_SAMPLE_N
+    )
+    ORACLES["llm_mixture_materialize"] = f"SELECT * FROM ({inner}) ORDER BY doc_id"
+
+
+_register_mixture_materialize_oracle()

@@ -340,3 +340,65 @@ def test_budget_select_extremes(spark):
     big = budget_select(df, "text", "doc_id", 10_000).collect()
     assert {r["doc_id"] for r in big} == set(range(5))  # budget > corpus
     assert max(r["cum_tokens"] for r in big) == 25
+
+
+def _mix_docs():
+    rows = []
+    # domain sizes/token masses chosen so quotas differ
+    for d, n, words in (("a", 30, 20), ("b", 12, 10), ("c", 4, 5)):
+        for i in range(n):
+            rows.append(
+                Row(doc_id=len(rows), source=d, text=("w " * words).strip())
+            )
+    return rows
+
+
+def test_mixture_materialize_respects_quotas(spark):
+    from hogflare_spark.operators.sampling import domain_mixture, mixture_materialize
+
+    df = spark.createDataFrame(_mix_docs())
+    quotas = {
+        r["domain"]: r["quota"]
+        for r in domain_mixture(df, "source", "text", sample_n=20).collect()
+    }
+    out = mixture_materialize(df, "source", "text", "doc_id", sample_n=20).collect()
+    got = {}
+    for r in out:
+        got[r["domain"]] = got.get(r["domain"], 0) + 1
+    sizes = {"a": 30, "b": 12, "c": 4}
+    for d, q in quotas.items():
+        assert got.get(d, 0) == min(q, sizes[d]), (d, q, got)
+    # draw ranks are 1..count within each domain
+    for d in got:
+        rks = sorted(r["draw_rank"] for r in out if r["domain"] == d)
+        assert rks == list(range(1, got[d] + 1))
+
+
+def test_mixture_materialize_prefilter_path_is_exact(spark):
+    """Forcing every domain down the mega-domain pre-filter (tiny size
+    cutoff) must reproduce the plain-window draw bit-for-bit, including
+    when a hostile safety factor forces the deficiency refill."""
+    from hogflare_spark.operators.sampling import mixture_materialize
+
+    df = spark.createDataFrame(_mix_docs())
+
+    def key(rows):
+        return sorted((r["doc_id"], r["domain"], r["draw_rank"]) for r in rows)
+
+    plain = key(
+        mixture_materialize(df, "source", "text", "doc_id", sample_n=20).collect()
+    )
+    pre = key(
+        mixture_materialize(
+            df, "source", "text", "doc_id", sample_n=20,
+            prefilter_min_domain=2, safety=4.0,
+        ).collect()
+    )
+    starved = key(
+        mixture_materialize(
+            df, "source", "text", "doc_id", sample_n=20,
+            prefilter_min_domain=2, safety=0.01,  # undershoots -> refill
+        ).collect()
+    )
+    assert pre == plain
+    assert starved == plain
