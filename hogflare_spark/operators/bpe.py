@@ -1,0 +1,249 @@
+"""Distributed BPE merge training over a tokenized corpus.
+
+The tokenizer-training step of an LLM data pipeline, shaped for Spark
+the way `distributed_kmeans` shapes clustering: byte-pair encoding
+(Sennrich et al. 2016) learns a merge table by repeatedly (1) counting
+adjacent token pairs over the whole corpus and (2) merging every
+occurrence of the most frequent pair. Here the atoms are whitespace
+tokens (the corpus-scale variant — merges learn multi-word units; the
+algorithm is identical to character BPE, only the atom alphabet
+differs).
+
+Spark execution shape, per merge step:
+  * pair counting is one window `lead` over (doc, pos) — the corpus is
+    hash-partitioned by doc id ONCE, so the window sorts within
+    partitions without further exchange — plus one map-side-partial
+    groupBy whose output is vocabulary-pair-bounded;
+  * exactly ONE row (the argmax pair) reaches the driver per step;
+  * the merge applies as a pure windowed projection (match marks, a
+    greedy-parity filter, a renumber) — no shuffle, no Python;
+  * lineage is truncated with a localCheckpoint per step (the rewrite
+    would otherwise stack 3 window passes per step into one plan).
+
+Greedy merge semantics, engine-independent by construction:
+  * the winning pair is (count DESC, left ASC, right ASC) — exact
+    BIGINT counts with a lexical tiebreak, no floats anywhere;
+  * occurrences merge left-to-right without overlap. Overlap only
+    happens for self-pairs (a,a): within each maximal chain of
+    consecutive matches, greedy keeps the 1st, 3rd, 5th... match —
+    expressed as a row-number parity over (doc, chain). Non-self pairs
+    cannot have adjacent matches (the right atom would have to equal
+    the left atom), so the same parity expression is a no-op for them
+    and ONE code path serves both cases.
+  * pair counting counts every adjacent occurrence (including the
+    overlapping self-pair occurrences), exactly like the reference
+    implementation of Sennrich et al.; only the APPLY step is greedy.
+
+The DuckDB oracle unrolls the identical steps relationally (every CTE
+MATERIALIZED — the state chain references each s{t} twice, and plain
+CTEs inline per reference, the 2^iters blowup the linear-probe oracle
+documented).
+
+Output: one row per learned merge, (step, left, right, merged, cnt) —
+the trained artifact, like k-means' centroids; `bpe_segment` applies a
+learned table to new text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hogflare_spark.functions import text as T
+
+MERGE_JOIN = " "  # merged token = left || " " || right (reversible)
+
+
+def _explode_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(T.tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+
+
+def _merge_step(state: DataFrame, left: str, right: str) -> DataFrame:
+    """Apply one merge (left, right) greedily to (id, pos, tok)."""
+    w = Window.partitionBy("id").orderBy("pos")
+    m = state.select(
+        "id",
+        "pos",
+        "tok",
+        (
+            (F.col("tok") == F.lit(left))
+            & (F.lead("tok").over(w) == F.lit(right))
+        ).alias("match"),
+    )
+    # chain id: consecutive match positions group together; greedy keeps
+    # odd row numbers within each (id, chain)
+    wm = Window.partitionBy("id", "match").orderBy("pos")
+    m = m.select(
+        "id",
+        "pos",
+        "tok",
+        "match",
+        (F.col("pos") - F.row_number().over(wm)).alias("_chain"),
+    )
+    wc = Window.partitionBy("id", "match", "_chain").orderBy("pos")
+    m = m.select(
+        "id",
+        "pos",
+        "tok",
+        (F.col("match") & (F.row_number().over(wc) % 2 == 1)).alias("_merged"),
+    )
+    w2 = Window.partitionBy("id").orderBy("pos")
+    m = m.select(
+        "id",
+        "pos",
+        F.when(F.col("_merged"), F.lit(left + MERGE_JOIN + right))
+        .otherwise(F.col("tok"))
+        .alias("tok"),
+        F.coalesce(F.lag("_merged").over(w2), F.lit(False)).alias("_consumed"),
+    )
+    return m.where(~F.col("_consumed")).select(
+        "id",
+        (F.row_number().over(Window.partitionBy("id").orderBy("pos")) - 1).alias(
+            "pos"
+        ),
+        "tok",
+    )
+
+
+def _pair_counts(state: DataFrame) -> DataFrame:
+    w = Window.partitionBy("id").orderBy("pos")
+    return (
+        state.select(
+            F.col("tok").alias("l"), F.lead("tok").over(w).alias("r")
+        )
+        .where(F.col("r").isNotNull())
+        .groupBy("l", "r")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str, id_col: str, n_merges: int = 5
+) -> DataFrame:
+    """Learn the top `n_merges` BPE merges. Returns (step, left, right,
+    merged, cnt) — step is 1-based learning order."""
+    from hogflare_spark.functions.caching import cached
+
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    # cache (not localCheckpoint): InMemoryRelation PRESERVES the id
+    # hash-partitioning and (id, pos) ordering, so every window in the
+    # loop below runs exchange-free — a checkpointed RDD reports
+    # UnknownPartitioning and every step would re-shuffle the corpus
+    # (observed in .explain before this was changed). All intermediate
+    # windows cluster on supersets of {id}, which HashPartitioning(id)
+    # already satisfies. At very large n_merges, re-materialize through
+    # a checkpoint every K steps to bound the logical-plan depth.
+    state = cached(
+        _explode_tokens(df, text_col, id_col)
+        .repartition(n_part, "id")
+        .sortWithinPartitions("id", "pos")
+    )
+    state.count()
+    out = []
+    for step in range(1, n_merges + 1):
+        top = (
+            _pair_counts(state)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        out.append((step, left, right, left + MERGE_JOIN + right, cnt))
+        if step < n_merges:
+            prev = state
+            state = cached(_merge_step(state, left, right))
+            state.count()
+            prev.unpersist()
+    return spark.createDataFrame(
+        out, "step INT, left STRING, right STRING, merged STRING, cnt BIGINT"
+    )
+
+
+def bpe_segment(df: DataFrame, text_col: str, id_col: str, merges) -> DataFrame:
+    """Apply a learned merge table (iterable of (left, right) in learning
+    order) to a corpus: the tokenize-at-inference step. Returns
+    (doc_id, tokens array<string>) with merged units space-joined."""
+    state = _explode_tokens(df, text_col, id_col)
+    for left, right in merges:
+        state = _merge_step(state, left, right)
+    return (
+        state.groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ).alias("tokens")
+        )
+        .select(F.col("id").alias("doc_id"), "tokens")
+    )
+
+
+def bpe_train_merges_sql(
+    table: str, text_expr: str, id_expr: str, n_merges: int = 5
+) -> str:
+    """DuckDB mirror: the identical count / argmax / greedy-apply steps,
+    unrolled with MATERIALIZED CTEs."""
+    tok = T.tokens_sql(text_expr)
+    parts = [
+        # zipped unnests: generate_series(1, len) pairs 1:1 with the
+        # token list, DuckDB's positional-explode idiom
+        f"s0 AS MATERIALIZED (SELECT id, "
+        f"unnest(generate_series(1, len(tok))) - 1 AS pos, "
+        f"unnest(tok) AS tok FROM "
+        f"(SELECT {id_expr} AS id, {tok} AS tok FROM {table}))"
+    ]
+    for t in range(n_merges):
+        parts.append(
+            f"pc{t} AS MATERIALIZED (SELECT l, r, count(*) AS cnt FROM ("
+            f"SELECT tok AS l, lead(tok) OVER (PARTITION BY id ORDER BY pos) AS r "
+            f"FROM s{t}) WHERE r IS NOT NULL GROUP BY l, r)"
+        )
+        parts.append(
+            f"top{t} AS MATERIALIZED (SELECT {t + 1} AS step, l, r, cnt "
+            f"FROM pc{t} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"
+        )
+        if t + 1 < n_merges:
+            parts.append(
+                f"m{t} AS MATERIALIZED (SELECT id, pos, tok, "
+                f"(tok = (SELECT l FROM top{t}) AND "
+                f"lead(tok) OVER (PARTITION BY id ORDER BY pos) = "
+                f"(SELECT r FROM top{t})) AS match FROM s{t})"
+            )
+            parts.append(
+                f"c{t} AS MATERIALIZED (SELECT id, pos, tok, match, "
+                f"pos - row_number() OVER (PARTITION BY id, match ORDER BY pos) "
+                f"AS chain FROM m{t})"
+            )
+            parts.append(
+                f"g{t} AS MATERIALIZED (SELECT id, pos, tok, "
+                f"(match AND (row_number() OVER "
+                f"(PARTITION BY id, match, chain ORDER BY pos) % 2 = 1)) "
+                f"AS merged FROM c{t})"
+            )
+            parts.append(
+                f"f{t} AS MATERIALIZED (SELECT id, pos, "
+                f"CASE WHEN merged THEN "
+                f"(SELECT l FROM top{t}) || '{MERGE_JOIN}' || (SELECT r FROM top{t}) "
+                f"ELSE tok END AS tok, "
+                f"coalesce(lag(merged) OVER (PARTITION BY id ORDER BY pos), FALSE) "
+                f"AS consumed FROM g{t})"
+            )
+            parts.append(
+                f"s{t + 1} AS MATERIALIZED (SELECT id, "
+                f"row_number() OVER (PARTITION BY id ORDER BY pos) - 1 AS pos, tok "
+                f"FROM f{t} WHERE NOT consumed)"
+            )
+    union = " UNION ALL ".join(f"SELECT * FROM top{t}" for t in range(n_merges))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT step, l AS left, r AS right, "
+        f"l || '{MERGE_JOIN}' || r AS merged, cnt FROM ({union})"
+    )

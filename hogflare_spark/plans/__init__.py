@@ -158,6 +158,10 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # materialized domain mixture: per-domain quota draw in (hash, id)
     # order — the stratified_sample shape with data-dependent quotas.
     "llm_mixture_materialize",
+    # distributed BPE merge training: iterated windowed pair counts +
+    # one-row argmax per step — the tokenizer-trainer sibling of
+    # llm_kmeans_clusters (iterated-scan family graded via llm_ann_topk).
+    "llm_bpe_merges",
 )
 
 

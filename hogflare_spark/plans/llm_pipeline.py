@@ -1490,3 +1490,32 @@ def _register_mixture_materialize_oracle() -> None:
 
 
 _register_mixture_materialize_oracle()
+
+
+_BPE_MERGES = 6
+
+
+@query("llm_bpe_merges", oracle=None)
+def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (operators/bpe.bpe_train_merges):
+    the tokenizer-training step — per merge, one windowed pair count
+    (map-side partial, vocab-pair-bounded shuffle) and a one-row argmax
+    to the driver; the merge applies as a windowed projection. The
+    oracle unrolls the identical greedy steps relationally."""
+    from hogflare_spark.operators.bpe import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, "text", "doc_id", n_merges=_BPE_MERGES).orderBy(
+        "step"
+    )
+
+
+def _register_bpe_oracle() -> None:
+    from hogflare_spark.operators.bpe import bpe_train_merges_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = bpe_train_merges_sql("documents", "text", "doc_id", n_merges=_BPE_MERGES)
+    ORACLES["llm_bpe_merges"] = f"SELECT * FROM ({inner}) ORDER BY step"
+
+
+_register_bpe_oracle()

@@ -402,3 +402,56 @@ def test_mixture_materialize_prefilter_path_is_exact(spark):
     )
     assert pre == plain
     assert starved == plain
+
+
+def test_bpe_greedy_self_pair_chains(spark):
+    """'a a a a a' under merge (a,a): greedy left-to-right keeps the
+    1st/3rd matches -> (a a)(a a) a ; counting counts all 4 adjacent
+    occurrences (Sennrich counting), only the apply is greedy."""
+    from hogflare_spark.operators.bpe import bpe_segment, bpe_train_merges
+
+    df = spark.createDataFrame([Row(doc_id=0, text="a a a a a")])
+    merges = bpe_train_merges(df, "text", "doc_id", n_merges=1).collect()
+    assert (merges[0]["left"], merges[0]["right"], merges[0]["cnt"]) == ("a", "a", 4)
+    seg = bpe_segment(df, "text", "doc_id", [("a", "a")]).collect()
+    assert seg[0]["tokens"] == ["a a", "a a", "a"]
+
+
+def test_bpe_ties_break_lexically(spark):
+    from hogflare_spark.operators.bpe import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="z w"), Row(doc_id=1, text="b c"), Row(doc_id=2, text="z w b c")]
+    )
+    m = bpe_train_merges(df, "text", "doc_id", n_merges=1).collect()[0]
+    # both ("z","w") and ("b","c") occur twice; lexical min wins
+    assert (m["left"], m["right"]) == ("b", "c")
+
+
+def test_bpe_learns_frequent_phrase_and_is_partition_invariant(spark):
+    from hogflare_spark.operators.bpe import bpe_train_merges
+
+    rows = [
+        Row(doc_id=i, text=("machine learning is fun and machine learning works " * 2))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    a = [tuple(r) for r in bpe_train_merges(df, "text", "doc_id", 3).collect()]
+    b = [
+        tuple(r)
+        for r in bpe_train_merges(df.repartition(7), "text", "doc_id", 3).collect()
+    ]
+    assert a == b
+    assert (a[0][1], a[0][2]) == ("machine", "learning")
+
+
+def test_bpe_segment_applies_learned_table_to_new_docs(spark):
+    from hogflare_spark.operators.bpe import bpe_segment
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="deep learning and machine learning")]
+    )
+    seg = bpe_segment(
+        df, "text", "doc_id", [("machine", "learning"), ("deep", "learning")]
+    ).collect()
+    assert seg[0]["tokens"] == ["deep learning", "and", "machine learning"]
