@@ -17,8 +17,10 @@ Spark execution shape, per merge step:
   * exactly ONE row (the argmax pair) reaches the driver per step;
   * the merge applies as a pure windowed projection (match marks, a
     greedy-parity filter, a renumber) — no shuffle, no Python;
-  * lineage is truncated with a localCheckpoint per step (the rewrite
-    would otherwise stack 3 window passes per step into one plan).
+  * each state is cached (tracked) so the next step reads materialized
+    blocks whose id-partitioning and ordering the planner can see — a
+    localCheckpoint would report UnknownPartitioning and re-shuffle the
+    corpus every step (caught in the plan audit, PLANS.md).
 
 Greedy merge semantics, engine-independent by construction:
   * the winning pair is (count DESC, left ASC, right ASC) — exact
@@ -246,4 +248,89 @@ def bpe_train_merges_sql(
         + ",\n".join(parts)
         + f"\nSELECT step, l AS left, r AS right, "
         f"l || '{MERGE_JOIN}' || r AS merged, cnt FROM ({union})"
+    )
+
+
+def bpe_segment_corpus_sql(
+    table: str, text_expr: str, id_expr: str, n_merges: int = 5
+) -> str:
+    """DuckDB mirror of train-then-segment: the same unrolled greedy
+    steps, but with every merge applied (including the last) and the
+    final state re-assembled per document. The token list is joined with
+    the 0x1f unit separator into ONE string so the hash gate compares a
+    scalar, not an engine-specific array encoding."""
+    tok = T.tokens_sql(text_expr)
+    parts = [
+        f"s0 AS MATERIALIZED (SELECT id, "
+        f"unnest(generate_series(1, len(tok))) - 1 AS pos, "
+        f"unnest(tok) AS tok FROM "
+        f"(SELECT {id_expr} AS id, {tok} AS tok FROM {table}))"
+    ]
+    for t in range(n_merges):
+        parts.append(
+            f"pc{t} AS MATERIALIZED (SELECT l, r, count(*) AS cnt FROM ("
+            f"SELECT tok AS l, lead(tok) OVER (PARTITION BY id ORDER BY pos) AS r "
+            f"FROM s{t}) WHERE r IS NOT NULL GROUP BY l, r)"
+        )
+        parts.append(
+            f"top{t} AS MATERIALIZED (SELECT l, r FROM pc{t} "
+            f"ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"
+        )
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT id, pos, tok, "
+            f"(tok = (SELECT l FROM top{t}) AND "
+            f"lead(tok) OVER (PARTITION BY id ORDER BY pos) = "
+            f"(SELECT r FROM top{t})) AS match FROM s{t})"
+        )
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT id, pos, tok, match, "
+            f"pos - row_number() OVER (PARTITION BY id, match ORDER BY pos) "
+            f"AS chain FROM m{t})"
+        )
+        parts.append(
+            f"g{t} AS MATERIALIZED (SELECT id, pos, tok, "
+            f"(match AND (row_number() OVER "
+            f"(PARTITION BY id, match, chain ORDER BY pos) % 2 = 1)) "
+            f"AS merged FROM c{t})"
+        )
+        parts.append(
+            f"f{t} AS MATERIALIZED (SELECT id, pos, "
+            f"CASE WHEN merged THEN "
+            f"(SELECT l FROM top{t}) || '{MERGE_JOIN}' || (SELECT r FROM top{t}) "
+            f"ELSE tok END AS tok, "
+            f"coalesce(lag(merged) OVER (PARTITION BY id ORDER BY pos), FALSE) "
+            f"AS consumed FROM g{t})"
+        )
+        parts.append(
+            f"s{t + 1} AS MATERIALIZED (SELECT id, "
+            f"row_number() OVER (PARTITION BY id ORDER BY pos) - 1 AS pos, tok "
+            f"FROM f{t} WHERE NOT consumed)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id AS doc_id, count(*) AS n_units, "
+        f"array_to_string(list(tok ORDER BY pos), chr(31)) AS segmented "
+        f"FROM s{n_merges} GROUP BY id"
+    )
+
+
+def bpe_segment_corpus(
+    df: DataFrame, text_col: str, id_col: str, n_merges: int = 5
+) -> DataFrame:
+    """Train `n_merges` merges on the corpus, then segment the corpus
+    with them. Output: (doc_id, n_units, segmented) where segmented is
+    the 0x1f-joined unit string (scalar, hash-gate-safe)."""
+    merges = [
+        (r["left"], r["right"])
+        for r in sorted(
+            bpe_train_merges(df, text_col, id_col, n_merges).collect(),
+            key=lambda r: r["step"],
+        )
+    ]
+    seg = bpe_segment(df, text_col, id_col, merges)
+    return seg.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_units"),
+        F.concat_ws("\x1f", F.col("tokens")).alias("segmented"),
     )

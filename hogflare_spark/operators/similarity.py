@@ -963,3 +963,85 @@ def distributed_kmeans_sql(
         f"FROM qc CROSS JOIN c{iters} ct) WHERE rn = 1"
     )
     return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def pq_codes(
+    corpus: DataFrame,
+    m_subspaces: int = 8,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011) for the embedding
+    column — the memory side of the standard 100 TB ANN stack (IVF for
+    pruning + PQ for compression): the vector splits into `m_subspaces`
+    contiguous blocks and each block is vector-quantized against a
+    per-subspace codebook, compressing dim floats to m small codes.
+
+    Codebooks are trained with the SAME distributed trainer as the IVF
+    coarse quantizer (`distributed_kmeans`, fixed-point exact updates,
+    corpus never leaves the executors) — one spherical k-means per
+    subspace over the corpus' subvectors. Since the trainer normalizes
+    its input, this is the ANGULAR product quantizer, matching the
+    cosine metric every similarity operator here uses; an all-zero
+    subvector stays zero and deterministically lands in the lowest cell.
+
+    Output: (id, subspace, code) long format — m rows per vector, no
+    m-way join; pivot at the consumer if a packed row is wanted.
+    """
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "id LONG, subspace INT, code INT"
+        )
+    dim = int(first["d"])
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    d_sub = dim // m_subspaces
+    outs = []
+    for j in range(m_subspaces):
+        sub = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("subv"),
+        )
+        assigned = distributed_kmeans(
+            sub, k=k, iters=iters, id_col="vec_id", vec_col="subv"
+        )
+        outs.append(
+            assigned.select(
+                "id", F.lit(j).alias("subspace"), F.col("cell").cast("int").alias("code")
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def pq_codes_sql(
+    table: str,
+    m_subspaces: int = 8,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_expr: str = "vec_id",
+    vec_expr: str = "embedding",
+) -> str:
+    """DuckDB mirror: one unrolled distributed_kmeans_sql per subspace
+    over the same list slices, UNION ALL with the subspace tag."""
+    d_sub = dim // m_subspaces
+    parts = []
+    for j in range(m_subspaces):
+        inner = distributed_kmeans_sql(
+            table,
+            k=k,
+            iters=iters,
+            dim=d_sub,
+            id_expr=id_expr,
+            vec_expr=f"list_slice({vec_expr}, {j * d_sub + 1}, {(j + 1) * d_sub})",
+        )
+        parts.append(
+            f"SELECT id, {j} AS subspace, CAST(cell AS INT) AS code FROM ({inner})"
+        )
+    return " UNION ALL ".join(parts)

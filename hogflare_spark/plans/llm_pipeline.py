@@ -1461,7 +1461,7 @@ def _register_budget_select_oracle() -> None:
 _register_budget_select_oracle()
 
 
-_MIX_SAMPLE_N = 200
+_MIX_DRAW_N = 200
 
 
 @query("llm_mixture_materialize", oracle=None)
@@ -1475,7 +1475,7 @@ def llm_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return mixture_materialize(
-        docs, "source", "text", "doc_id", sample_n=_MIX_SAMPLE_N
+        docs, "source", "text", "doc_id", sample_n=_MIX_DRAW_N
     ).orderBy("doc_id")
 
 
@@ -1484,7 +1484,7 @@ def _register_mixture_materialize_oracle() -> None:
     from hogflare_spark.plans import ORACLES
 
     inner = mixture_materialize_sql(
-        "documents", "source", "text", "doc_id", sample_n=_MIX_SAMPLE_N
+        "documents", "source", "text", "doc_id", sample_n=_MIX_DRAW_N
     )
     ORACLES["llm_mixture_materialize"] = f"SELECT * FROM ({inner}) ORDER BY doc_id"
 
