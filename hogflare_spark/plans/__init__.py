@@ -162,6 +162,11 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # one-row argmax per step — the tokenizer-trainer sibling of
     # llm_kmeans_clusters (iterated-scan family graded via llm_ann_topk).
     "llm_bpe_merges",
+    # PQ codes (per-subspace k-means via the same distributed trainer)
+    # and the BPE train-then-segment apply — both iterated-scan shapes
+    # with graded relatives.
+    "llm_pq_codes",
+    "llm_bpe_segment",
 )
 
 

@@ -1519,3 +1519,64 @@ def _register_bpe_oracle() -> None:
 
 
 _register_bpe_oracle()
+
+
+_PQ_M = 8
+_PQ_K = 8
+_PQ_ITERS = 2
+
+
+@query("llm_pq_codes", oracle=None)
+def llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (operators/similarity.pq_codes): the
+    compression half of the IVF+PQ ANN stack — per-subspace codebooks
+    trained with the SAME distributed k-means trainer, corpus encoded
+    as m small codes per vector. The oracle unrolls one k-means per
+    subspace over the same list slices."""
+    from hogflare_spark.operators.similarity import pq_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_codes(emb, m_subspaces=_PQ_M, k=_PQ_K, iters=_PQ_ITERS).orderBy(
+        "id", "subspace"
+    )
+
+
+def _register_pq_oracle() -> None:
+    from hogflare_spark.operators.similarity import pq_codes_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = pq_codes_sql(
+        "embeddings", m_subspaces=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=EMBED_DIM
+    )
+    ORACLES["llm_pq_codes"] = f"SELECT * FROM ({inner}) ORDER BY id, subspace"
+
+
+_register_pq_oracle()
+
+
+_BPE_SEG_MERGES = 4
+
+
+@query("llm_bpe_segment", oracle=None)
+def llm_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-segment (operators/bpe.bpe_segment_corpus): the learned
+    merge table applied corpus-wide — the inference half of the BPE
+    trainer, emitting each document's unit sequence as one
+    0x1f-joined scalar string (hash-gate-safe)."""
+    from hogflare_spark.operators.bpe import bpe_segment_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_segment_corpus(docs, "text", "doc_id", n_merges=_BPE_SEG_MERGES).orderBy(
+        "doc_id"
+    )
+
+
+def _register_bpe_segment_oracle() -> None:
+    from hogflare_spark.operators.bpe import bpe_segment_corpus_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = bpe_segment_corpus_sql("documents", "text", "doc_id", n_merges=_BPE_SEG_MERGES)
+    ORACLES["llm_bpe_segment"] = f"SELECT * FROM ({inner}) ORDER BY doc_id"
+
+
+_register_bpe_segment_oracle()

@@ -455,3 +455,59 @@ def test_bpe_segment_applies_learned_table_to_new_docs(spark):
         df, "text", "doc_id", [("machine", "learning"), ("deep", "learning")]
     ).collect()
     assert seg[0]["tokens"] == ["deep learning", "and", "machine learning"]
+
+
+def test_pq_codes_shape_and_subspace_locality(spark):
+    """m codes per vector; vectors identical in a subspace must share
+    that subspace's code regardless of other dims."""
+    from hogflare_spark.operators.similarity import pq_codes
+
+    rows = []
+    for i in range(12):
+        first = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        rest = [((i * 3 + d) % 7) / 7.0 for d in range(4)]
+        rows.append(Row(vec_id=i, embedding=first + rest))
+    out = pq_codes(
+        spark.createDataFrame(rows), m_subspaces=2, k=4, iters=2
+    ).collect()
+    assert len(out) == 24
+    sub0 = {r["id"]: r["code"] for r in out if r["subspace"] == 0}
+    evens = {sub0[i] for i in range(0, 12, 2)}
+    odds = {sub0[i] for i in range(1, 12, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+
+
+def test_pq_codes_rejects_indivisible_dim(spark):
+    from hogflare_spark.operators.similarity import pq_codes
+
+    df = spark.createDataFrame([Row(vec_id=0, embedding=[1.0, 2.0, 3.0])])
+    with pytest.raises(ValueError):
+        pq_codes(df, m_subspaces=2)
+
+
+def test_bpe_segment_corpus_matches_train_then_apply(spark):
+    from hogflare_spark.operators.bpe import (
+        bpe_segment,
+        bpe_segment_corpus,
+        bpe_train_merges,
+    )
+
+    rows = [
+        Row(doc_id=i, text="big data big data systems and big data tools")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train_merges(df, "text", "doc_id", 2).collect()
+    ]
+    via_apply = {
+        r["doc_id"]: "\x1f".join(r["tokens"])
+        for r in bpe_segment(df, "text", "doc_id", merges).collect()
+    }
+    via_corpus = {
+        r["doc_id"]: r["segmented"]
+        for r in bpe_segment_corpus(df, "text", "doc_id", 2).collect()
+    }
+    assert via_corpus == via_apply
+    assert all("big data" in v for v in via_corpus.values())
