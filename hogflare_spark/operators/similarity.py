@@ -860,6 +860,27 @@ def distributed_kmeans(
 
     Output: (id, cell) for every corpus row under the final centroids.
     """
+    cent = distributed_kmeans_fit(corpus, k, iters, id_col, vec_col)
+    base = corpus.select(
+        F.col(id_col).alias("id"), unit_vec_expr(F.col(vec_col)).alias("v")
+    )
+    if cent is None:
+        return base.select("id", F.lit(0).alias("cell"))
+    return base.select("id", _kmeans_assign_expr(F.col("v"), cent).alias("cell"))
+
+
+def distributed_kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]] | None:
+    """The training loop of distributed_kmeans, returning the final
+    centroids (the model) — split out so PQ's ADC scoring can train a
+    codebook and keep the centroid VALUES, not just assignments. None on
+    an empty corpus. Arithmetic identical to the pre-split operator
+    (pinned by the kmeans gates and the exact-replay scale check)."""
     import math
 
     base = corpus.select(
@@ -867,10 +888,9 @@ def distributed_kmeans(
     )
     init_rows = base.orderBy("id").limit(k).collect()
     if not init_rows:
-        return base.select("id", F.lit(0).alias("cell"))
+        return None
     cent = [[float(x) for x in r["v"]] for r in init_rows]
     dim = len(cent[0])
-    k = len(cent)
 
     qdf = base.select(
         "id",
@@ -900,7 +920,7 @@ def distributed_kmeans(
             nrm = math.sqrt(acc)
             if nrm > 0:
                 cent[j] = [x / nrm for x in m]
-    return qdf.select("id", _kmeans_assign_expr(F.col("v"), cent).alias("cell"))
+    return cent
 
 
 def distributed_kmeans_sql(
@@ -1045,3 +1065,223 @@ def pq_codes_sql(
             f"SELECT id, {j} AS subspace, CAST(cell AS INT) AS code FROM ({inner})"
         )
     return " UNION ALL ".join(parts)
+
+
+def _kmeans_sql_parts(
+    table: str, k: int, iters: int, dim: int, id_expr: str, vec_expr: str, p: str
+) -> tuple[list[str], str, str]:
+    """distributed_kmeans_sql's CTE chain with a name prefix `p`, also
+    exposing the FINAL centroid CTE — so PQ/ADC mirrors can compose one
+    k-means per subspace inside a single WITH (names must not collide)
+    and look centroid values up by cell. Arithmetic identical to
+    distributed_kmeans_sql. Returns (parts, assign_cte, centroid_cte);
+    assign_cte yields (id, cell), centroid_cte yields (cell, c)."""
+    scale = float(KMEANS_SCALE)
+    sq_norm = f"list_sum(list_transform({vec_expr}, x -> x::DOUBLE * x::DOUBLE))"
+    corpus = (
+        f"SELECT {id_expr} AS id, "
+        f"CASE WHEN sqrt({sq_norm}) > 0 "
+        f"THEN list_transform({vec_expr}, x -> x::DOUBLE / sqrt({sq_norm})) "
+        f"ELSE list_transform({vec_expr}, x -> 0.0) END AS v "
+        f"FROM {table}"
+    )
+    parts = [
+        f"{p}corpus AS MATERIALIZED ({corpus})",
+        f"{p}qc AS MATERIALIZED (SELECT id, v, "
+        f"list_transform(v, x -> CAST(floor(x * {scale} + 0.5) AS BIGINT)) AS q "
+        f"FROM {p}corpus)",
+        f"{p}c0 AS MATERIALIZED (SELECT rn - 1 AS cell, v AS c FROM "
+        f"(SELECT v, row_number() OVER (ORDER BY id) AS rn FROM {p}corpus) "
+        f"WHERE rn <= {k})",
+    ]
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> qc.v[i] * ct.c[i]))"
+    )
+    rdot = f"floor(({dot}) * 1000000000 + 0.5) / 1000000000"
+    for t in range(iters):
+        parts.append(
+            f"{p}a{t} AS MATERIALIZED (SELECT id, cell, q FROM ("
+            f"SELECT qc.id, ct.cell, qc.q, "
+            f"row_number() OVER (PARTITION BY qc.id ORDER BY {rdot} DESC, ct.cell ASC) AS rn "
+            f"FROM {p}qc qc CROSS JOIN {p}c{t} ct) WHERE rn = 1)"
+        )
+        parts.append(
+            f"{p}u{t} AS MATERIALIZED (SELECT a.cell, gs.i, "
+            f"(sum(a.q[gs.i])::DOUBLE / count(*)::DOUBLE) / {scale} AS md "
+            f"FROM {p}a{t} a CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) gs "
+            f"GROUP BY a.cell, gs.i)"
+        )
+        parts.append(
+            f"{p}m{t} AS MATERIALIZED (SELECT cell, list(md ORDER BY i) AS m "
+            f"FROM {p}u{t} GROUP BY cell)"
+        )
+        parts.append(
+            f"{p}c{t + 1} AS MATERIALIZED (SELECT pc.cell, "
+            f"CASE WHEN n.m IS NOT NULL "
+            f"AND sqrt(list_sum(list_transform(n.m, x -> x * x))) > 0 "
+            f"THEN list_transform(n.m, x -> x / sqrt(list_sum(list_transform(n.m, y -> y * y)))) "
+            f"ELSE pc.c END AS c "
+            f"FROM {p}c{t} pc LEFT JOIN {p}m{t} n ON n.cell = pc.cell)"
+        )
+    parts.append(
+        f"{p}assign AS MATERIALIZED (SELECT id, cell FROM ("
+        f"SELECT qc.id, ct.cell, "
+        f"row_number() OVER (PARTITION BY qc.id ORDER BY {rdot} DESC, ct.cell ASC) AS rn "
+        f"FROM {p}qc qc CROSS JOIN {p}c{iters} ct) WHERE rn = 1)"
+    )
+    return parts, f"{p}assign", f"{p}c{iters}"
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k_top: int = 10,
+    m_subspaces: int = 8,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (Jégou et al. 2011) —
+    the QUERY half of the IVF+PQ stack: the corpus is represented ONLY
+    by its m small codes per vector, and a query scores a candidate as
+    Σ_j dot(q_sub_j, codebook_j[code_j]) — the query side stays exact
+    ("asymmetric"), the corpus side is quantized.
+
+    Scale shape: codebooks train per subspace with
+    distributed_kmeans_fit (corpus never leaves the executors; the
+    model — m·k·d_sub floats — lives on the driver), corpus encoding is
+    a map-only assignment scan per subspace, and scoring joins the
+    broadcast query table against the codes with the per-subspace
+    distance table embedded as a LITERAL nested array (k·d_sub doubles)
+    — no full vectors move for the corpus side, which is the entire
+    point of PQ at 100 TB.
+
+    Determinism: each subspace term is an array-order fold rounded to
+    1e-9 and QUANTIZED to integer nanos, so the cross-subspace sum is
+    order-free; ranking orders by (nanos DESC, id ASC) — all exact.
+    Output: (query_id, neighbor_id, rank, score) with score = the ADC
+    similarity rounded to 1e-6; self-matches excluded.
+    """
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id LONG, neighbor_id LONG, rank INT, score DOUBLE"
+        )
+    dim = int(first["d"])
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    d_sub = dim // m_subspaces
+
+    terms = []
+    for j in range(m_subspaces):
+        sub = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("subv"),
+        )
+        cent = distributed_kmeans_fit(sub, k=k, iters=iters, id_col="vec_id", vec_col="subv")
+        codes = sub.select(
+            F.col("vec_id").alias("id"),
+            _kmeans_assign_expr(unit_vec_expr(F.col("subv")), cent).alias("code"),
+        )
+        cent_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in cent]
+        )
+        q_j = queries.select(
+            F.col(id_col).alias("qid"),
+            unit_vec_expr(F.slice(F.col(vec_col), j * d_sub + 1, d_sub)).alias("qv"),
+        )
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.element_at(cent_lit, F.col("code") + 1),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        terms.append(
+            codes.crossJoin(F.broadcast(q_j))
+            .where(F.col("id") != F.col("qid"))
+            .select(
+                "qid",
+                "id",
+                F.floor(dot * F.lit(1e9) + F.lit(0.5)).cast("long").alias("t"),
+            )
+        )
+    allt = terms[0]
+    for t in terms[1:]:
+        allt = allt.unionByName(t)
+    scored = allt.groupBy("qid", "id").agg(F.sum("t").alias("nanos"))
+    w = Window.partitionBy("qid").orderBy(F.desc("nanos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_top)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            (
+                F.floor((F.col("nanos") / F.lit(1e9)) * F.lit(1e6) + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("score"),
+        )
+    )
+
+
+def pq_adc_topk_sql(
+    table: str,
+    query_pred: str,
+    k_top: int = 10,
+    m_subspaces: int = 8,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_expr: str = "vec_id",
+    vec_expr: str = "embedding",
+) -> str:
+    """DuckDB mirror: one prefixed k-means unroll per subspace (codes +
+    final centroids), per-subspace nano-quantized ADC terms, order-free
+    integer sum, same (nanos DESC, id) ranking."""
+    d_sub = dim // m_subspaces
+    parts: list[str] = []
+    term_selects = []
+    for j in range(m_subspaces):
+        slice_expr = f"list_slice({vec_expr}, {j * d_sub + 1}, {(j + 1) * d_sub})"
+        sub_parts, assign, cents = _kmeans_sql_parts(
+            table, k, iters, d_sub, id_expr, slice_expr, p=f"s{j}_"
+        )
+        parts.extend(sub_parts)
+        q_sq = f"list_sum(list_transform({slice_expr}, x -> x::DOUBLE * x::DOUBLE))"
+        parts.append(
+            f"q{j} AS MATERIALIZED (SELECT {id_expr} AS qid, "
+            f"CASE WHEN sqrt({q_sq}) > 0 "
+            f"THEN list_transform({slice_expr}, x -> x::DOUBLE / sqrt({q_sq})) "
+            f"ELSE list_transform({slice_expr}, x -> 0.0) END AS qv "
+            f"FROM {table} WHERE {query_pred})"
+        )
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {d_sub}), "
+            f"i -> q.qv[i] * ct.c[i]))"
+        )
+        term_selects.append(
+            f"SELECT q.qid, a.id, "
+            f"CAST(floor(({dot}) * 1000000000 + 0.5) AS BIGINT) AS t "
+            f"FROM q{j} q CROSS JOIN {assign} a "
+            f"JOIN {cents} ct ON ct.cell = a.cell WHERE a.id <> q.qid"
+        )
+    union = " UNION ALL ".join(term_selects)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+    allt AS MATERIALIZED ({union}),
+    sc AS (SELECT qid, id, sum(t) AS nanos FROM allt GROUP BY qid, id),
+    r AS (SELECT qid, id, nanos,
+          row_number() OVER (PARTITION BY qid ORDER BY nanos DESC, id ASC) AS rank
+          FROM sc)
+    SELECT qid AS query_id, id AS neighbor_id, CAST(rank AS INT) AS rank,
+           floor((nanos / 1000000000.0) * 1000000 + 0.5) / 1000000 AS score
+    FROM r WHERE rank <= {k_top}"""
+    )

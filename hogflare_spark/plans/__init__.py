@@ -167,6 +167,9 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # with graded relatives.
     "llm_pq_codes",
     "llm_bpe_segment",
+    # ADC top-k over PQ codes: the query half of IVF+PQ (ANN family
+    # graded via llm_ann_topk / llm_ann_lsh_exhaustive).
+    "llm_pq_adc_topk",
 )
 
 

@@ -1580,3 +1580,37 @@ def _register_bpe_segment_oracle() -> None:
 
 
 _register_bpe_segment_oracle()
+
+
+@query("llm_pq_adc_topk", oracle=None)
+def llm_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes (operators/similarity.pq_adc_topk): the
+    query half of the IVF+PQ stack — the corpus is represented only by
+    its m codes, queries score candidates against literal per-subspace
+    distance tables; every term is nano-quantized so the sum is
+    order-free. The oracle retrains and rescores relationally."""
+    from hogflare_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    return pq_adc_topk(
+        q, emb, k_top=TOPK, m_subspaces=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
+    ).orderBy("query_id", "rank")
+
+
+def _register_pq_adc_oracle() -> None:
+    from hogflare_spark.operators.similarity import pq_adc_topk_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = pq_adc_topk_sql(
+        "embeddings",
+        "vec_id % 50 = 0",
+        k_top=TOPK,
+        m_subspaces=_PQ_M,
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+    )
+    ORACLES["llm_pq_adc_topk"] = f"SELECT * FROM ({inner}) ORDER BY query_id, rank"
+
+
+_register_pq_adc_oracle()

@@ -511,3 +511,57 @@ def test_bpe_segment_corpus_matches_train_then_apply(spark):
     }
     assert via_corpus == via_apply
     assert all("big data" in v for v in via_corpus.values())
+
+
+def test_pq_adc_ranks_by_quantized_similarity(spark):
+    """ADC must rank a query's own cluster-mates above far vectors, and
+    ranks are dense 1..k per query with self excluded."""
+    from hogflare_spark.operators.similarity import pq_adc_topk
+
+    rows = []
+    for i in range(20):
+        base = [1.0, 0.0] if i < 10 else [0.0, 1.0]
+        rows.append(
+            Row(
+                vec_id=i,
+                embedding=[base[0], base[1], ((i * 3) % 5) / 50.0, 0.1],
+            )
+        )
+    df = spark.createDataFrame(rows)
+    q = df.where(F.col("vec_id").isin(0, 15))
+    out = pq_adc_topk(q, df, k_top=5, m_subspaces=2, k=4, iters=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == [1, 2, 3, 4, 5]
+        assert all(r["neighbor_id"] != qid for r in rs)
+        same_group = {n for n in range(20) if (n < 10) == (qid < 10)} - {qid}
+        top = {r["neighbor_id"] for r in rs}
+        assert top <= same_group, (qid, top)
+
+
+def test_kmeans_fit_assign_split_matches_monolith_semantics(spark):
+    """distributed_kmeans == assign under distributed_kmeans_fit's
+    centroids (the refactor must be behavior-preserving)."""
+    from hogflare_spark.operators.similarity import (
+        _kmeans_assign_expr,
+        distributed_kmeans,
+        distributed_kmeans_fit,
+        unit_vec_expr,
+    )
+
+    rows = _blob([1.0, 0.1, 0.0, 0.0], 9, 0) + _blob([0.0, 0.2, 1.0, 0.0], 9, 30)
+    df = spark.createDataFrame(rows)
+    got = sorted(
+        (r["id"], r["cell"]) for r in distributed_kmeans(df, k=3, iters=2).collect()
+    )
+    cent = distributed_kmeans_fit(df, k=3, iters=2)
+    manual = sorted(
+        (r["id"], r["cell"])
+        for r in df.select(
+            F.col("vec_id").alias("id"),
+            _kmeans_assign_expr(unit_vec_expr(F.col("embedding")), cent).alias("cell"),
+        ).collect()
+    )
+    assert got == manual
