@@ -565,3 +565,28 @@ def test_kmeans_fit_assign_split_matches_monolith_semantics(spark):
         ).collect()
     )
     assert got == manual
+
+
+def test_pq_adc_candidate_recall_against_brute_force(spark):
+    """ADC's production role is CANDIDATE generation before an exact
+    rerank; pin that signal: on the sf0.001 embeddings (near-random
+    64-dim vectors — a hard ANN case), the ADC top-100 shortlist (20%
+    of the corpus) must recover most of the exact cosine top-10.
+    Measured 0.84 mean candidate recall at m=8/k=8; floor 0.7. (Top-10
+    DIRECT recall is ~0.16 here — 24-bit codes can't order subtle
+    neighbors, which is exactly why FAISS reranks; the determinism of
+    the ranking itself is pinned by the oracle gate.)"""
+    from hogflare_spark.operators.similarity import brute_force_topk, pq_adc_topk
+    from hogflare_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    exact = {}
+    for r in brute_force_topk(q, emb, 10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    adc = {}
+    for r in pq_adc_topk(q, emb, k_top=100).collect():
+        adc.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(adc) == set(exact) and len(exact) >= 5
+    recalls = [len(adc[k] & exact[k]) / 10 for k in exact]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
