@@ -134,12 +134,29 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     "llm_simhash_near_dups",
     "ev_approx_distinct_users",
     "llm_ann_ivf_exhaustive",
-    # round 7 additions, past the window from birth: distributed k-means
-    # (iterated scan + tiny-model collect — ANN family graded via
-    # llm_ann_topk/llm_ann_lsh_exhaustive) and CCNet perplexity buckets
-    # (window bucketing over a scored join — family graded via
+    # round 8 rotation (r7 verdict #1): the four genuinely-new round-7
+    # operator classes — distributed k-means (iterated-scan trainer),
+    # BPE merge training (windowed tokenizer trainer), ADC top-k over PQ
+    # codes (compressed-domain ANN scoring), and mixture materialization
+    # (data-dependent quota sampling) — move INSIDE the 50-entry window
+    # so the driver's hard signal executes them at least once. Four
+    # transitively-covered gates cede their slots:
+    #  - hf_person_fold_fast: JVM twin of the graded hf_person_fold_state
+    #    (same oracle, same rows); differential pytest suite keeps the
+    #    two kernels pinned against each other.
+    #  - llm_frame_sample: sibling of the graded llm_multimodal_features
+    #    (same mapInPandas decode lane, same fixtures).
+    #  - q_unpivot_priority_metrics: stack() projection; the pivot
+    #    family keeps ev_event_pivot graded.
+    #  - llm_fingerprint_dedup: rolling-hash fingerprint dedup; the
+    #    dedup family keeps exact/minhash/ngram/substring graded.
+    "hf_person_fold_fast",
+    "llm_frame_sample",
+    "q_unpivot_priority_metrics",
+    "llm_fingerprint_dedup",
+    # CCNet perplexity buckets stay past the window (window bucketing
+    # over a scored join — family graded via
     # q_window_top_orders_per_customer + llm_quality_tokens).
-    "llm_kmeans_clusters",
     "llm_perplexity_buckets",
     # the sampled-cutpoint scale variant of perplexity buckets — same
     # family, map-only assignment path.
@@ -153,23 +170,14 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     "llm_dsir_weights",
     # token-budget corpus selection: scored rank + the two-phase
     # distributed prefix sum (shape graded via llm_pack_sequences' sim
-    # lineage and the window family gates).
+    # lineage and the window family gates; quota-sampling family graded
+    # via llm_mixture_materialize after the round-8 rotation).
     "llm_budget_select",
-    # materialized domain mixture: per-domain quota draw in (hash, id)
-    # order — the stratified_sample shape with data-dependent quotas.
-    "llm_mixture_materialize",
-    # distributed BPE merge training: iterated windowed pair counts +
-    # one-row argmax per step — the tokenizer-trainer sibling of
-    # llm_kmeans_clusters (iterated-scan family graded via llm_ann_topk).
-    "llm_bpe_merges",
-    # PQ codes (per-subspace k-means via the same distributed trainer)
-    # and the BPE train-then-segment apply — both iterated-scan shapes
-    # with graded relatives.
+    # PQ codes (per-subspace k-means via the same distributed trainer,
+    # now graded through llm_kmeans_clusters + llm_pq_adc_topk) and the
+    # BPE train-then-segment apply (trainer graded via llm_bpe_merges).
     "llm_pq_codes",
     "llm_bpe_segment",
-    # ADC top-k over PQ codes: the query half of IVF+PQ (ANN family
-    # graded via llm_ann_topk / llm_ann_lsh_exhaustive).
-    "llm_pq_adc_topk",
 )
 
 
