@@ -35,10 +35,35 @@ def cached(df: DataFrame) -> DataFrame:
     return df
 
 
+def release(df: DataFrame, blocking: bool = False) -> bool:
+    """Unpersist ONE tracked cache immediately and drop its registry
+    entry. Operators that know their cache's lifetime (e.g. a trainer's
+    per-fit working set, dead once the model is collected) release
+    inline instead of waiting for the host's quiescent-point drain —
+    which also keeps them correct under concurrent jobs that share the
+    process-wide registry. Returns False if df was not tracked."""
+    try:
+        _LIVE.remove(df)
+    except ValueError:
+        return False
+    try:
+        df.unpersist(blocking)
+    except Exception:
+        pass
+    return True
+
+
 def unpersist_all(blocking: bool = False) -> int:
     """Unpersist every operator cache registered since the last call.
     Returns the number released. Safe to call at any quiescent point —
-    in-flight results derived from a cache recompute instead of failing."""
+    in-flight results derived from a cache recompute instead of failing.
+
+    NOTE (r7 ADVICE): the registry is process-wide and this drains ALL
+    of it, so it assumes ONE concurrent consumer per driver — a second
+    in-flight job's operator caches would be unpersisted mid-query
+    (correctness is unaffected; Spark recomputes, silently losing the
+    cache win). Hosts running concurrent jobs in one driver should skip
+    the global drain and have operators `release()` their own caches."""
     n = 0
     while _LIVE:
         df = _LIVE.pop()

@@ -123,12 +123,40 @@ def _pair_counts(state: DataFrame) -> DataFrame:
     )
 
 
+def _recut_lineage(state: DataFrame, n_part: int) -> DataFrame:
+    """Truncate the logical plan AND the RDD lineage of an iterated state,
+    then re-establish the id hash-partitioning + (id, pos) ordering the
+    exchange-free windows depend on. Each `_merge_step` stacks five
+    window nodes on the analyzed plan; caching caps the PHYSICAL cost but
+    the analyzer still walks the whole chain every step, so past a few
+    hundred merges planning time (and eventually driver stack) dominates.
+    localCheckpoint materializes the current blocks and replaces the plan
+    with a flat LogicalRDD — which reports UnknownPartitioning, hence the
+    explicit repartition+sort right after (ONE bounded exchange per K
+    steps, amortized away by K). On a multi-executor cluster prefer a
+    reliable `checkpoint()` dir: localCheckpoint blocks die with their
+    executor."""
+    return (
+        state.localCheckpoint(eager=True)
+        .repartition(n_part, "id")
+        .sortWithinPartitions("id", "pos")
+    )
+
+
 def bpe_train_merges(
-    df: DataFrame, text_col: str, id_col: str, n_merges: int = 5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_merges: int = 5,
+    checkpoint_every: int = 16,
 ) -> DataFrame:
     """Learn the top `n_merges` BPE merges. Returns (step, left, right,
-    merged, cnt) — step is 1-based learning order."""
-    from hogflare_spark.functions.caching import cached
+    merged, cnt) — step is 1-based learning order. Every
+    `checkpoint_every` merges the state re-materializes through
+    `_recut_lineage` so plan depth stays bounded at any n_merges (r7
+    verdict #3); the cadence does not change results, pinned by
+    tests/test_llm_round7.py."""
+    from hogflare_spark.functions.caching import cached, release
 
     spark = df.sparkSession
     n_part = spark.sparkContext.defaultParallelism
@@ -138,8 +166,8 @@ def bpe_train_merges(
     # UnknownPartitioning and every step would re-shuffle the corpus
     # (observed in .explain before this was changed). All intermediate
     # windows cluster on supersets of {id}, which HashPartitioning(id)
-    # already satisfies. At very large n_merges, re-materialize through
-    # a checkpoint every K steps to bound the logical-plan depth.
+    # already satisfies. The K-step lineage recut above bounds the
+    # logical-plan depth.
     state = cached(
         _explode_tokens(df, text_col, id_col)
         .repartition(n_part, "id")
@@ -160,21 +188,36 @@ def bpe_train_merges(
         out.append((step, left, right, left + MERGE_JOIN + right, cnt))
         if step < n_merges:
             prev = state
-            state = cached(_merge_step(state, left, right))
+            nxt = _merge_step(state, left, right)
+            if step % checkpoint_every == 0:
+                nxt = _recut_lineage(nxt, n_part)
+            state = cached(nxt)
             state.count()
-            prev.unpersist()
+            release(prev)
     return spark.createDataFrame(
         out, "step INT, left STRING, right STRING, merged STRING, cnt BIGINT"
     )
 
 
-def bpe_segment(df: DataFrame, text_col: str, id_col: str, merges) -> DataFrame:
+def bpe_segment(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges,
+    checkpoint_every: int = 16,
+) -> DataFrame:
     """Apply a learned merge table (iterable of (left, right) in learning
     order) to a corpus: the tokenize-at-inference step. Returns
-    (doc_id, tokens array<string>) with merged units space-joined."""
+    (doc_id, tokens array<string>) with merged units space-joined.
+    Like training, the plan re-materializes through `_recut_lineage`
+    every `checkpoint_every` merges — a large merge table would
+    otherwise stack 5·|merges| window nodes into one analyzed plan."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     state = _explode_tokens(df, text_col, id_col)
-    for left, right in merges:
+    for i, (left, right) in enumerate(merges, start=1):
         state = _merge_step(state, left, right)
+        if i % checkpoint_every == 0:
+            state = _recut_lineage(state, n_part)
     return (
         state.groupBy("id")
         .agg(

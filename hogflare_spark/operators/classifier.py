@@ -58,7 +58,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hogflare_spark.functions.caching import cached
+from hogflare_spark.functions.caching import cached, release
 from hogflare_spark.operators.similarity import unit_vec_expr
 
 # fixed-point quantum for the gradient-component sums; per-row |g| is
@@ -117,33 +117,83 @@ def linear_probe(
     w = [0.0] * da
     scale = float(PROBE_SCALE)
 
-    for _ in range(iters):
-        resid = base.select(
-            (
-                (_rounded_margin(F.col("x"), w) - F.col("y"))
-                * F.when(F.col("y") == F.lit(1.0), F.lit(u_pos)).otherwise(
-                    F.lit(u_neg)
-                )
-            ).alias("rw"),
-            "x",
-        )
-        row = resid.agg(
-            *[
-                F.sum(
-                    F.floor(
-                        (F.col("rw") * F.col("x")[i]) * F.lit(scale) + F.lit(0.5)
-                    ).cast("long")
-                ).alias(f"s{i}")
-                for i in range(da)
-            ],
-        ).collect()[0]
-        # d+1 scalars — the model update, never the data
-        w = [w[i] - lr * ((int(row[f"s{i}"]) / n) / scale) for i in range(da)]
+    # Arrow-tier inner loop (r7 verdict #2): each GD step is one
+    # mapInPandas scan that computes the ordered-fold margins in numpy
+    # (bit-identical to the former _rounded_margin Column — see
+    # functions/arrowfold) and pre-sums the quantized gradient
+    # components per batch; only one (da,)-long int64 row per Arrow
+    # batch leaves Python, collapsed exactly driver-side (int sums are
+    # order-free).
+    try:
+        for _ in range(iters):
+            partials = base.mapInPandas(
+                _probe_grad_kernel(w, u_pos, u_neg, scale, da),
+                "s array<long>",
+            ).collect()
+            sums = [0] * da
+            for r in partials:
+                sums = [a + b for a, b in zip(sums, r["s"])]
+            # d+1 scalars — the model update, never the data
+            w = [w[i] - lr * ((sums[i] / n) / scale) for i in range(da)]
 
-    scored = base.select("id", _rounded_margin(F.col("x"), w).alias("score"))
-    return scored.select(
-        "id", "score", (F.col("score") >= F.lit(0.5)).alias("predicted")
-    )
+        scored = base.mapInPandas(_probe_score_kernel(w), "id long, score double")
+        return scored.select(
+            "id", "score", (F.col("score") >= F.lit(0.5)).alias("predicted")
+        )
+    finally:
+        release(base)
+
+
+def _probe_grad_kernel(
+    w: list[float], u_pos: float, u_neg: float, scale: float, da: int
+):
+    """mapInPandas kernel for one GD step: margin = round9(ordered dot),
+    rw = (margin - y) · class weight, then the per-batch exact int64 sums
+    of floor(rw · x_i · scale + 0.5) — the same op sequence as the former
+    Column expressions, vectorized."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        from hogflare_spark.functions.arrowfold import ordered_dots, round9
+
+        wv = np.asarray([w], dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["x"]])
+            y = pdf["y"].to_numpy(dtype=np.float64)
+            margin = round9(ordered_dots(x, wv))[:, 0]
+            rw = (margin - y) * np.where(y == 1.0, u_pos, u_neg)
+            g = np.floor((rw[:, None] * x) * scale + 0.5).astype(np.int64)
+            yield pd.DataFrame({"s": [g.sum(axis=0).tolist()]})
+
+    return fn
+
+
+def _probe_score_kernel(w: list[float]):
+    """mapInPandas kernel: (id, x, y) batches → (id, round9(dot(x, w)))."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        from hogflare_spark.functions.arrowfold import ordered_dots, round9
+
+        wv = np.asarray([w], dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["x"]])
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(dtype=np.int64),
+                    "score": round9(ordered_dots(x, wv))[:, 0],
+                }
+            )
+
+    return fn
 
 
 def linear_probe_sql(

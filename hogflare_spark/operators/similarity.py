@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hogflare_spark.functions.hashing import hyperplanes
-from hogflare_spark.functions.caching import cached
+from hogflare_spark.functions.caching import cached, release
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
@@ -829,6 +829,8 @@ def distributed_kmeans(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "lowest_id",
+    seed: int = 0,
 ) -> DataFrame:
     """Fully distributed spherical k-means (Lloyd) over an embedding
     column — the 100 TB-scale path for IVF coarse-quantizer training and
@@ -855,18 +857,176 @@ def distributed_kmeans(
         power of two, hence exact);
       * assignment rounds the dot to 9 decimals (floor-based) before the
         argmax, ties to the LOWER cell id;
-      * init = the k lowest-id vectors; an emptied cell keeps its
-        previous centroid (standard Lloyd practice).
+      * init = the k lowest-id vectors by default; an emptied cell keeps
+        its previous centroid (standard Lloyd practice). Pass
+        init="parallel" for the seeded k-means‖ production init
+        (deterministic per seed, but NOT oracle-replayable — gates keep
+        the default).
 
     Output: (id, cell) for every corpus row under the final centroids.
     """
-    cent = distributed_kmeans_fit(corpus, k, iters, id_col, vec_col)
+    cent = distributed_kmeans_fit(corpus, k, iters, id_col, vec_col, init, seed)
     base = corpus.select(
         F.col(id_col).alias("id"), unit_vec_expr(F.col(vec_col)).alias("v")
     )
     if cent is None:
         return base.select("id", F.lit(0).alias("cell"))
-    return base.select("id", _kmeans_assign_expr(F.col("v"), cent).alias("cell"))
+    return base.mapInPandas(_assign_cells_kernel(cent), "id long, cell int")
+
+
+def _assign_cells_kernel(centroids: list[list[float]], out_col: str = "cell"):
+    """mapInPandas kernel: (id, v) batches → (id, <out_col>) under the
+    given centroids — the Arrow-tier twin of `_kmeans_assign_expr` (which
+    stays as the JVM reference implementation, differentially pinned in
+    tests/test_llm_round7.py). Same arithmetic to the bit: strict
+    array-order fold (arrowfold.ordered_dots), floor-based round9,
+    argmax with ties to the LOWER cell (np.argmax keeps the first
+    maximum). Map-only: no shuffle, no driver traffic."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        from hogflare_spark.functions.arrowfold import ordered_dots, round9
+
+        w = np.asarray(centroids, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            rd = round9(ordered_dots(x, w))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(dtype=np.int64),
+                    out_col: np.argmax(rd, axis=1).astype(np.int32),
+                }
+            )
+
+    return fn
+
+
+def _kmeans_parallel_init(
+    base: DataFrame, k: int, seed: int, rounds: int = 4, oversample: int | None = None
+) -> list[list[float]] | None:
+    """k-means‖ initialization (Bahmani et al., VLDB 2012) over the
+    normalized (id, v) projection — the production-quality init for
+    `distributed_kmeans_fit(init="parallel")`. Lowest-id init (the
+    oracle-replayable default) can seed all k centers inside one true
+    cluster; k-means‖ oversamples ~l=2k candidates per round with
+    probability ∝ their squared distance to the current center set, then
+    reduces the weighted candidate set to k centers driver-side — the
+    standard scalable variant of k-means++'s D² seeding.
+
+    Spark shape per round: one mapInPandas scan for the cost φ (per-batch
+    partial sums) + one for sampling (only sampled rows — expected ~l —
+    leave the executors). The final weighting pass is one more scan with
+    per-batch partial counts. Total: 2·rounds+1 map-only scans at init
+    time, candidate-sized driver traffic throughout.
+
+    Determinism WITHOUT an oracle contract: this init feeds production
+    quality, not a hash gate, so the kernels use plain numpy matmul (no
+    ordered-fold constraint) and sampling uses splitmix64 uniforms
+    derived from (id, round, seed) — reproducible across runs and
+    partitionings, no RNG state."""
+    import numpy as np
+
+    l = oversample or 2 * k
+    first = base.orderBy("id").limit(1).collect()
+    if not first:
+        return None
+    centers: list[list[float]] = [[float(x) for x in first[0]["v"]]]
+
+    def _min_d2_kernel(cent_rows, emit):
+        """emit='cost' → per-batch (phi_part, n_part); emit=(l, phi, rnd,
+        sd) → sampled (id, v) rows."""
+
+        def fn(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            c = _np.asarray(cent_rows, dtype=_np.float64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = _np.array([_np.asarray(v, dtype=_np.float64) for v in pdf["v"]])
+                # unit vectors: d² = 2 - 2·max_dot, floored at 0
+                d2 = _np.maximum(2.0 - 2.0 * (x @ c.T).max(axis=1), 0.0)
+                if emit == "cost":
+                    yield _pd.DataFrame({"phi_part": [float(d2.sum())]})
+                else:
+                    smp_l, phi, rnd, sd = emit
+                    ids = pdf["id"].to_numpy(dtype=_np.int64)
+                    # splitmix64 on (id, round, seed) → uniform [0, 1)
+                    z = ids.astype(_np.uint64) + _np.uint64(
+                        (0x9E3779B97F4A7C15 * (rnd + 1) + sd) & 0xFFFFFFFFFFFFFFFF
+                    )
+                    z = (z ^ (z >> _np.uint64(30))) * _np.uint64(0xBF58476D1CE4E5B9)
+                    z = (z ^ (z >> _np.uint64(27))) * _np.uint64(0x94D049BB133111EB)
+                    z = z ^ (z >> _np.uint64(31))
+                    u = z.astype(_np.float64) / float(1 << 64)
+                    p = _np.minimum(1.0, smp_l * d2 / phi) if phi > 0 else 0.0 * d2
+                    take = u < p
+                    if not take.any():
+                        continue
+                    yield _pd.DataFrame(
+                        {"id": ids[take], "v": [list(r) for r in x[take]]}
+                    )
+
+        return fn
+
+    for rnd in range(rounds):
+        phi_rows = base.mapInPandas(
+            _min_d2_kernel(centers, "cost"), "phi_part double"
+        ).collect()
+        phi = sum(r["phi_part"] for r in phi_rows)
+        if phi <= 0:
+            break  # every point coincides with a center already
+        sampled = base.mapInPandas(
+            _min_d2_kernel(centers, (float(l), float(phi), rnd, seed)),
+            "id long, v array<double>",
+        ).collect()
+        seen = {tuple(c) for c in centers}
+        for r in sorted(sampled, key=lambda r: int(r["id"])):
+            v = [float(x) for x in r["v"]]
+            if tuple(v) not in seen:
+                seen.add(tuple(v))
+                centers.append(v)
+
+    # weight candidates by how much of the corpus they attract
+    cand = np.asarray(centers, dtype=np.float64)
+
+    def _weight_kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _np.array([_np.asarray(v, dtype=_np.float64) for v in pdf["v"]])
+            nearest = (x @ cand.T).argmax(axis=1)
+            cnt = _np.bincount(nearest, minlength=len(cand))
+            yield _pd.DataFrame({"w": [cnt.tolist()]})
+
+    w_rows = base.mapInPandas(_weight_kernel, "w array<long>").collect()
+    weights = np.zeros(len(cand), dtype=np.int64)
+    for r in w_rows:
+        weights += np.asarray(r["w"], dtype=np.int64)
+
+    # reduce to k centers: weighted Lloyd on the candidate set (driver-
+    # side, candidate-sized), seeded from the k heaviest candidates
+    order = np.lexsort((np.arange(len(cand)), -weights))
+    cent = cand[order[: min(k, len(cand))]].copy()
+    for _ in range(10):
+        assign = (cand @ cent.T).argmax(axis=1)
+        for j in range(len(cent)):
+            m = weights * (assign == j)
+            if m.sum() == 0:
+                continue
+            mean = (cand * m[:, None]).sum(axis=0) / m.sum()
+            nrm = np.linalg.norm(mean)
+            if nrm > 0:
+                cent[j] = mean / nrm
+    return [[float(x) for x in c] for c in cent]
 
 
 def distributed_kmeans_fit(
@@ -875,52 +1035,116 @@ def distributed_kmeans_fit(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "lowest_id",
+    seed: int = 0,
 ) -> list[list[float]] | None:
     """The training loop of distributed_kmeans, returning the final
     centroids (the model) — split out so PQ's ADC scoring can train a
     codebook and keep the centroid VALUES, not just assignments. None on
-    an empty corpus. Arithmetic identical to the pre-split operator
-    (pinned by the kmeans gates and the exact-replay scale check)."""
+    an empty corpus. Arithmetic identical to the original Column-
+    expression loop (pinned by the kmeans gates and the exact-replay
+    scale check), but executed on the Arrow tier (r7 verdict #2): each
+    iteration is ONE mapInPandas scan that assigns cells via the
+    ordered-fold numpy kernel AND pre-aggregates the fixed-point centroid
+    sums per batch — so at most k rows per Arrow batch (not per corpus
+    row) leave Python, and the k×(dim+2) partials collapse driver-side.
+    The int64 sums are exact and order-free, so batch-level partial
+    aggregation is not an approximation. The normalized+quantized
+    projection is cached (tracked) across the `iters` scans and released
+    before returning."""
     import math
 
     base = corpus.select(
         F.col(id_col).alias("id"), unit_vec_expr(F.col(vec_col)).alias("v")
     )
-    init_rows = base.orderBy("id").limit(k).collect()
-    if not init_rows:
-        return None
-    cent = [[float(x) for x in r["v"]] for r in init_rows]
+    if init == "parallel":
+        # opt-in k-means‖ (r7 verdict #5: lowest-id is a quality-poor
+        # init at scale); not oracle-replayable, so gates keep the default
+        cent = _kmeans_parallel_init(base, k, seed)
+        if not cent:
+            return None
+    elif init == "lowest_id":
+        init_rows = base.orderBy("id").limit(k).collect()
+        if not init_rows:
+            return None
+        cent = [[float(x) for x in r["v"]] for r in init_rows]
+    else:
+        raise ValueError(f"unknown init {init!r} (lowest_id | parallel)")
     dim = len(cent[0])
 
-    qdf = base.select(
-        "id",
-        "v",
-        F.transform(
-            F.col("v"), lambda x: F.floor(x * F.lit(float(KMEANS_SCALE)) + F.lit(0.5)).cast("long")
-        ).alias("q"),
-    )
-    for _ in range(iters):
-        assigned = qdf.select(_kmeans_assign_expr(F.col("v"), cent).alias("cell"), "q")
-        stats = (
-            assigned.groupBy("cell")
-            .agg(
-                F.count("*").alias("cnt"),
-                *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dim)],
-            )
-            .collect()
+    qdf = cached(
+        base.select(
+            "id",
+            "v",
+            F.transform(
+                F.col("v"),
+                lambda x: F.floor(x * F.lit(float(KMEANS_SCALE)) + F.lit(0.5)).cast("long"),
+            ).alias("q"),
         )
-        for r in stats:  # k rows — the model update, not a data collect
-            j, cnt = int(r["cell"]), int(r["cnt"])
-            if cnt == 0:
-                continue
-            m = [(r[f"s{i}"] / cnt) / KMEANS_SCALE for i in range(dim)]
-            acc = 0.0
-            for x in m:
-                acc += x * x
-            nrm = math.sqrt(acc)
-            if nrm > 0:
-                cent[j] = [x / nrm for x in m]
+    )
+    try:
+        for _ in range(iters):
+            partials = qdf.mapInPandas(
+                _kmeans_stats_kernel(cent, dim),
+                "cell int, cnt long, s array<long>",
+            ).collect()
+            stats: dict[int, tuple[int, list[int]]] = {}
+            for r in partials:  # ≤ k rows per Arrow batch — model-sized
+                j = int(r["cell"])
+                cnt0, sums0 = stats.get(j, (0, [0] * dim))
+                stats[j] = (
+                    cnt0 + int(r["cnt"]),
+                    [a + b for a, b in zip(sums0, r["s"])],
+                )
+            for j, (cnt, sums) in stats.items():
+                if cnt == 0:
+                    continue
+                m = [(s / cnt) / KMEANS_SCALE for s in sums]
+                acc = 0.0
+                for x in m:
+                    acc += x * x
+                nrm = math.sqrt(acc)
+                if nrm > 0:
+                    cent[j] = [x / nrm for x in m]
+    finally:
+        release(qdf)
     return cent
+
+
+def _kmeans_stats_kernel(centroids: list[list[float]], dim: int):
+    """mapInPandas kernel for one Lloyd iteration: assign each row via the
+    ordered-fold dot (bit-identical to `_kmeans_assign_expr`), then emit
+    per-(batch, cell) partial aggregates — count and the exact int64
+    fixed-point component sums. Replaces the per-row interpreted-HOF
+    assignment AND the n-row shuffle of the former groupBy with ≤k tiny
+    rows per batch."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        from hogflare_spark.functions.arrowfold import ordered_dots, round9
+
+        w = np.asarray(centroids, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            q = np.array([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            cells = np.argmax(round9(ordered_dots(x, w)), axis=1)
+            uniq, inv = np.unique(cells, return_inverse=True)
+            cnts = np.bincount(inv)
+            sums = np.zeros((len(uniq), dim), dtype=np.int64)
+            np.add.at(sums, inv, q)
+            yield pd.DataFrame(
+                {
+                    "cell": uniq.astype(np.int32),
+                    "cnt": cnts.astype(np.int64),
+                    "s": [row.tolist() for row in sums],
+                }
+            )
+
+    return fn
 
 
 def distributed_kmeans_sql(
@@ -1163,7 +1387,21 @@ def pq_adc_topk(
     order-free; ranking orders by (nanos DESC, id ASC) — all exact.
     Output: (query_id, neighbor_id, rank, score) with score = the ADC
     similarity rounded to 1e-6; self-matches excluded.
+
+    r8: the per-(corpus row × query) interpreted fold is gone — ADC's
+    whole point is that the distance table dot(q_sub, codebook[c])
+    depends only on (query, code), so the n_q×k table per subspace is
+    computed ONCE driver-side with the ordered-fold numpy kernel
+    (bit-identical arithmetic, see functions/arrowfold) and
+    broadcast-JOINED to the codes on `code` — a plain JVM hash join,
+    nothing interpreted per pair. The query set was already broadcast
+    (collect-sized by the operator's contract); only the m·n_q·k longs
+    of the tables ship back out.
     """
+    import numpy as np
+
+    from hogflare_spark.functions.arrowfold import ordered_dots
+
     first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
         return corpus.sparkSession.createDataFrame(
@@ -1173,6 +1411,7 @@ def pq_adc_topk(
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
     d_sub = dim // m_subspaces
+    spark = corpus.sparkSession
 
     terms = []
     for j in range(m_subspaces):
@@ -1182,33 +1421,35 @@ def pq_adc_topk(
         )
         cent = distributed_kmeans_fit(sub, k=k, iters=iters, id_col="vec_id", vec_col="subv")
         codes = sub.select(
-            F.col("vec_id").alias("id"),
-            _kmeans_assign_expr(unit_vec_expr(F.col("subv")), cent).alias("code"),
-        )
-        cent_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in cent]
-        )
-        q_j = queries.select(
+            F.col("vec_id").alias("id"), unit_vec_expr(F.col("subv")).alias("v")
+        ).mapInPandas(_assign_cells_kernel(cent, out_col="code"), "id long, code int")
+        # distance table: normalization stays JVM-side (same doubles as
+        # before), the n_q rows are collected, the dots fold in array
+        # order — floor(dot·1e9 + 0.5) exactly as the Column twin did.
+        q_rows = queries.select(
             F.col(id_col).alias("qid"),
             unit_vec_expr(F.slice(F.col(vec_col), j * d_sub + 1, d_sub)).alias("qv"),
-        )
-        dot = F.aggregate(
-            F.zip_with(
-                F.col("qv"),
-                F.element_at(cent_lit, F.col("code") + 1),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        ).collect()
+        if not q_rows:
+            return spark.createDataFrame(
+                [], "query_id LONG, neighbor_id LONG, rank INT, score DOUBLE"
+            )
+        qm = np.array([[float(x) for x in r["qv"]] for r in q_rows])
+        tbl = np.floor(
+            ordered_dots(qm, np.asarray(cent, dtype=np.float64)) * 1e9 + 0.5
+        ).astype(np.int64)
+        dt = spark.createDataFrame(
+            [
+                (int(r["qid"]), c, int(tbl[i, c]))
+                for i, r in enumerate(q_rows)
+                for c in range(len(cent))
+            ],
+            "qid long, code int, t long",
         )
         terms.append(
-            codes.crossJoin(F.broadcast(q_j))
+            codes.join(F.broadcast(dt), "code")
             .where(F.col("id") != F.col("qid"))
-            .select(
-                "qid",
-                "id",
-                F.floor(dot * F.lit(1e9) + F.lit(0.5)).cast("long").alias("t"),
-            )
+            .select("qid", "id", "t")
         )
     allt = terms[0]
     for t in terms[1:]:
@@ -1228,6 +1469,122 @@ def pq_adc_topk(
             ).alias("score"),
         )
     )
+
+
+def ivfpq_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k_top: int = 10,
+    shortlist: int = 100,
+    m_subspaces: int = 8,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN, the full FAISS-style IVF+PQ pipeline the ADC recall
+    pin points at (tests/test_llm_round7.py: 24-bit codes give ~0.84
+    candidate recall@top-100 but only ~0.16 direct top-10 ordering — the
+    shortlist is good, the compressed-domain ORDER is not, hence
+    rerank): stage 1 takes the top `shortlist` candidates per query in
+    the compressed domain (`pq_adc_topk` — corpus moves only as (id,
+    subspace, code)); stage 2 reranks ONLY those candidates with exact
+    cosine on the full vectors and keeps the top `k_top`.
+
+    Scale shape: the candidate set is |queries|·shortlist ids — it
+    BROADCASTS onto the corpus scan, so full vectors are read for
+    candidates only (a broadcast semi-join-shaped hash join, no
+    shuffle of the corpus); the exact rerank then joins the broadcast
+    query vectors and windows per query over ≤shortlist rows. Ranking
+    mirrors brute_force_topk: (round9(cos) DESC, neighbor_id ASC).
+    Output: (query_id, neighbor_id, rank, sim) with sim rounded to 1e-6.
+    """
+    cand = pq_adc_topk(
+        queries,
+        corpus,
+        k_top=shortlist,
+        m_subspaces=m_subspaces,
+        k=k,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    exact = (
+        cv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 9).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_top)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+def ivfpq_rerank_topk_sql(
+    table: str,
+    query_pred: str,
+    cos_sql,
+    k_top: int = 10,
+    shortlist: int = 100,
+    m_subspaces: int = 8,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_expr: str = "vec_id",
+    vec_expr: str = "embedding",
+) -> str:
+    """DuckDB mirror of ivfpq_rerank_topk: the full pq_adc_topk_sql
+    unroll as the candidate subquery, then the same exact-cosine rerank
+    as the llm_ann_topk oracle. `cos_sql(a, b)` renders the engine's
+    shared cosine SQL fragment (plans/llm_pipeline._cos_sql) so the
+    rounding contract stays in one place."""
+    inner = pq_adc_topk_sql(
+        table,
+        query_pred,
+        k_top=shortlist,
+        m_subspaces=m_subspaces,
+        k=k,
+        iters=iters,
+        dim=dim,
+        id_expr=id_expr,
+        vec_expr=vec_expr,
+    )
+    return f"""
+    WITH cand AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM ({inner})
+    ),
+    ex AS (
+      SELECT c.query_id, c.neighbor_id,
+             round({cos_sql('a.' + vec_expr, 'b.' + vec_expr)}, 9) AS sim
+      FROM cand c
+      JOIN {table} a ON a.{id_expr} = c.query_id
+      JOIN {table} b ON b.{id_expr} = c.neighbor_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM ex
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(sim, 6) AS sim
+    FROM r WHERE rank <= {k_top}
+    """
 
 
 def pq_adc_topk_sql(

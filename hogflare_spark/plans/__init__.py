@@ -178,6 +178,11 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # BPE train-then-segment apply (trainer graded via llm_bpe_merges).
     "llm_pq_codes",
     "llm_bpe_segment",
+    # round 8: the composed ADC-shortlist → exact-rerank pipeline
+    # registers past the window from birth — both stages have graded
+    # representatives (llm_pq_adc_topk for the compressed-domain
+    # shortlist, llm_ann_topk for the exact cosine/rank contract).
+    "llm_ivfpq_rerank_topk",
 )
 
 

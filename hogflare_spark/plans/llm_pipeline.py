@@ -1614,3 +1614,52 @@ def _register_pq_adc_oracle() -> None:
 
 
 _register_pq_adc_oracle()
+
+
+_RERANK_SHORTLIST = 100
+
+
+@query("llm_ivfpq_rerank_topk", oracle=None)
+def llm_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FAISS-style pipeline the ADC recall pin points at
+    (r7 verdict #8): compressed-domain ADC shortlist (top-100 per query,
+    corpus moves only as PQ codes) → exact-cosine rerank of just those
+    candidates (operators/similarity.ivfpq_rerank_topk). The oracle
+    replays both stages relationally: the full per-subspace k-means
+    unroll for the shortlist, then the llm_ann_topk cosine/rank
+    contract over the candidate join."""
+    from hogflare_spark.operators.similarity import ivfpq_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    return ivfpq_rerank_topk(
+        q,
+        emb,
+        k_top=TOPK,
+        shortlist=_RERANK_SHORTLIST,
+        m_subspaces=_PQ_M,
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+    ).orderBy("query_id", "rank")
+
+
+def _register_ivfpq_rerank_oracle() -> None:
+    from hogflare_spark.operators.similarity import ivfpq_rerank_topk_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = ivfpq_rerank_topk_sql(
+        "embeddings",
+        "vec_id % 50 = 0",
+        _cos_sql,
+        k_top=TOPK,
+        shortlist=_RERANK_SHORTLIST,
+        m_subspaces=_PQ_M,
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+    )
+    ORACLES["llm_ivfpq_rerank_topk"] = (
+        f"SELECT * FROM ({inner}) ORDER BY query_id, rank"
+    )
+
+
+_register_ivfpq_rerank_oracle()

@@ -590,3 +590,137 @@ def test_pq_adc_candidate_recall_against_brute_force(spark):
     assert set(adc) == set(exact) and len(exact) >= 5
     recalls = [len(adc[k] & exact[k]) / 10 for k in exact]
     assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_bpe_checkpoint_cadence_preserves_merges_and_segmentation(spark):
+    """The K-step lineage recut (r7 verdict #3) is an execution detail:
+    training with checkpoint_every=2 (3 recuts over 8 merges) must learn
+    the identical merge table as a run that never checkpoints, and the
+    cadenced segmenter must produce the identical segmentation."""
+    from hogflare_spark.operators.bpe import bpe_segment, bpe_train_merges
+
+    rows = [
+        Row(doc_id=i, text="one two three four five six one two three four " * 2)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows)
+    plain = [
+        tuple(r) for r in bpe_train_merges(df, "text", "doc_id", 8, 10**9).collect()
+    ]
+    cadenced = [
+        tuple(r) for r in bpe_train_merges(df, "text", "doc_id", 8, 2).collect()
+    ]
+    assert cadenced == plain and len(plain) == 8
+    merges = [(l, r) for _, l, r, _, _ in plain]
+    seg_plain = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_segment(df, "text", "doc_id", merges, 10**9).collect()
+    }
+    seg_cadenced = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_segment(df, "text", "doc_id", merges, 2).collect()
+    }
+    assert seg_cadenced == seg_plain
+
+
+def test_probe_score_kernel_bit_matches_column_margin(spark):
+    """The Arrow-tier margin (ordered_dots + round9, r7 verdict #2) must
+    equal the interpreted Column fold `_rounded_margin` to the BIT —
+    same multiply/add sequence, same floor-based rounding — on wide
+    irrational-ish vectors where any reassociation would show."""
+    from hogflare_spark.operators.classifier import (
+        _probe_score_kernel,
+        _rounded_margin,
+    )
+
+    dim = 33
+    rows = [
+        Row(
+            id=i,
+            x=[math.sin(i * 97 + j * 13) * math.exp((j % 7) - 3) for j in range(dim)],
+            y=float(i % 2),
+        )
+        for i in range(64)
+    ]
+    w = [math.cos(j * 29) * 1.7 for j in range(dim)]
+    df = spark.createDataFrame(rows)
+    jvm = {
+        r["id"]: r["score"]
+        for r in df.select("id", _rounded_margin(F.col("x"), w).alias("score")).collect()
+    }
+    kern = {
+        r["id"]: r["score"]
+        for r in df.mapInPandas(
+            _probe_score_kernel(w), "id long, score double"
+        ).collect()
+    }
+    assert kern == jvm
+
+
+def test_ivfpq_rerank_recovers_what_the_shortlist_contains(spark):
+    """The rerank stage must convert candidate recall into top-k recall:
+    reranked top-10 recall vs brute force equals the shortlist's
+    candidate recall (every exact neighbor present in the shortlist is
+    re-scored with exact cosine, so it must surface), and far exceeds
+    the compressed-domain direct ordering (~0.16 at 24-bit codes)."""
+    from hogflare_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_rerank_topk,
+        pq_adc_topk,
+    )
+    from hogflare_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    exact, short, rr = {}, {}, {}
+    for r in brute_force_topk(q, emb, 10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in pq_adc_topk(q, emb, k_top=100).collect():
+        short.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in ivfpq_rerank_topk(q, emb, k_top=10, shortlist=100).collect():
+        rr.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(rr) == set(exact)
+    # exactly the shortlisted exact neighbors resurface — no more, no less
+    for k in exact:
+        assert rr[k] & exact[k] == short[k] & exact[k]
+    mean_recall = sum(len(rr[k] & exact[k]) / 10 for k in exact) / len(exact)
+    assert mean_recall >= 0.7, mean_recall
+
+
+def test_kmeans_parallel_init_beats_lowest_id_on_clustered_fixture(spark):
+    """k-means‖ init (r7 verdict #7) on a fixture built to defeat
+    lowest-id seeding: three tight, well-separated direction clusters
+    with ALL k lowest ids inside cluster 0. Final inertia (Σ min-cell
+    1 − cos) under the parallel init must be ≤ the lowest-id init's,
+    and the run must be reproducible for a fixed seed."""
+    import numpy as np
+
+    from hogflare_spark.operators.similarity import distributed_kmeans_fit
+
+    rng_dirs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0],
+    }
+    rows = []
+    vid = 0
+    for c in (0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2):  # ids 0-3 all cluster 0
+        d = rng_dirs[c]
+        jit = [(vid * 7 % 5) / 50.0, (vid * 11 % 5) / 50.0, (vid * 13 % 5) / 50.0, 0.1]
+        rows.append(Row(vec_id=vid, embedding=[a + b for a, b in zip(d, jit)]))
+        vid += 1
+    df = spark.createDataFrame(rows)
+
+    def inertia(cent):
+        c = np.asarray(cent)
+        x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        return float((1.0 - (x @ c.T).max(axis=1)).sum())
+
+    base = distributed_kmeans_fit(df, k=3, iters=4)
+    par = distributed_kmeans_fit(df, k=3, iters=4, init="parallel", seed=7)
+    par2 = distributed_kmeans_fit(df, k=3, iters=4, init="parallel", seed=7)
+    assert par == par2  # deterministic for a fixed seed
+    assert inertia(par) <= inertia(base) + 1e-12, (inertia(par), inertia(base))
+    # the fixture is strong enough that ‖-init actually separates it
+    assert inertia(par) < 0.05, inertia(par)
