@@ -21,6 +21,18 @@ from __future__ import annotations
 
 import json as _json
 
+
+def _loads_utf8(s):
+    """stdlib parse with the pre-orjson UTF-8-only byte contract:
+    `json.loads(bytes)` auto-detects UTF-16/32 via detect_encoding, so a
+    UTF-16 body the reference's UTF-8-only parser rejects would parse
+    successfully through the fallback path (r7 ADVICE). Decoding
+    explicitly keeps UnicodeDecodeError's old meaning at every caller."""
+    if isinstance(s, (bytes, bytearray, memoryview)):
+        s = bytes(s).decode("utf-8")
+    return _json.loads(s)
+
+
 try:
     import orjson as _orjson
 
@@ -60,10 +72,12 @@ try:
             out = _orjson.loads(s)
         except _orjson.JSONDecodeError:
             # stdlib accepts NaN/Infinity literals; keep accepting them
-            return _json.loads(s)
+            # (via _loads_utf8 so invalid-UTF-8 bytes still raise
+            # UnicodeDecodeError instead of being encoding-sniffed)
+            return _loads_utf8(s)
         if _has_big_float(out):
-            return _json.loads(s)
+            return _loads_utf8(s)
         return out
 
 except ImportError:  # pragma: no cover - orjson is bundled in this env
-    loads = _json.loads
+    loads = _loads_utf8

@@ -211,7 +211,20 @@ def _commit_lock(root: str, timeout: float = 60.0, stale_after: float = 30.0):
         """Fencing check: does the live lock path still name OUR lock?
         False once a waiter declared us stale and broke it — the signal
         that a successor may have committed and we must abort rather
-        than swing the pointer over their commit."""
+        than swing the pointer over their commit.
+
+        RESIDUAL WINDOW (r7 ADVICE — irreducible with mtime-based stale
+        breaking): a holder that passes this check and the pointer
+        re-check, then pauses for the handful of instructions before its
+        os.replace, can still swing the pointer over a successor's
+        commit. The fence narrows the race from the whole tmp-file write
+        to those few instructions; closing it outright needs a
+        compare-and-swap the filesystem doesn't offer. Mitigation:
+        `stale_after` (30 s) must stay comfortably above any worst-case
+        scheduler/GC pause so a LIVE holder is never declared stale in
+        the first place. On a real object store this maps to a
+        conditional PUT (If-Match on the pointer etag), which closes the
+        race properly — see CATALOG.md."""
         try:
             return os.fstat(fd).st_ino == os.stat(path).st_ino
         except FileNotFoundError:

@@ -454,6 +454,18 @@ class StreamingIngestJob:
         )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # release every operator cache this batch registered (commands,
+        # fold pins, id-allocation intermediates) on BOTH paths — a
+        # long-lived stream must not accumulate JVM cache blocks across
+        # micro-batches, and (r7 ADVICE) an exception mid-batch (write
+        # failure, CommitConflict) must not leak that batch's caches
+        # until the next successful batch happens to drain them.
+        try:
+            self._process_batch_inner(batch_df, batch_id)
+        finally:
+            unpersist_all()
+
+    def _process_batch_inner(self, batch_df: DataFrame, batch_id: int) -> None:
         from hogflare_spark.operators.ingest import ingest_commands
         from hogflare_spark.operators.normalize import decode_normalize_requests
 
@@ -646,11 +658,6 @@ class StreamingIngestJob:
                     "replay_base": self._replay_base_of(p_pointer),
                 },
             )
-        # release every operator cache this batch registered (commands,
-        # fold pins, id-allocation intermediates) — a long-lived stream
-        # must not accumulate JVM cache blocks across micro-batches
-        unpersist_all()
-
     def start(
         self,
         raw_stream: DataFrame,

@@ -36,3 +36,26 @@ def test_invalid_still_raises_stdlib_types():
 
     with pytest.raises(json.JSONDecodeError):
         loads("{not json")
+
+
+def test_rejects_non_utf8_bytes_like_the_reference_parser():
+    """A UTF-16-encoded JSON body must NOT parse (r7 ADVICE): the
+    reference's capture parser is UTF-8-only, and the old
+    raw.decode("utf-8") path raised UnicodeDecodeError — stdlib
+    json.loads(bytes) would silently encoding-sniff it instead."""
+    import json
+
+    import pytest
+
+    body = json.dumps({"event": "x"}).encode("utf-16")
+    with pytest.raises(UnicodeDecodeError):
+        loads(body)
+    # sanity: the stdlib WOULD have accepted it via detect_encoding
+    assert json.loads(body) == {"event": "x"}
+
+
+def test_invalid_utf8_bytes_raise_unicode_error():
+    import pytest
+
+    with pytest.raises(UnicodeDecodeError):
+        loads(b'{"k": "\xff\xfe\xff"}')

@@ -458,3 +458,30 @@ def test_batch_flag_responses(spark):
         assert got[cid] == json.loads(json.dumps(want)), cid
     assert got["u1"]["featureFlags"] == {"pro-only": True, "everyone": True}
     assert got["u2"]["featureFlags"] == {"pro-only": False, "everyone": True}
+
+
+def test_flag_eval_output_ordering_is_plan_pinned(spark):
+    """hf_flag_eval's (c_custkey, flag_key) output ordering rides on
+    per-partition order preservation through Project/Generate after the
+    pre-explode range sort — an implementation property, not a Spark
+    contract (r7 ADVICE). Pin it two ways: the collected rows ARE
+    ordered, and the executed plan has no Exchange ABOVE the range sort
+    (an exchange added later — AQE change, a join inside
+    evaluate_flags_df — would silently break ordered consumers)."""
+    from hogflare_spark import plans
+    from tests.conftest import SF_SMOKE
+
+    plans.load_all()
+    df = plans.QUERIES["hf_flag_eval"](spark, SF_SMOKE)
+    rows = df.collect()
+    keys = [(r["c_custkey"], r["flag_key"]) for r in rows]
+    assert keys == sorted(keys) and len(rows) > 0
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    sort_lines = [i for i, l in enumerate(lines) if "Sort [c_custkey" in l]
+    exchange_lines = [i for i, l in enumerate(lines) if "Exchange" in l]
+    assert sort_lines, plan
+    # tree prints root-first, so an operator ABOVE the sort line runs
+    # AFTER the sort — no Exchange may appear there
+    assert all(i > min(sort_lines) for i in exchange_lines), plan
