@@ -628,21 +628,45 @@ def dsir_weights(
     Output: (doc_id, n_feats, imp_weight) — imp_weight >= 1 means
     "more target-like than the raw average".
     """
-    feats = df.select(
+    feats = dsir_features(df, text_col, id_col, target_col, target_value, n_buckets)
+    return dsir_score(feats, dsir_model_counts(feats), n_buckets)
+
+
+def dsir_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_col: str,
+    target_value: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(id, is_target, b): the hashed unigram+bigram feature stream —
+    the shared front of batch dsir_weights and the incremental model
+    (streaming/incremental_model.IncrementalDsirModel)."""
+    return df.select(
         F.col(id_col).alias("id"),
         (F.col(target_col) == F.lit(target_value)).alias("is_target"),
         F.explode(_ngrams12(T.tokens(F.col(text_col)))).alias("f"),
     ).select("id", "is_target", (h60(F.col("f")) % n_buckets).alias("b"))
 
+
+def dsir_model_counts(feats: DataFrame) -> DataFrame:
+    """(b, cr, ct): the DSIR generative model IS these exact integer
+    bucket counts — and integer counts are order-free and additive, which
+    is what makes the incremental per-snapshot model exactly equal the
+    batch one (summing per-batch counts is the same number)."""
     raw = feats.groupBy("b").agg(F.count("*").alias("cr"))
     tgt = feats.where("is_target").groupBy("b").agg(F.count("*").alias("ct"))
-    model = (
-        raw.join(tgt, "b", "left")
-        .select("b", "cr", F.coalesce("ct", F.lit(0)).alias("ct"))
+    return raw.join(tgt, "b", "left").select(
+        "b", "cr", F.coalesce("ct", F.lit(0)).alias("ct")
     )
-    totals = model.agg(
-        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
-    )
+
+
+def dsir_score(feats: DataFrame, model: DataFrame, n_buckets: int) -> DataFrame:
+    """Score documents (from their feature stream) under a (b, cr, ct)
+    model — arithmetic identical to the original inline dsir_weights
+    body (same op sequence as the SQL mirror)."""
+    totals = model.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
     # ratio = ((ct+1)/(tt+B)) / ((cr+1)/(tr+B)), evaluated as two exact
     # int->double conversions per operand and one divide of products —
     # the same op sequence as the SQL mirror

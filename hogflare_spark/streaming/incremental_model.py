@@ -1,0 +1,180 @@
+"""Incremental trainer state over streaming snapshots (r7 verdict #9).
+
+The corpus-side trainers are batch operators; a real pipeline ingests
+SNAPSHOTS and wants the model to track the accumulated corpus without
+re-scanning it. This module gives the DSIR hashed-n-gram model that
+incremental path on the same state pattern `StreamingCorpusDedup`
+proved out (streaming/corpus_dedup.py): per-batch state dirs keyed by
+batch id for replay idempotence, rolled into a single snapshot every
+`compact_every` batches so reads never union an unbounded dir list.
+
+Why DSIR is the right first trainer for this: its model IS exact
+integer bucket counts (operators/text_analysis.dsir_model_counts), and
+integer counts are order-free and ADDITIVE — the sum of per-batch
+counts is bit-for-bit the full-corpus count, so the incremental model
+EQUALS the batch model after any number of micro-batches (pinned by
+tests/test_streaming_model.py), not merely approximates it. Trainers
+whose state is not additive (k-means centroids, BPE merge tables) need
+re-fits; count-shaped models (DSIR, unigram LMs, perplexity cutpoint
+histograms) all fit this exact pattern.
+
+Scale shape per micro-batch: the batch's feature stream groupBys into
+≤ n_buckets rows (map-side partials; the shuffle is bucket-bounded, not
+batch-bounded), written as one tiny parquet dir. The accumulated model
+read is ≤ (n_dirs · n_buckets) rows summed by bucket — and compaction
+keeps n_dirs ≤ compact_every + 1. Scoring a corpus under the model is
+the batch `dsir_score` with the model read from state instead of
+recomputed: one broadcast join, the corpus never re-scans for training.
+
+Replay idempotence (the foreachBatch contract): a re-delivered batch id
+overwrites its own `state/batch=<n>` dir with identical deterministic
+counts; once a snapshot has absorbed batches ≤ v (pointer version v),
+reads take per-batch dirs only for n > v, so a replayed absorbed batch
+can never double-count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MODEL_SCHEMA = "b bigint, cr bigint, ct bigint"
+
+
+class IncrementalDsirModel:
+    """foreachBatch-driveable incremental DSIR model.
+
+    `process_batch(df, batch_id)` folds one micro-batch's counts into
+    state; `model(spark)` returns the accumulated (b, cr, ct) model;
+    `score(df)` scores any corpus under it with the exact batch
+    arithmetic (operators/text_analysis.dsir_score)."""
+
+    def __init__(
+        self,
+        work_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        target_col: str = "lang",
+        target_value: str = "en",
+        n_buckets: int = 256,
+        compact_every: int = 16,
+    ):
+        self.work_dir = work_dir
+        self.text_col = text_col
+        self.id_col = id_col
+        self.target_col = target_col
+        self.target_value = target_value
+        self.n_buckets = n_buckets
+        self.compact_every = compact_every
+        self.state_dir = os.path.join(work_dir, "state")
+        self._pointer_path = os.path.join(work_dir, "_SNAPSHOT")
+
+    # ---- state layout ----------------------------------------------------
+
+    def _read_pointer(self) -> dict | None:
+        if os.path.exists(self._pointer_path):
+            with open(self._pointer_path) as fh:
+                return json.load(fh)
+        return None
+
+    def _batch_dirs(self, after: int) -> list[str]:
+        if not os.path.isdir(self.state_dir):
+            return []
+        out = []
+        for name in os.listdir(self.state_dir):
+            if name.startswith("batch="):
+                n = int(name.split("=", 1)[1])
+                if n > after:
+                    out.append(os.path.join(self.state_dir, name))
+        return sorted(out)
+
+    def _feats(self, df: DataFrame) -> DataFrame:
+        from hogflare_spark.operators.text_analysis import dsir_features
+
+        return dsir_features(
+            df,
+            self.text_col,
+            self.id_col,
+            self.target_col,
+            self.target_value,
+            self.n_buckets,
+        )
+
+    # ---- the foreachBatch hook --------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from hogflare_spark.operators.text_analysis import dsir_model_counts
+
+        counts = dsir_model_counts(self._feats(batch_df))
+        # overwrite-by-batch-id: a foreachBatch replay rewrites the same
+        # deterministic counts instead of double-counting
+        counts.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, f"batch={batch_id}")
+        )
+        ptr = self._read_pointer() or {"version": -1, "through_batch": -1}
+        live = self._batch_dirs(after=int(ptr["through_batch"]))
+        if len(live) >= self.compact_every:
+            self._compact(batch_df.sparkSession, ptr, live)
+
+    def _compact(self, spark: SparkSession, ptr: dict, live: list[str]) -> None:
+        """Roll the snapshot + live batch dirs into one summed snapshot.
+        Tiny data (≤ n_buckets rows per dir), but the DIR COUNT is the
+        scale hazard — unbounded per-batch dirs is the streaming
+        small-files killer the corpus-dedup state hit in r5."""
+        version = int(ptr["version"]) + 1
+        through = max(int(p.rsplit("=", 1)[1]) for p in live)
+        acc = spark.read.schema(MODEL_SCHEMA).parquet(*live)
+        if int(ptr["version"]) >= 0:
+            prev = spark.read.schema(MODEL_SCHEMA).parquet(
+                os.path.join(self.state_dir, f"snapshot={ptr['version']}")
+            )
+            acc = acc.unionByName(prev)
+        snap = acc.groupBy("b").agg(
+            F.sum("cr").alias("cr"), F.sum("ct").alias("ct")
+        )
+        out = os.path.join(self.state_dir, f"snapshot={version}")
+        snap.coalesce(1).write.mode("overwrite").parquet(out)
+        tmp = self._pointer_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "through_batch": through}, fh)
+        os.replace(tmp, self._pointer_path)
+        for p in live:
+            shutil.rmtree(p, ignore_errors=True)
+        if int(ptr["version"]) >= 0:
+            shutil.rmtree(
+                os.path.join(self.state_dir, f"snapshot={ptr['version']}"),
+                ignore_errors=True,
+            )
+
+    # ---- reads -------------------------------------------------------------
+
+    def model(self, spark: SparkSession) -> DataFrame:
+        """The accumulated (b, cr, ct) model — snapshot plus any batch
+        dirs newer than it, summed by bucket."""
+        ptr = self._read_pointer() or {"version": -1, "through_batch": -1}
+        paths = self._batch_dirs(after=int(ptr["through_batch"]))
+        if int(ptr["version"]) >= 0:
+            paths.append(
+                os.path.join(self.state_dir, f"snapshot={ptr['version']}")
+            )
+        if not paths:
+            return spark.createDataFrame([], MODEL_SCHEMA)
+        acc = spark.read.schema(MODEL_SCHEMA).parquet(*paths)
+        return acc.groupBy("b").agg(
+            F.sum("cr").alias("cr"), F.sum("ct").alias("ct")
+        )
+
+    def score(self, df: DataFrame) -> DataFrame:
+        """(doc_id, n_feats, imp_weight) for `df` under the accumulated
+        model — the exact batch dsir_score arithmetic, so once the model
+        has absorbed the same rows, scores equal batch dsir_weights
+        bit-for-bit."""
+        from hogflare_spark.operators.text_analysis import dsir_score
+
+        return dsir_score(
+            self._feats(df), self.model(df.sparkSession), self.n_buckets
+        )
