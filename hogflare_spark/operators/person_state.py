@@ -254,6 +254,16 @@ RANK_TWO_PHASE_MIN_COMMANDS = 1_000_000
 # streams through spillable sorts. Throughput-vs-robustness crossover,
 # not a measured speed crossover (see FAST_PATH_MIN_COMMANDS above).
 MEGA_COMPONENT_MIN_OPS = 500_000
+# Target op rows per replay task. Each mapInPandas task pays a Python
+# worker round trip (~40-60 ms of Arrow framing + scheduling at local
+# sizes) regardless of row count, while the replay itself costs ~6 µs/op
+# — so below ~25k ops/task the boundary overhead outweighs the extra
+# parallelism (measured at sf0.1: the same no-op kernel costs 1.09 s at
+# 32 partitions vs 0.56 s at 8). The fold therefore sizes its width to
+# ceil(ops / this) CLAMPED to the cluster's parallelism — at real scale
+# ops/25k vastly exceeds the core count and the clamp keeps the fold as
+# wide as the cluster, so this is purely a small-batch tax cut.
+FOLD_OPS_PER_TASK = 25_000
 # Pin the fold output as an eagerly-materialized RDD (localCheckpoint)
 # instead of cache(): snapshots, the allocation rank's sampling pass, and
 # persons assembly all consume it — some from AQE broadcast threads whose
@@ -308,6 +318,7 @@ def fold_person_state(
     from hogflare_spark.operators.identity import connected_components
 
     small_batch = False
+    n_commands: int | None = None
     if fast_path == "auto":
         # commands is cached by ingest_commands; the count is one cached
         # scan and the materialization is work every consumer needs anyway
@@ -514,10 +525,16 @@ def fold_person_state(
     # Explicit hash-partition on the fold key: the groupBy's own shuffle
     # would be AQE-coalesced by *bytes* (a few MB of narrow op rows → 1-4
     # partitions), serializing the CPU-bound Python replay. A pinned
-    # partition count keeps the fold as wide as the cluster; the existing
-    # HashPartitioning satisfies the groupBy's distribution so no second
-    # shuffle is added.
+    # partition count keeps the fold as wide as the cluster — but no wider
+    # than FOLD_OPS_PER_TASK-sized tasks justify (each Python worker round
+    # trip has a fixed cost that dominates under ~25k ops/task; see the
+    # constant). One command derives at most two ops, so 2·n_commands
+    # bounds the op count without another job.
     n_fold = ops_with_comp.sparkSession.sparkContext.defaultParallelism
+    if n_commands is not None:
+        n_fold = max(
+            1, min(n_fold, -(-2 * n_commands // FOLD_OPS_PER_TASK))
+        )
     partitioned = ops_with_comp.repartition(n_fold, "comp")
 
     def _stream_fold(df: DataFrame) -> DataFrame:
