@@ -1209,6 +1209,180 @@ def distributed_kmeans_sql(
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
+def _subspace_unit_q(vec: list, m: int, d_sub: int, scale: float):
+    """Driver/kernel-shared helper: per-subspace normalize + quantize a
+    full vector with the EXACT op sequence of unit_vec_expr over a slice
+    (ordered squared-sum fold, sqrt, elementwise divide) followed by
+    floor(x·scale + 0.5) — so the fused trainer below is bit-identical
+    to the per-subspace Column pipeline the oracle unrolls."""
+    nv: list[list[float]] = []
+    qv: list[list[int]] = []
+    import math
+
+    for j in range(m):
+        s = vec[j * d_sub : (j + 1) * d_sub]
+        acc = 0.0
+        for x in s:
+            acc += x * x
+        nrm = math.sqrt(acc)
+        n = [x / nrm for x in s] if nrm > 0 else [0.0] * d_sub
+        nv.append(n)
+        qv.append([math.floor(x * scale + 0.5) for x in n])
+    return nv, qv
+
+
+def pq_fit_codebooks(
+    corpus: DataFrame,
+    m_subspaces: int = 8,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]] | None:
+    """Train all m per-subspace spherical k-means codebooks in FUSED
+    corpus scans: one mapInPandas pass per Lloyd iteration computes every
+    subspace's assignments and fixed-point partial sums together
+    (≤ m·k tiny rows per Arrow batch), instead of m independent trainer
+    loops — m·iters corpus scans collapse to iters, which at 100 TB is
+    the difference between reading the corpus 16 times and twice. The
+    per-subspace arithmetic is bit-identical to
+    `distributed_kmeans_fit` on the slice (same normalize / quantize /
+    round9-argmax / fixed-point-mean sequence), so the unrolled
+    per-subspace DuckDB oracles are unchanged. Returns m codebooks of k
+    centroids (or None on an empty corpus)."""
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        return None
+    dim = int(first["d"])
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    d_sub = dim // m_subspaces
+    scale = float(KMEANS_SCALE)
+    m = m_subspaces
+
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    init_rows = base.orderBy("id").limit(k).collect()
+    if not init_rows:
+        return None
+    # m codebooks, each seeded from the k lowest-id normalized subvectors
+    cbs: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in init_rows:
+        nv, _ = _subspace_unit_q([float(x) for x in r["vec"]], m, d_sub, scale)
+        for j in range(m):
+            cbs[j].append(nv[j])
+
+    def _stats_kernel(codebooks):
+        def fn(batches):
+            import numpy as np
+            import pandas as pd
+
+            from hogflare_spark.functions.arrowfold import ordered_dots, round9
+
+            ws = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+                )
+                out_s, out_c, out_cnt, out_sums = [], [], [], []
+                for j in range(m):
+                    s = x[:, j * d_sub : (j + 1) * d_sub]
+                    # per-subspace normalize: ordered squared-sum fold
+                    acc = np.zeros(len(s))
+                    for i in range(d_sub):
+                        acc = acc + s[:, i] * s[:, i]
+                    nrm = np.sqrt(acc)
+                    safe = nrm > 0
+                    n = np.where(safe[:, None], s / np.where(safe, nrm, 1.0)[:, None], 0.0)
+                    q = np.floor(n * scale + 0.5).astype(np.int64)
+                    cells = np.argmax(round9(ordered_dots(n, ws[j])), axis=1)
+                    uniq, inv = np.unique(cells, return_inverse=True)
+                    cnts = np.bincount(inv)
+                    sums = np.zeros((len(uniq), d_sub), dtype=np.int64)
+                    np.add.at(sums, inv, q)
+                    out_s.extend([j] * len(uniq))
+                    out_c.extend(uniq.tolist())
+                    out_cnt.extend(cnts.tolist())
+                    out_sums.extend(row.tolist() for row in sums)
+                yield pd.DataFrame(
+                    {"j": out_s, "cell": out_c, "cnt": out_cnt, "s": out_sums}
+                )
+
+        return fn
+
+    import math
+
+    qdf = cached(base)
+    try:
+        for _ in range(iters):
+            partials = qdf.mapInPandas(
+                _stats_kernel(cbs), "j int, cell int, cnt long, s array<long>"
+            ).collect()
+            stats: dict[tuple[int, int], tuple[int, list[int]]] = {}
+            for r in partials:
+                key = (int(r["j"]), int(r["cell"]))
+                cnt0, sums0 = stats.get(key, (0, [0] * d_sub))
+                stats[key] = (
+                    cnt0 + int(r["cnt"]),
+                    [a + b for a, b in zip(sums0, r["s"])],
+                )
+            for (j, cell), (cnt, sums) in stats.items():
+                if cnt == 0:
+                    continue
+                mean = [(s / cnt) / KMEANS_SCALE for s in sums]
+                acc = 0.0
+                for x in mean:
+                    acc += x * x
+                nrm = math.sqrt(acc)
+                if nrm > 0:
+                    cbs[j][cell] = [x / nrm for x in mean]
+    finally:
+        release(qdf)
+    return cbs
+
+
+def _pq_encode_kernel(codebooks, m: int, d_sub: int):
+    """mapInPandas kernel: (id, vec) → (id, subspace, code) for ALL m
+    subspaces in one pass — same normalize + round9-argmax arithmetic as
+    `_assign_cells_kernel` on each slice."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        from hogflare_spark.functions.arrowfold import ordered_dots, round9
+
+        ws = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            frames = []
+            for j in range(m):
+                s = x[:, j * d_sub : (j + 1) * d_sub]
+                acc = np.zeros(len(s))
+                for i in range(d_sub):
+                    acc = acc + s[:, i] * s[:, i]
+                nrm = np.sqrt(acc)
+                safe = nrm > 0
+                n = np.where(safe[:, None], s / np.where(safe, nrm, 1.0)[:, None], 0.0)
+                cells = np.argmax(round9(ordered_dots(n, ws[j])), axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id": ids,
+                            "subspace": np.full(len(ids), j, dtype=np.int32),
+                            "code": cells.astype(np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return fn
+
+
 def pq_codes(
     corpus: DataFrame,
     m_subspaces: int = 8,
@@ -1223,44 +1397,32 @@ def pq_codes(
     contiguous blocks and each block is vector-quantized against a
     per-subspace codebook, compressing dim floats to m small codes.
 
-    Codebooks are trained with the SAME distributed trainer as the IVF
-    coarse quantizer (`distributed_kmeans`, fixed-point exact updates,
-    corpus never leaves the executors) — one spherical k-means per
-    subspace over the corpus' subvectors. Since the trainer normalizes
-    its input, this is the ANGULAR product quantizer, matching the
+    Codebooks train with the same fixed-point-exact arithmetic as the
+    IVF coarse quantizer (`distributed_kmeans`) but FUSED across
+    subspaces (`pq_fit_codebooks`): one corpus scan per Lloyd iteration
+    covers all m subspaces, and encoding is one more scan emitting every
+    (id, subspace, code) — m·iters+m scans collapse to iters+1, the
+    dominant cost at 100 TB. Since the trainer normalizes each
+    subvector, this is the ANGULAR product quantizer, matching the
     cosine metric every similarity operator here uses; an all-zero
     subvector stays zero and deterministically lands in the lowest cell.
 
     Output: (id, subspace, code) long format — m rows per vector, no
     m-way join; pivot at the consumer if a packed row is wanted.
     """
-    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:
+    cbs = pq_fit_codebooks(corpus, m_subspaces, k, iters, id_col, vec_col)
+    if cbs is None:
         return corpus.sparkSession.createDataFrame(
             [], "id LONG, subspace INT, code INT"
         )
-    dim = int(first["d"])
-    if dim % m_subspaces:
-        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    dim = len(cbs[0][0]) * m_subspaces
     d_sub = dim // m_subspaces
-    outs = []
-    for j in range(m_subspaces):
-        sub = corpus.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("subv"),
-        )
-        assigned = distributed_kmeans(
-            sub, k=k, iters=iters, id_col="vec_id", vec_col="subv"
-        )
-        outs.append(
-            assigned.select(
-                "id", F.lit(j).alias("subspace"), F.col("cell").cast("int").alias("code")
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    return corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(
+        _pq_encode_kernel(cbs, m_subspaces, d_sub),
+        "id long, subspace int, code int",
+    )
 
 
 def pq_codes_sql(
@@ -1402,58 +1564,56 @@ def pq_adc_topk(
 
     from hogflare_spark.functions.arrowfold import ordered_dots
 
-    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:
-        return corpus.sparkSession.createDataFrame(
+    spark = corpus.sparkSession
+    cbs = pq_fit_codebooks(corpus, m_subspaces, k, iters, id_col, vec_col)
+    if cbs is None:
+        return spark.createDataFrame(
             [], "query_id LONG, neighbor_id LONG, rank INT, score DOUBLE"
         )
-    dim = int(first["d"])
-    if dim % m_subspaces:
-        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
-    d_sub = dim // m_subspaces
-    spark = corpus.sparkSession
+    d_sub = len(cbs[0][0])
 
-    terms = []
-    for j in range(m_subspaces):
-        sub = corpus.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("subv"),
+    # corpus side: ONE fused encode scan → (id, subspace, code)
+    codes = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(
+        _pq_encode_kernel(cbs, m_subspaces, d_sub),
+        "id long, subspace int, code int",
+    )
+    # query side: collect once, build ALL m distance tables driver-side
+    # (normalization via the same per-subspace ordered fold the corpus
+    # kernel uses; floor(dot·1e9 + 0.5) exactly as the Column twin did)
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")
+    ).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id LONG, neighbor_id LONG, rank INT, score DOUBLE"
         )
-        cent = distributed_kmeans_fit(sub, k=k, iters=iters, id_col="vec_id", vec_col="subv")
-        codes = sub.select(
-            F.col("vec_id").alias("id"), unit_vec_expr(F.col("subv")).alias("v")
-        ).mapInPandas(_assign_cells_kernel(cent, out_col="code"), "id long, code int")
-        # distance table: normalization stays JVM-side (same doubles as
-        # before), the n_q rows are collected, the dots fold in array
-        # order — floor(dot·1e9 + 0.5) exactly as the Column twin did.
-        q_rows = queries.select(
-            F.col(id_col).alias("qid"),
-            unit_vec_expr(F.slice(F.col(vec_col), j * d_sub + 1, d_sub)).alias("qv"),
-        ).collect()
-        if not q_rows:
-            return spark.createDataFrame(
-                [], "query_id LONG, neighbor_id LONG, rank INT, score DOUBLE"
-            )
-        qm = np.array([[float(x) for x in r["qv"]] for r in q_rows])
-        tbl = np.floor(
-            ordered_dots(qm, np.asarray(cent, dtype=np.float64)) * 1e9 + 0.5
-        ).astype(np.int64)
-        dt = spark.createDataFrame(
-            [
-                (int(r["qid"]), c, int(tbl[i, c]))
-                for i, r in enumerate(q_rows)
-                for c in range(len(cent))
-            ],
-            "qid long, code int, t long",
+    scale = float(KMEANS_SCALE)
+    dt_rows = []
+    for r in q_rows:
+        nv, _ = _subspace_unit_q(
+            [float(x) for x in r["vec"]], m_subspaces, d_sub, scale
         )
-        terms.append(
-            codes.join(F.broadcast(dt), "code")
-            .where(F.col("id") != F.col("qid"))
-            .select("qid", "id", "t")
-        )
-    allt = terms[0]
-    for t in terms[1:]:
-        allt = allt.unionByName(t)
+        for j in range(m_subspaces):
+            tbl = np.floor(
+                ordered_dots(
+                    np.asarray([nv[j]], dtype=np.float64),
+                    np.asarray(cbs[j], dtype=np.float64),
+                )[0]
+                * 1e9
+                + 0.5
+            ).astype(np.int64)
+            for c in range(len(cbs[j])):
+                dt_rows.append((int(r["qid"]), j, c, int(tbl[c])))
+    dt = spark.createDataFrame(dt_rows, "qid long, subspace int, code int, t long")
+    # ONE broadcast join on (subspace, code) replaces m joins + a m-way
+    # union — the corpus side still moves only (id, subspace, code)
+    allt = (
+        codes.join(F.broadcast(dt), ["subspace", "code"])
+        .where(F.col("id") != F.col("qid"))
+        .select("qid", "id", "t")
+    )
     scored = allt.groupBy("qid", "id").agg(F.sum("t").alias("nanos"))
     w = Window.partitionBy("qid").orderBy(F.desc("nanos"), F.asc("id"))
     return (

@@ -1064,6 +1064,13 @@ BENCH_EXTRA.update(
         # tracks what the correctness window grades
         "llm_lsh_near_dups",
         "llm_dedup_clusters",
+        # round-8: the four trainer gates promoted into the grading
+        # window join the bench for the same reason (and pin the Arrow
+        # kernel + fused-PQ rework round-over-round)
+        "llm_kmeans_clusters",
+        "llm_bpe_merges",
+        "llm_pq_adc_topk",
+        "llm_mixture_materialize",
     }
 )
 
