@@ -863,14 +863,18 @@ def fast_capture_path(raw: DataFrame, body_col: str = "body"):
     )
     eligible = common & (lane | deep)
 
-    def build(fast_raw: DataFrame) -> DataFrame:
+    def _staged(fast_raw: DataFrame, keep: list[str]) -> DataFrame:
         # TWO Jackson parses per row via json_tuple (one per nesting
         # level) instead of ~15 independent get_json_object probes —
         # JsonTuple streams the document once and emits every requested
         # field, with the same extraction semantics as get_json_object
         # (strings unquoted, objects/arrays as raw compact text, missing
         # → null). The remaining json_object_keys calls parse only the
-        # small $set/$set_once fragments.
+        # small $set/$set_once fragments. `keep` columns pass through
+        # untouched (the under-parallel lane carries the raw row + flag
+        # alongside the command projection so ONE checkpoint pass serves
+        # both branches); they must not collide with COMMAND_SCHEMA
+        # names.
         jt1 = fast_raw.select(
             "*",
             F.json_tuple(
@@ -904,6 +908,7 @@ def fast_capture_path(raw: DataFrame, body_col: str = "body"):
         )
 
         staged = jt2.select(
+            *keep,
             F.col("request_seq").cast("long").alias("request_seq"),
             F.lit(0).cast("long").alias("item_index"),
             F.col("__ev").alias("event"),
@@ -925,9 +930,14 @@ def fast_capture_path(raw: DataFrame, body_col: str = "body"):
         )
         return staged.withColumn(
             "group_updates", F.expr(_FAST_GROUP_UPDATES_EXPR)
-        ).select(*[f.name for f in COMMAND_SCHEMA.fields if f.name != "error"])
+        ).select(
+            *keep, *[f.name for f in COMMAND_SCHEMA.fields if f.name != "error"]
+        )
 
-    return eligible, build
+    def build(fast_raw: DataFrame) -> DataFrame:
+        return _staged(fast_raw, [])
+
+    return eligible, build, _staged
 
 
 def decode_normalize_requests(
@@ -1030,12 +1040,29 @@ def decode_normalize_requests(
 
         fanned = fan_out(raw)
         if fanned is not raw:
-            eligible, build = fast_capture_path(fanned, body_col)
+            eligible, build, staged_wide = fast_capture_path(fanned, body_col)
+            # r8: the command projection rides in the SAME pass as the
+            # flag — one checkpoint materializes flag + decoded command
+            # columns + the raw row, so the former separate fast-build
+            # pass over the checkpointed rows disappears. The command
+            # expressions are null-safe on ineligible bodies; those
+            # columns are only read through the __fast filter. The raw
+            # request_seq is carried under a reserved name (the command
+            # projection owns the `request_seq` slot).
+            raw_cols = list(fanned.columns)
             flagged = fanned.withColumn(
                 "__fast", F.coalesce(eligible, F.lit(False))
-            ).localCheckpoint(eager=True)
-            fast_df = build(flagged.where(F.col("__fast")))
-            slow_raw = flagged.where(~F.col("__fast")).drop("__fast")
+            ).withColumn("__raw_request_seq", F.col("request_seq"))
+            keep = ["__fast", "__raw_request_seq"] + [
+                c for c in raw_cols if c != "request_seq"
+            ]
+            combined = staged_wide(flagged, keep).localCheckpoint(eager=True)
+            cmd_cols = [f.name for f in COMMAND_SCHEMA.fields if f.name != "error"]
+            fast_df = combined.where(F.col("__fast")).select(*cmd_cols)
+            slow_raw = combined.where(~F.col("__fast")).select(
+                F.col("__raw_request_seq").alias("request_seq"),
+                *[c for c in raw_cols if c != "request_seq"],
+            )
             # canonical traffic commonly leaves the slow branch EMPTY;
             # one cheap flag-scan over the checkpointed rows avoids
             # spinning up a pool of Python workers for zero rows
@@ -1047,7 +1074,7 @@ def decode_normalize_requests(
         raw = fanned
 
     if fast_path:
-        eligible, build = fast_capture_path(raw, body_col)
+        eligible, build, _ = fast_capture_path(raw, body_col)
         is_fast = F.coalesce(eligible, F.lit(False))
         fast_df = build(raw.where(is_fast))
         slow_raw = raw.where(~is_fast)

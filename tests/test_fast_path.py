@@ -143,7 +143,7 @@ def test_fast_slow_parity(spark):
 
 def test_eligibility_matches_expectation(spark):
     raw = _raw_frame(spark, [b for b, _ in CORPUS])
-    eligible, _ = fast_capture_path(raw)
+    eligible, _, _ = fast_capture_path(raw)
     got = {
         r["request_seq"]: bool(r["e"])
         for r in raw.select("request_seq", F.coalesce(eligible, F.lit(False)).alias("e")).collect()
@@ -173,7 +173,7 @@ def test_non_capture_endpoints_fall_back(spark):
         ],
         "request_seq long, endpoint string, body string",
     )
-    eligible, _ = fast_capture_path(raw)
+    eligible, _, _ = fast_capture_path(raw)
     n_fast = raw.where(F.coalesce(eligible, F.lit(False))).count()
     assert n_fast == 0
     fast = decode_normalize_requests(raw, fast_path=True)
@@ -186,7 +186,7 @@ def test_fast_path_has_no_python_stage_for_all_eligible(spark):
     plan contains no Python evaluation for those rows."""
     bodies = [b for b, ok in CORPUS if ok]
     raw = _raw_frame(spark, bodies)
-    eligible, build = fast_capture_path(raw)
+    eligible, build, _ = fast_capture_path(raw)
     fast_df = build(raw.where(F.coalesce(eligible, F.lit(False))))
     assert fast_df.count() == len(bodies)
     plan = fast_df._jdf.queryExecution().executedPlan().toString()
