@@ -1,0 +1,273 @@
+"""Corpus retrieval: BM25 ranking and hybrid (lexical + vector) fusion.
+
+A training-data engine needs targeted retrieval over its corpus —
+"find the documents about X" drives dataset curation (targeted
+up-sampling, contamination auditing, eval-set construction) just as
+hard as dedup does. This module adds the two standard primitives:
+
+- `bm25_topk`: Okapi BM25 (Robertson/Spärck Jones) over the shared
+  whitespace tokenizer (functions/text.tokens — same fragment the dedup
+  family mirrors in SQL). Execution shape: ONE scan computes per-doc
+  length + per-term term frequencies inside the projection; ONE
+  1-row aggregate yields N / avgdl / per-term document frequencies;
+  the 1-row stats broadcast back onto the scan and scoring is pure
+  whole-stage-codegen arithmetic — no shuffle wider than the final
+  top-k window. Query terms are a literal list (queries are small by
+  contract); at 100 TB the corpus side stays one scan.
+
+- `hybrid_rrf_topk`: reciprocal-rank fusion (Cormack et al. 2009) of
+  the BM25 ranking with an exact cosine ANN ranking over the embedding
+  table — the standard hybrid-retrieval shape (sparse ∪ dense →
+  1/(c + rank) sum). Both input rankings are top-`pool` bounded, so
+  the fusion join is pool-sized per query regardless of corpus size.
+
+Cross-engine determinism: every count is exact BIGINT; avgdl is one
+int/int divide; the per-term score uses a fixed multiply/divide
+sequence mirrored token-for-token in the SQL twins; the only
+transcendental is BM25's idf ln(), whose input is an exact rational of
+counts — idf is floor-rounded to 1e-9 immediately after the ln and the
+final score to 1e-6, so a last-ulp ln() difference between the JVM and
+DuckDB libm could only flip a result if ln lands within 1e-15 of a
+rounding-grid boundary (documented residual risk, one evaluation per
+query term — not per row; the DSIR/unigram operators avoid logs
+entirely because they fold PER-FEATURE logs, which compounds the risk
+~n_feats times — here it is O(|query|)).
+
+The reference engine has no retrieval operator; this extends the
+LLM-pipeline set the same way the dedup/ANN families do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hogflare_spark.functions import text as T
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_C = 60
+
+
+def _round9(c):
+    return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k_top: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(doc_id, rank, score): the `k_top` highest-BM25 documents for the
+    query terms; docs with score 0 (no term present) are excluded.
+    Ranking ties break on the lower doc_id. Terms are matched exactly
+    against the lowercased whitespace tokenization."""
+    terms = sorted(set(t.lower() for t in query_terms))
+    tok = T.tokens(F.col(text_col))
+
+    def _tf(term: str):
+        # NOTE: a `lambda x, t=term:` two-parameter lambda would make
+        # PySpark pass the ELEMENT INDEX as the second argument
+        # (higher-order functions dispatch on lambda arity), silently
+        # overwriting the default — hence the closure factory.
+        return F.size(F.filter(tok, lambda x: x == F.lit(term)))
+
+    per_doc = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(tok).alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sdl").cast("double") / F.col("n").cast("double")
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0) - F.lit(float(b)) + F.lit(float(b)) * (F.col("dl").cast("double") / avgdl)
+    )
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = _round9(
+            F.log(
+                (F.col("n") - F.col(f"df{i}") + F.lit(0.5))
+                / (F.col(f"df{i}") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        score = score + idf * (tf * F.lit(float(k1) + 1.0)) / (tf + norm)
+    scored = j.select(
+        "id", (F.floor(score * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("score")
+    ).where(F.col("score") > 0)
+    # global top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    # partial top-k, k rows to the driver side of the exchange) — NOT an
+    # unpartitioned row_number window, which would single-reducer-sort
+    # every matching doc at 100 TB. The rank window then runs over k rows.
+    top = scored.orderBy(F.desc("score"), F.asc("id")).limit(k_top)
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("id").alias("doc_id"), F.col("rank").cast("int").alias("rank"), "score"
+    )
+
+
+def bm25_topk_sql(
+    table: str,
+    query_terms: list[str],
+    k_top: int = 10,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB mirror of bm25_topk — same tokenizer fragment, same stats,
+    same round9(ln)·tf-normalization op sequence, same tie-break."""
+    terms = sorted(set(t.lower() for t in query_terms))
+    tok = T.tokens_sql(text_expr)
+    tf_cols = ", ".join(
+        f"len(list_filter(tok, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    score_terms = []
+    for i in range(len(terms)):
+        idf = (
+            f"(floor(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0) * 1000000000 + 0.5)"
+            f" / 1000000000)"
+        )
+        score_terms.append(
+            f"{idf} * (tf{i}::DOUBLE * {k1 + 1.0}) / "
+            f"(tf{i}::DOUBLE + {k1} * (1.0 - {b} + {b} * "
+            f"(dl::DOUBLE / (sdl::DOUBLE / n::DOUBLE))))"
+        )
+    score = "0.0 + " + " + ".join(score_terms)
+    return f"""
+    WITH per_doc AS (
+      SELECT {id_expr} AS id, len(tok) AS dl, {tf_cols}
+      FROM (SELECT {id_expr}, {tok} AS tok FROM {table})
+    ),
+    stats AS (SELECT count(*) AS n, sum(dl) AS sdl, {df_cols} FROM per_doc),
+    scored AS (
+      SELECT id, floor(({score}) * 1000000 + 0.5) / 1000000 AS score
+      FROM per_doc CROSS JOIN stats
+    ),
+    r AS (
+      SELECT id, score, row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+      FROM scored WHERE score > 0
+    )
+    SELECT id AS doc_id, CAST(rank AS INT) AS rank, score
+    FROM r WHERE rank <= {k_top}
+    """
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k_top: int = 10,
+    pool: int = 20,
+    c: int = RRF_C,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal-rank fusion of BM25 (lexical) and exact-cosine (dense)
+    top-`pool` rankings: rrf = Σ 1/(c + rank) over the rankings a doc
+    appears in, ranked (rrf DESC, doc_id ASC), top `k_top`. The query is
+    a term list plus the embedding row `query_vec_id` (excluded from the
+    results, like every ANN self-match). All fusion arithmetic is exact
+    divides of small ints summed in fixed order — no transcendentals."""
+    from hogflare_spark.operators.similarity import brute_force_topk
+
+    bm = bm25_topk(docs, query_terms, k_top=pool, text_col=text_col, id_col=doc_id_col)
+    q = embeddings.where(F.col(vec_id_col) == F.lit(query_vec_id))
+    ann = brute_force_topk(q, embeddings, pool, id_col=vec_id_col, vec_col=vec_col)
+    bm_side = bm.select(F.col("doc_id").alias("id"), F.col("rank").alias("bm_rank"))
+    ann_side = ann.select(
+        F.col("neighbor_id").alias("id"), F.col("rank").alias("ann_rank")
+    )
+    fused = (
+        bm_side.join(ann_side, "id", "full_outer")
+        .where(F.col("id") != F.lit(query_vec_id))
+        .select(
+            "id",
+            _round9(
+                F.coalesce(F.lit(1.0) / (F.lit(float(c)) + F.col("bm_rank")), F.lit(0.0))
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(float(c)) + F.col("ann_rank")), F.lit(0.0)
+                )
+            ).alias("rrf"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_top)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("rrf"),
+        )
+    )
+
+
+def hybrid_rrf_topk_sql(
+    doc_table: str,
+    emb_table: str,
+    query_terms: list[str],
+    query_vec_id: int,
+    cos_sql,
+    k_top: int = 10,
+    pool: int = 20,
+    c: int = RRF_C,
+    text_expr: str = "text",
+    doc_id_expr: str = "doc_id",
+    vec_id_expr: str = "vec_id",
+    vec_expr: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of hybrid_rrf_topk; `cos_sql(a, b)` renders the
+    engine's shared cosine fragment (plans/llm_pipeline._cos_sql)."""
+    bm = bm25_topk_sql(
+        doc_table, query_terms, k_top=pool, text_expr=text_expr, id_expr=doc_id_expr
+    )
+    return f"""
+    WITH bm AS ({bm}),
+    cos AS (
+      SELECT b.{vec_id_expr} AS id,
+             round({cos_sql('a.' + vec_expr, 'b.' + vec_expr)}, 9) AS sim
+      FROM {emb_table} a JOIN {emb_table} b
+        ON a.{vec_id_expr} = {query_vec_id} AND a.{vec_id_expr} <> b.{vec_id_expr}
+    ),
+    ann AS (
+      SELECT id, row_number() OVER (ORDER BY sim DESC, id ASC) AS ann_rank
+      FROM cos QUALIFY ann_rank <= {pool}
+    ),
+    fused AS (
+      SELECT coalesce(bm.doc_id, ann.id) AS id,
+             floor((coalesce(1.0 / ({c}.0 + bm.rank), 0.0)
+                    + coalesce(1.0 / ({c}.0 + ann.ann_rank), 0.0))
+                   * 1000000000 + 0.5) / 1000000000 AS rrf
+      FROM bm FULL OUTER JOIN ann ON ann.id = bm.doc_id
+      WHERE coalesce(bm.doc_id, ann.id) <> {query_vec_id}
+    ),
+    r AS (
+      SELECT id, rrf, row_number() OVER (ORDER BY rrf DESC, id ASC) AS rank
+      FROM fused
+    )
+    SELECT id AS doc_id, CAST(rank AS INT) AS rank, rrf
+    FROM r WHERE rank <= {k_top}
+    """

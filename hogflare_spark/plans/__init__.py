@@ -183,6 +183,12 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # representatives (llm_pq_adc_topk for the compressed-domain
     # shortlist, llm_ann_topk for the exact cosine/rank contract).
     "llm_ivfpq_rerank_topk",
+    # round 8: corpus retrieval — BM25 (scan projection + 1-row
+    # broadcast stats + TakeOrderedAndProject, shapes graded via
+    # llm_quality_tokens / q_window gates) and its RRF fusion with the
+    # graded llm_ann_topk cosine ranking.
+    "llm_bm25_topk",
+    "llm_hybrid_rrf",
 )
 
 

@@ -1670,3 +1670,62 @@ def _register_ivfpq_rerank_oracle() -> None:
 
 
 _register_ivfpq_rerank_oracle()
+
+
+_BM25_TERMS = ["spark", "join", "window", "hash"]
+_RRF_QUERY_VEC = 100
+
+
+@query("llm_bm25_topk", oracle=None)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking over the documents table
+    (operators/retrieval.bm25_topk): one scan computes doc length +
+    per-term tf in the projection, one 1-row broadcast aggregate carries
+    N/avgdl/df, scoring is codegen arithmetic, and the global top-k is a
+    TakeOrderedAndProject — retrieval for dataset curation without any
+    corpus-wide shuffle."""
+    from hogflare_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k_top=20).orderBy("rank")
+
+
+def _register_bm25_oracle() -> None:
+    from hogflare_spark.operators.retrieval import bm25_topk_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = bm25_topk_sql("documents", _BM25_TERMS, k_top=20)
+    ORACLES["llm_bm25_topk"] = f"SELECT * FROM ({inner}) ORDER BY rank"
+
+
+_register_bm25_oracle()
+
+
+@query("llm_hybrid_rrf", oracle=None)
+def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/retrieval.hybrid_rrf_topk):
+    reciprocal-rank fusion of the BM25 lexical ranking with the exact
+    cosine ranking around one query embedding — the standard
+    sparse ∪ dense shape; the fusion join is pool-bounded regardless of
+    corpus size."""
+    from hogflare_spark.operators.retrieval import hybrid_rrf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_rrf_topk(
+        docs, emb, _BM25_TERMS, _RRF_QUERY_VEC, k_top=15, pool=25
+    ).orderBy("rank")
+
+
+def _register_hybrid_oracle() -> None:
+    from hogflare_spark.operators.retrieval import hybrid_rrf_topk_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = hybrid_rrf_topk_sql(
+        "documents", "embeddings", _BM25_TERMS, _RRF_QUERY_VEC,
+        _cos_sql, k_top=15, pool=25,
+    )
+    ORACLES["llm_hybrid_rrf"] = f"SELECT * FROM ({inner}) ORDER BY rank"
+
+
+_register_hybrid_oracle()
