@@ -52,7 +52,52 @@ def connected_components(
         spark.conf.set(_cp_key, _cp_old)
 
 
+# Edge-count ceiling for the driver-side union-find fast path. Alias
+# edges (~#identity merges) and verified near-dup pairs are MODEL-sized
+# relative to the corpora they summarize — a million-edge graph is a few
+# tens of MB of narrow pairs, while the distributed fixpoint pays
+# ~4 checkpointed-join jobs per round for O(log diameter) rounds. Below
+# the ceiling, collecting the edges and running union-find on the driver
+# is the right plan at ANY corpus scale (it is the edge count, not the
+# corpus size, that gates it); above it, the iterative loop takes over.
+CC_DRIVER_MAX_EDGES = 100_000
+
+
+def _cc_driver(rows, spark, schema) -> DataFrame:
+    """Union-find with min-label output — exactly the fixpoint loop's
+    result: every node labeled with its component's MINIMUM id (numeric
+    or lexicographic per the id type, same as F.min)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in rows:
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rd] = rs
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    out = [(node, comp_min[find(node)]) for node in parent]
+    return spark.createDataFrame(out, schema)
+
+
 def _cc_loop(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
+    from pyspark.sql.types import StructField, StructType
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
@@ -62,6 +107,15 @@ def _cc_loop(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
         # empty check itself is one short-circuiting scan of the (cached)
         # command projection
         return e.select(F.col("src").alias("id"), F.col("dst").alias("comp"))
+    head = e.limit(CC_DRIVER_MAX_EDGES + 1).collect()
+    if len(head) <= CC_DRIVER_MAX_EDGES:
+        id_type = e.schema["src"].dataType
+        schema = StructType(
+            [StructField("id", id_type), StructField("comp", id_type)]
+        )
+        return _cc_driver(
+            [(r["src"], r["dst"]) for r in head], e.sparkSession, schema
+        )
     # undirected: both directions, deduped
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     sym = sym.repartition("src").localCheckpoint(eager=True)
