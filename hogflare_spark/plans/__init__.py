@@ -189,6 +189,10 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # graded llm_ann_topk cosine ranking.
     "llm_bm25_topk",
     "llm_hybrid_rrf",
+    # round 8: incremental cross-snapshot NEAR-dup (the MinHash sibling
+    # of the graded llm_stream_incremental_dedup; banding graded via
+    # llm_minhash_near_dups).
+    "llm_stream_near_dedup",
 )
 
 

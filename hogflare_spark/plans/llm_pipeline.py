@@ -1729,3 +1729,65 @@ def _register_hybrid_oracle() -> None:
 
 
 _register_hybrid_oracle()
+
+
+_NEAR_STREAM_THRESHOLD = 0.8
+
+
+@query("llm_stream_near_dedup", oracle=None)
+def llm_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot NEAR-dup dedup
+    (streaming/corpus_dedup.StreamingNearDupDedup): the documents table
+    arrives as three ascending doc_id-range micro-batches; each batch
+    drops docs whose MinHash bands collide with an earlier-seen doc at
+    >= ceil(0.8·32) signature-position agreement. "Earlier-seen" counts
+    dropped docs too, so the accumulated kept set equals the order-free
+    batch criterion — no lower-id near-duplicate — which is the oracle
+    (no batch replay needed on the DuckDB side)."""
+    import shutil
+    import tempfile
+
+    from hogflare_spark.streaming.corpus_dedup import StreamingNearDupDedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    b1, b2 = n // 3, 2 * n // 3
+    work = tempfile.mkdtemp(prefix="llm_stream_neardedup_")
+    try:
+        job = StreamingNearDupDedup(work, threshold=_NEAR_STREAM_THRESHOLD)
+        job.process_batch(docs.where(F.col("doc_id") < b1), 0)
+        job.process_batch(
+            docs.where((F.col("doc_id") >= b1) & (F.col("doc_id") < b2)), 1
+        )
+        job.process_batch(docs.where(F.col("doc_id") >= b2), 2)
+        return (
+            job.read_kept(spark).orderBy("doc_id").localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _register_stream_near_dedup_oracle() -> None:
+    import math
+
+    from hogflare_spark.plans import ORACLES
+
+    m = math.ceil(_NEAR_STREAM_THRESHOLD * NUM_PERM)
+    ORACLES["llm_stream_near_dedup"] = f"""
+    WITH {_SK_CTE},
+    sg AS (SELECT id, {T.minhash_signature_sql('hs', NUM_PERM)} AS sig FROM sk),
+    bd AS (SELECT id, sig, unnest({T.band_keys_sql('sig', BANDS, ROWS_PER_BAND)}) AS band_key FROM sg),
+    dropped AS (
+      SELECT DISTINCT b.id FROM bd a JOIN bd b
+        ON a.band_key = b.band_key AND a.id < b.id
+      WHERE len(list_filter(list_transform(generate_series(1, {NUM_PERM}),
+                                           i -> a.sig[i] = b.sig[i]),
+                            x -> x)) >= {m}
+    )
+    SELECT id AS doc_id FROM sg
+    WHERE id NOT IN (SELECT id FROM dropped)
+    ORDER BY doc_id
+    """
+
+
+_register_stream_near_dedup_oracle()

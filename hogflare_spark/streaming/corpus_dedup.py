@@ -240,3 +240,241 @@ class StreamingCorpusDedup:
         return spark.read.schema(KEPT_SCHEMA).parquet(
             os.path.join(self.kept_dir, "batch=*")
         )
+
+
+NEAR_STATE_SCHEMA = "id bigint, band_key string, sig array<bigint>"
+NEAR_SNAPSHOT_SCHEMA = "id bigint, band_key string, sig array<bigint>, batch bigint"
+NEAR_KEPT_SCHEMA = "doc_id bigint"
+
+
+class StreamingNearDupDedup:
+    """Incremental cross-snapshot NEAR-dup dedup — the MinHash sibling of
+    `StreamingCorpusDedup` (which is exact-hash only): each micro-batch
+    drops documents whose MinHash band keys collide with an earlier-seen
+    document AND whose signature agreement clears the threshold.
+
+    Semantics (order-free by construction): a doc D is dropped iff some
+    document earlier in stream order — previous batch, or lower id in
+    the same batch — shares ≥ 1 of the B band keys with D and matches D
+    on ≥ `min_matches` of the `num_perm` MinHash positions (the standard
+    signature estimate of Jaccard; an exact INTEGER compare, no floats).
+    "Earlier-seen" counts dropped documents too, so the kept set does
+    NOT depend on the greedy keep/drop history — when batches partition
+    the corpus in id order, the result is exactly the batch criterion
+    "no lower-id near-duplicate", which is what the DuckDB oracle
+    checks without replaying batches.
+
+    State: one (id, band_key, sig) row per band per SEEN document,
+    per-batch dirs overwritten by batch id (replay-idempotent), rolled
+    into a band_key-bucketed snapshot every `compact_every` batches —
+    the same crash-safe pointer protocol as the exact class. The state
+    holds B rows of (8B key + P·8B sig) per document — a fixed small
+    multiple of the exact class's 8 bytes, still orders of magnitude
+    under the corpus. Per batch the only shuffles are the band-key
+    groupJoin of |batch|·B probe rows against the (bucketed) state and
+    the batch's internal band self-join; like the batch MinHash
+    operator, run exact dedup first so identical-text clusters don't
+    inflate band buckets.
+    """
+
+    def __init__(
+        self,
+        work_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        threshold: float = 0.8,
+        compact_every: int = 16,
+        n_state_buckets: int = 32,
+    ):
+        import math
+
+        from hogflare_spark.operators.dedup import NUM_PERM
+
+        self.work_dir = work_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_perm = NUM_PERM
+        self.min_matches = math.ceil(threshold * NUM_PERM)
+        self.compact_every = compact_every
+        self.n_state_buckets = n_state_buckets
+        self.state_dir = os.path.join(work_dir, "state")
+        self.kept_dir = os.path.join(work_dir, "kept")
+        self._pointer_path = os.path.join(work_dir, "_SNAPSHOT")
+
+    # pointer/table helpers mirror StreamingCorpusDedup
+    _read_snapshot_pointer = StreamingCorpusDedup._read_snapshot_pointer
+    _snapshot_path = StreamingCorpusDedup._snapshot_path
+    _batch_dirs = StreamingCorpusDedup._batch_dirs
+
+    def _table_name(self, version: int) -> str:
+        tag = hashlib.md5(self.work_dir.encode()).hexdigest()[:10]
+        return f"corpus_neardedup_state_{tag}_v{version}"
+
+    def _snapshot_df(self, spark: SparkSession, ptr: dict) -> DataFrame:
+        name, path = ptr["table"], ptr["path"]
+        if not ptr.get("bucketed", False):
+            return spark.read.schema(NEAR_SNAPSHOT_SCHEMA).parquet(path)
+        try:
+            if not spark.catalog.tableExists(name):
+                spark.sql(
+                    f"CREATE TABLE {name} (id BIGINT, band_key STRING, "
+                    f"sig ARRAY<BIGINT>, batch BIGINT) "
+                    f"USING PARQUET CLUSTERED BY (band_key) "
+                    f"INTO {ptr['n_buckets']} BUCKETS LOCATION '{path}'"
+                )
+            return spark.table(name)
+        except Exception:
+            return spark.read.schema(NEAR_SNAPSHOT_SCHEMA).parquet(path)
+
+    def _prior_state(self, spark: SparkSession, batch_id: int) -> DataFrame:
+        ptr = self._read_snapshot_pointer()
+        covered = ptr["covered_max"] if ptr else -1
+        parts = []
+        if ptr is not None:
+            parts.append(
+                self._snapshot_df(spark, ptr)
+                .where(F.col("batch") < batch_id)
+                .select("id", "band_key", "sig")
+            )
+        dirs = [p for b, p in self._batch_dirs(covered) if b < batch_id]
+        if dirs:
+            parts.append(spark.read.schema(NEAR_STATE_SCHEMA).parquet(*dirs))
+        if not parts:
+            return spark.createDataFrame([], NEAR_STATE_SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _sig_matches(self, a, b):
+        # exact integer agreement count — the engine-portable signature
+        # estimate (list_filter/list_transform twin in the oracle)
+        return F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v))
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from hogflare_spark.functions import text as T
+        from hogflare_spark.functions.caching import cached, release
+        from hogflare_spark.operators.dedup import (
+            BANDS,
+            ROWS_PER_BAND,
+            with_shingle_hashes,
+        )
+
+        spark = batch_df.sparkSession
+        sk = with_shingle_hashes(batch_df, self.text_col, self.id_col)
+        sg = sk.select(
+            "id", T.minhash_signature(F.col("hs"), self.num_perm).alias("sig")
+        )
+        bands = cached(
+            sg.select(
+                "id",
+                "sig",
+                F.explode(
+                    T.band_keys(F.col("sig"), BANDS, ROWS_PER_BAND)
+                ).alias("band_key"),
+            )
+        )
+        try:
+            prior = self._prior_state(spark, batch_id).select(
+                F.col("band_key"),
+                F.col("id").alias("p_id"),
+                F.col("sig").alias("p_sig"),
+            )
+            dropped_prior = (
+                bands.join(prior, "band_key")
+                .where(
+                    self._sig_matches(F.col("sig"), F.col("p_sig"))
+                    >= F.lit(self.min_matches)
+                )
+                .select("id")
+            )
+            other = bands.select(
+                F.col("band_key"),
+                F.col("id").alias("o_id"),
+                F.col("sig").alias("o_sig"),
+            )
+            dropped_within = (
+                bands.join(other, "band_key")
+                .where(F.col("o_id") < F.col("id"))
+                .where(
+                    self._sig_matches(F.col("sig"), F.col("o_sig"))
+                    >= F.lit(self.min_matches)
+                )
+                .select("id")
+            )
+            dropped = dropped_prior.unionByName(dropped_within).distinct()
+            kept = (
+                sg.select("id")
+                .join(dropped, "id", "left_anti")
+                .select(F.col("id").alias("doc_id"))
+            )
+            kept.write.mode("overwrite").parquet(
+                os.path.join(self.kept_dir, f"batch={batch_id}")
+            )
+            # state rows for ALL seen docs (kept or dropped) — the
+            # "earlier-seen" rule is what makes the result batch-shape-free
+            bands.select("id", "band_key", "sig").write.mode("overwrite").parquet(
+                os.path.join(self.state_dir, f"batch={batch_id}")
+            )
+        finally:
+            release(bands)
+        self._maybe_compact(spark)
+
+    def _maybe_compact(self, spark: SparkSession) -> None:
+        ptr = self._read_snapshot_pointer()
+        covered = ptr["covered_max"] if ptr else -1
+        loose = self._batch_dirs(covered)
+        if len(loose) < self.compact_every:
+            return
+        new_max = max(b for b, _ in loose)
+        version = (ptr["version"] + 1) if ptr else 0
+        loose_df = (
+            spark.read.schema(NEAR_STATE_SCHEMA)
+            .option("basePath", self.state_dir)
+            .parquet(*[p for _, p in loose])
+            .select("id", "band_key", "sig", F.col("batch").cast("long").alias("batch"))
+        )
+        merged = (
+            self._snapshot_df(spark, ptr).unionByName(loose_df) if ptr else loose_df
+        )
+        path = self._snapshot_path(version)
+        name = self._table_name(version)
+        try:
+            from hogflare_spark.sinks.bucketed import write_bucketed
+
+            write_bucketed(
+                merged, name, ["band_key"], self.n_state_buckets, path=path
+            )
+            bucketed = True
+        except Exception:
+            merged.repartition(self.n_state_buckets, "band_key").write.mode(
+                "overwrite"
+            ).parquet(path)
+            bucketed = False
+        tmp = self._pointer_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": version,
+                    "covered_max": new_max,
+                    "table": name,
+                    "path": path,
+                    "n_buckets": self.n_state_buckets,
+                    "bucketed": bucketed,
+                },
+                fh,
+            )
+        os.replace(tmp, self._pointer_path)
+        for _, p in loose:
+            shutil.rmtree(p, ignore_errors=True)
+        if ptr is not None:
+            shutil.rmtree(self._snapshot_path(ptr["version"]), ignore_errors=True)
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {ptr['table']}")
+            except Exception:
+                pass
+
+    def read_kept(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(NEAR_KEPT_SCHEMA).parquet(
+            os.path.join(self.kept_dir, "batch=*")
+        )
