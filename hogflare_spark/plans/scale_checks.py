@@ -426,6 +426,100 @@ def _kmeans_replay_check(name: str) -> Callable:
     return check
 
 
+def _prefix_near_dedup_check(name: str, prefix_n: int = 5_000) -> Callable:
+    """Exact restricted check for llm_stream_near_dedup: its criterion —
+    kept iff NO LOWER-ID near-duplicate — is prefix-closed (a doc's
+    verdict depends only on lower ids), so the registered oracle run on
+    the `prefix_n` smallest doc_ids equals the Spark kept set filtered
+    to the same prefix. Bounds the oracle's band self-join to the
+    prefix; the Spark side still ran at full scale."""
+
+    def check(spark, sf_dir, srows, scols):
+        con = _duck(sf_dir)
+        cut = con.execute(
+            f"SELECT max(doc_id) FROM (SELECT doc_id FROM documents "
+            f"ORDER BY doc_id LIMIT {prefix_n})"
+        ).fetchone()[0]
+        con.close()
+        con = _duck(sf_dir, {"documents": f" WHERE doc_id <= {cut}"})
+        res = con.execute(_oracle_sql(name))
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        con.close()
+        ii = scols.index("doc_id")
+        sres = [r for r in srows if r[ii] <= cut]
+        ok = sorted(scols) == sorted(ocols) and _norm_rows(sres, scols) == _norm_rows(
+            orows, ocols
+        )
+        return _result(
+            ok,
+            family="prefix-closed",
+            prefix_max_id=cut,
+            restricted_kept=len(orows),
+            spark_restricted_kept=len(sres),
+            total_spark_rows=len(srows),
+        )
+
+    return check
+
+
+def _adc_query_subset_check(name: str, rerank: bool, stride: int = 2_000) -> Callable:
+    """Exact restricted check for the ADC-family gates: per-query outputs
+    are independent and codebook training sees only the CORPUS (view
+    untouched), so the oracle REBUILT with a sparser query predicate
+    (`vec_id % stride = 0` ⊂ the gate's `% 50 = 0`) equals the Spark
+    rows filtered to those queries. Bounds the oracle's
+    queries × corpus × m ADC union by 50/stride while training stays
+    bit-identical."""
+
+    def check(spark, sf_dir, srows, scols):
+        from hogflare_spark.operators.similarity import (
+            ivfpq_rerank_topk_sql,
+            pq_adc_topk_sql,
+        )
+        from hogflare_spark.plans.llm_pipeline import (
+            _PQ_ITERS,
+            _PQ_K,
+            _PQ_M,
+            _RERANK_SHORTLIST,
+            TOPK,
+            _cos_sql,
+        )
+
+        pred = f"vec_id % {stride} = 0"
+        if rerank:
+            inner = ivfpq_rerank_topk_sql(
+                "embeddings", pred, _cos_sql, k_top=TOPK,
+                shortlist=_RERANK_SHORTLIST, m_subspaces=_PQ_M, k=_PQ_K,
+                iters=_PQ_ITERS,
+            )
+        else:
+            inner = pq_adc_topk_sql(
+                "embeddings", pred, k_top=TOPK, m_subspaces=_PQ_M,
+                k=_PQ_K, iters=_PQ_ITERS,
+            )
+        con = _duck(sf_dir)
+        res = con.execute(f"SELECT * FROM ({inner}) ORDER BY query_id, rank")
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        con.close()
+        iq = scols.index("query_id")
+        sres = [r for r in srows if r[iq] % stride == 0]
+        ok = sorted(scols) == sorted(ocols) and _norm_rows(sres, scols) == _norm_rows(
+            orows, ocols
+        )
+        return _result(
+            ok,
+            family="query-subset",
+            stride=stride,
+            restricted_rows=len(orows),
+            spark_restricted_rows=len(sres),
+            total_spark_rows=len(srows),
+        )
+
+    return check
+
+
 CHECKS: dict[str, Callable] = {
     # pairwise-criterion pair joins over documents
     "llm_minhash_near_dups": _pair_check_docs("llm_minhash_near_dups"),
@@ -456,6 +550,13 @@ CHECKS: dict[str, Callable] = {
     ),
     # iterative model training: exact fixed-point replay
     "llm_kmeans_clusters": _kmeans_replay_check("llm_kmeans_clusters"),
+    # round-8 oracle-heavy gates: prefix-closed / query-subset exact
+    # restrictions (full oracles measured 116 s / 83 s / 203 s at sf1)
+    "llm_stream_near_dedup": _prefix_near_dedup_check("llm_stream_near_dedup"),
+    "llm_pq_adc_topk": _adc_query_subset_check("llm_pq_adc_topk", rerank=False),
+    "llm_ivfpq_rerank_topk": _adc_query_subset_check(
+        "llm_ivfpq_rerank_topk", rerank=True
+    ),
     # capstone composition
     "llm_corpus_filter": _corpus_filter_check(),
 }
