@@ -359,16 +359,58 @@ def lsh_near_dup_pairs(
     )
     va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    return (
+    # verify on the Arrow tier: the interpreted cosine_expr costs 3 HOF
+    # folds × dim per CANDIDATE pair (the r8 trainer pathology, same
+    # fix) — the kernel reproduces its exact fold order (see arrowfold),
+    # and the round(…, 9) stays a JVM Column so the decimal HALF_UP
+    # rounding is bit-identical to the previous plan and the oracle.
+    raw = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 9).alias("sim"),
-        )
-        .where(F.col("sim") >= threshold)
+        .mapInPandas(_pairwise_cosine_kernel(), "id_a long, id_b long, sim_raw double")
     )
+    return raw.select(
+        "id_a", "id_b", F.round(F.col("sim_raw"), 9).alias("sim")
+    ).where(F.col("sim") >= threshold)
+
+
+def _pairwise_cosine_kernel(a_col: str = "va", b_col: str = "vb"):
+    """mapInPandas kernel: (id_a, id_b, va, vb) → (id_a, id_b, sim_raw)
+    where sim_raw is bit-identical to `cosine_expr` BEFORE rounding —
+    strict array-order folds for the dot and both squared norms, sqrt,
+    one multiply and one divide in the same sequence, 0.0 for a
+    zero-norm side."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.array([np.asarray(v, dtype=np.float64) for v in pdf[a_col]])
+            b = np.array([np.asarray(v, dtype=np.float64) for v in pdf[b_col]])
+            n = a.shape[0]
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(a.shape[1]):
+                dot = dot + a[:, i] * b[:, i]
+                na = na + a[:, i] * a[:, i]
+                nb = nb + b[:, i] * b[:, i]
+            na = np.sqrt(na)
+            nb = np.sqrt(nb)
+            ok = (na > 0) & (nb > 0)
+            sim = np.where(ok, dot / np.where(ok, na * nb, 1.0), 0.0)
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(dtype=np.int64),
+                    "id_b": pdf["id_b"].to_numpy(dtype=np.int64),
+                    "sim_raw": sim,
+                }
+            )
+
+    return fn
 
 
 def _bucket_expr(vec: Column, planes: list[list[int]]) -> Column:
