@@ -61,23 +61,74 @@ def brute_force_topk(
 
     Deterministic: rank on (round(sim, 9) desc, neighbor_id asc) so FP
     noise in the last bits can't reorder ties. Self-matches excluded.
+
+    r8: the per-(corpus row × query) interpreted cosine fold moved onto
+    the Arrow tier — the query set collects once (it was already
+    broadcast; small by the operator's contract) and one map-only kernel
+    scan scores each corpus batch against every query with the exact
+    fold order of `cosine_expr` (query/corpus norms and the dot all
+    strict left-to-right; multiplication operand order is immaterial —
+    IEEE multiply is exactly commutative). round(…, 9) stays a JVM
+    Column so boundary decisions match the previous plan and the
+    oracle bit-for-bit. Only (query_id, neighbor_id, sim) scalars leave
+    Python — the vectors themselves never materialize per pair.
     """
     from hogflare_spark.operators.partitioning import fan_out
 
-    q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    )
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    spark = corpus.sparkSession
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, sim double"
+        )
+    q_ids = [int(r["query_id"]) for r in q_rows]
+    q_vecs = [[float(x) for x in r["qv"]] for r in q_rows]
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        qm = np.asarray(q_vecs, dtype=np.float64)
+        qid = np.asarray(q_ids, dtype=np.int64)
+        nq, dim = qm.shape
+        qn = np.zeros(nq)
+        for i in range(dim):
+            qn = qn + qm[:, i] * qm[:, i]
+        qn = np.sqrt(qn)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cv = np.array([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            n = cv.shape[0]
+            dot = np.zeros((n, nq))
+            cn = np.zeros(n)
+            for i in range(dim):
+                dot = dot + cv[:, i : i + 1] * qm[:, i]
+                cn = cn + cv[:, i] * cv[:, i]
+            cn = np.sqrt(cn)
+            denom_ok = (qn[None, :] > 0) & (cn[:, None] > 0)
+            denom = np.where(denom_ok, qn[None, :] * cn[:, None], 1.0)
+            sim = np.where(denom_ok, dot / denom, 0.0)
+            keep = nid[:, None] != qid[None, :]
+            rr, cc = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": qid[cc],
+                    "neighbor_id": nid[rr],
+                    "sim_raw": sim[rr, cc],
+                }
+            )
+
     c = fan_out(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     )
-    scored = (
-        c.crossJoin(q)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 9).alias("sim"),
-        )
+    scored = c.mapInPandas(
+        _score, "query_id long, neighbor_id long, sim_raw double"
+    ).select(
+        "query_id", "neighbor_id", F.round(F.col("sim_raw"), 9).alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
