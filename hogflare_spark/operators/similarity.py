@@ -425,9 +425,14 @@ def lsh_near_dup_pairs(
     ).where(F.col("sim") >= threshold)
 
 
-def _pairwise_cosine_kernel(a_col: str = "va", b_col: str = "vb"):
-    """mapInPandas kernel: (id_a, id_b, va, vb) → (id_a, id_b, sim_raw)
-    where sim_raw is bit-identical to `cosine_expr` BEFORE rounding —
+def _pairwise_cosine_kernel(
+    a_col: str = "va",
+    b_col: str = "vb",
+    ida_col: str = "id_a",
+    idb_col: str = "id_b",
+):
+    """mapInPandas kernel: (ida, idb, a, b) → (ida, idb, sim_raw) where
+    sim_raw is bit-identical to `cosine_expr(a, b)` BEFORE rounding —
     strict array-order folds for the dot and both squared norms, sqrt,
     one multiply and one divide in the same sequence, 0.0 for a
     zero-norm side."""
@@ -455,8 +460,8 @@ def _pairwise_cosine_kernel(a_col: str = "va", b_col: str = "vb"):
             sim = np.where(ok, dot / np.where(ok, na * nb, 1.0), 0.0)
             yield pd.DataFrame(
                 {
-                    "id_a": pdf["id_a"].to_numpy(dtype=np.int64),
-                    "id_b": pdf["id_b"].to_numpy(dtype=np.int64),
+                    ida_col: pdf[ida_col].to_numpy(dtype=np.int64),
+                    idb_col: pdf[idb_col].to_numpy(dtype=np.int64),
                     "sim_raw": sim,
                 }
             )
@@ -819,13 +824,19 @@ def lsh_ann_topk(
             _probe_buckets(_bucket_expr(F.col(vec_col), planes), num_planes, probe_dist)
         ).alias("bucket"),
     )
+    # exact rerank on the Arrow tier (same kernel as the LSH verify; the
+    # JVM round keeps boundary decisions bit-identical to the oracle)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .mapInPandas(
+            _pairwise_cosine_kernel(
+                "qv", "cv", ida_col="query_id", idb_col="neighbor_id"
+            ),
+            "query_id long, neighbor_id long, sim_raw double",
+        )
         .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 9).alias("sim"),
+            "query_id", "neighbor_id", F.round(F.col("sim_raw"), 9).alias("sim")
         )
         .distinct()
     )
