@@ -178,21 +178,32 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # BPE train-then-segment apply (trainer graded via llm_bpe_merges).
     "llm_pq_codes",
     "llm_bpe_segment",
-    # round 8: the composed ADC-shortlist → exact-rerank pipeline
-    # registers past the window from birth — both stages have graded
-    # representatives (llm_pq_adc_topk for the compressed-domain
-    # shortlist, llm_ann_topk for the exact cosine/rank contract).
-    "llm_ivfpq_rerank_topk",
-    # round 8: corpus retrieval — BM25 (scan projection + 1-row
-    # broadcast stats + TakeOrderedAndProject, shapes graded via
-    # llm_quality_tokens / q_window gates) and its RRF fusion with the
-    # graded llm_ann_topk cosine ranking.
-    "llm_bm25_topk",
-    "llm_hybrid_rrf",
-    # round 8: incremental cross-snapshot NEAR-dup (the MinHash sibling
-    # of the graded llm_stream_incremental_dedup; banding graded via
-    # llm_minhash_near_dups).
-    "llm_stream_near_dedup",
+    # round 9 rotation (r8 verdict #1): the four genuinely-new round-8
+    # operator classes — BM25 corpus retrieval, hybrid lexical+dense RRF
+    # fusion, the composed IVF+PQ shortlist→exact-rerank pipeline, and
+    # incremental cross-snapshot streaming NEAR-dup — move INSIDE the
+    # 50-entry window so the driver's hard signal executes them at least
+    # once (retrieval previously had NO graded representative). Four
+    # transitively-covered gates cede their slots:
+    #  - llm_ngram_jaccard_pairs: the inverted-index pair-join shape
+    #    keeps graded representatives in llm_minhash_near_dups /
+    #    llm_substring_dedup; the dedup family still holds four graded
+    #    gates (exact/minhash/substring/clusters).
+    #  - llm_ann_lsh_exhaustive: ANN keeps llm_ann_topk (exact cosine
+    #    contract) + llm_pq_adc_topk (compressed-domain) graded, and the
+    #    promoted llm_ivfpq_rerank_topk adds the composed pipeline; the
+    #    LSH multiprobe path keeps its pytest recall gate + sim.
+    #  - ev_weekly_retention: the events-analytics family keeps seven
+    #    graded gates (pivot / skew-distinct / daily / json-buckets /
+    #    sessionization / funnel / as-of); the cohort self-join shape
+    #    stays sim- and pytest-covered.
+    #  - llm_lang_id: pure Column-expression scan projection; the text
+    #    family keeps llm_quality_tokens graded and lang_id's exprs stay
+    #    pinned by pytest vectors + sim.
+    "llm_ngram_jaccard_pairs",
+    "llm_ann_lsh_exhaustive",
+    "ev_weekly_retention",
+    "llm_lang_id",
 )
 
 
