@@ -143,20 +143,63 @@ def _recut_lineage(state: DataFrame, n_part: int) -> DataFrame:
     )
 
 
+TRAIN_SAMPLE_SALT = "bpe-train-sample:"
+
+
 def bpe_train_merges(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n_merges: int = 5,
     checkpoint_every: int = 16,
+    sample_docs: int | None = None,
 ) -> DataFrame:
     """Learn the top `n_merges` BPE merges. Returns (step, left, right,
     merged, cnt) — step is 1-based learning order. Every
     `checkpoint_every` merges the state re-materializes through
     `_recut_lineage` so plan depth stays bounded at any n_merges (r7
     verdict #3); the cadence does not change results, pinned by
-    tests/test_llm_round7.py."""
+    tests/test_llm_round7.py.
+
+    `sample_docs` (r8 verdict #3): train on the `sample_docs` documents
+    with the lowest (h60(salt || id), id) rank instead of the full
+    corpus. Exact BPE training is inherently sequential — one argmax job
+    pair per merge — so a production 32k-merge vocab over the FULL
+    corpus means ~64k sequential Spark jobs touching every block; the
+    standard practice is to train the tokenizer on a bounded sample
+    (merge quality converges long before corpus-scale counts) and apply
+    the merge table corpus-wide via `bpe_segment`, which already takes
+    any merge table. The sample is a deterministic uniform draw (same
+    h60 device as stratified_sample: content-derived, engine- and
+    partitioning-independent, id tiebreak), so sampled training is
+    exactly reproducible and oracle-replayable. With the sample bounded,
+    each per-merge job reads a fixed-size state regardless of corpus
+    growth — the job COUNT stays linear in n_merges but the per-job cost
+    stops scaling with the corpus."""
     from hogflare_spark.functions.caching import cached, release
+
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every!r}"
+        )
+    if sample_docs is not None:
+        if sample_docs < 1:
+            raise ValueError(f"sample_docs must be >= 1, got {sample_docs!r}")
+        from hogflare_spark.functions.hashing import h60
+
+        rk = Window.orderBy(
+            h60(
+                F.concat(F.lit(TRAIN_SAMPLE_SALT), F.col(id_col).cast("string"))
+            ).asc(),
+            F.col(id_col).asc(),
+        )
+        # one global rank over doc ids (not tokens) — #docs rows through
+        # one reducer, bounded and off the per-merge critical path
+        df = (
+            df.withColumn("_bpe_rk", F.row_number().over(rk))
+            .where(F.col("_bpe_rk") <= sample_docs)
+            .drop("_bpe_rk")
+        )
 
     spark = df.sparkSession
     n_part = spark.sparkContext.defaultParallelism
@@ -212,6 +255,10 @@ def bpe_segment(
     Like training, the plan re-materializes through `_recut_lineage`
     every `checkpoint_every` merges — a large merge table would
     otherwise stack 5·|merges| window nodes into one analyzed plan."""
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every!r}"
+        )
     n_part = df.sparkSession.sparkContext.defaultParallelism
     state = _explode_tokens(df, text_col, id_col)
     for i, (left, right) in enumerate(merges, start=1):

@@ -102,29 +102,35 @@ def linear_probe(
             .alias("y"),
         )
     )
-    counts = base.agg(
-        F.count("*").alias("n"), F.sum(F.col("y").cast("long")).alias("npos")
-    ).collect()[0]
-    n, npos = int(counts["n"]), int(counts["npos"])
-    if n == 0:
-        return base.select(
-            "id", F.lit(0.0).alias("score"), F.lit(False).alias("predicted")
-        )
-    da = int(base.select(F.size("x").alias("da")).first()["da"])
-    # class-balance weights: exact-int divides, identical in the oracle
-    u_pos = n / (2 * npos) if npos else 0.0
-    u_neg = n / (2 * (n - npos)) if n > npos else 0.0
-    w = [0.0] * da
-    scale = float(PROBE_SCALE)
-
     # Arrow-tier inner loop (r7 verdict #2): each GD step is one
     # mapInPandas scan that computes the ordered-fold margins in numpy
     # (bit-identical to the former _rounded_margin Column — see
     # functions/arrowfold) and pre-sums the quantized gradient
     # components per batch; only one (da,)-long int64 row per Arrow
     # batch leaves Python, collapsed exactly driver-side (int sums are
-    # order-free).
+    # order-free). The whole fit — including the empty-input early
+    # return — sits in one try/finally so the per-fit working set is
+    # always released inline (hosts that skip the global unpersist_all
+    # drain would otherwise accumulate one cached frame per fit).
     try:
+        counts = base.agg(
+            F.count("*").alias("n"),
+            # sum() is NULL on zero rows — coalesce so the empty-input
+            # early return below is actually reachable
+            F.coalesce(F.sum(F.col("y").cast("long")), F.lit(0)).alias("npos"),
+        ).collect()[0]
+        n, npos = int(counts["n"]), int(counts["npos"])
+        if n == 0:
+            return base.select(
+                "id", F.lit(0.0).alias("score"), F.lit(False).alias("predicted")
+            )
+        da = int(base.select(F.size("x").alias("da")).first()["da"])
+        # class-balance weights: exact-int divides, identical in the oracle
+        u_pos = n / (2 * npos) if npos else 0.0
+        u_neg = n / (2 * (n - npos)) if n > npos else 0.0
+        w = [0.0] * da
+        scale = float(PROBE_SCALE)
+
         for _ in range(iters):
             partials = base.mapInPandas(
                 _probe_grad_kernel(w, u_pos, u_neg, scale, da),

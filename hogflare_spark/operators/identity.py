@@ -36,6 +36,17 @@ def connected_components(
 
     Singleton nodes should be passed as self-loops (src == dst) if they must
     appear in the output.
+
+    Laziness/`max_iter` caveats (r8 ADVICE): below CC_DRIVER_MAX_EDGES
+    the operator collects the edges at CALL time (one limit().collect()
+    job) and runs a driver union-find — it is partially eager, and the
+    union-find always returns the CONVERGED fixpoint, ignoring
+    `max_iter`. The distributed loop, by contrast, can stop early after
+    `max_iter` rounds with unconverged labels on graphs whose component
+    diameter exceeds ~2^max_iter. Callers that rely on a truncated
+    (unconverged) result — none in this repo; every in-repo caller wants
+    the fixpoint — should pass `max_iter < _DRIVER_PATH_MIN_ITERS`,
+    which skips the fast path entirely.
     """
     # Spark 4.1's LogicalRDD.fromDataset can crash rewriting constraint
     # attributes when a checkpointed frame is referenced twice in the next
@@ -61,6 +72,13 @@ def connected_components(
 # is the right plan at ANY corpus scale (it is the edge count, not the
 # corpus size, that gates it); above it, the iterative loop takes over.
 CC_DRIVER_MAX_EDGES = 100_000
+# The driver union-find always converges; a caller passing a SMALLER
+# max_iter than this is explicitly asking for a truncated fixpoint, so
+# the fast path steps aside and the round-bounded distributed loop runs.
+# log2(diameter) <= 7 covers any graph the fast path could hold
+# (diameter <= #edges <= 1e5 needs ~17 pointer-jump rounds worst-case;
+# 7 is the threshold below which intent is clearly "truncate").
+_DRIVER_PATH_MIN_ITERS = 7
 
 
 def _cc_driver(rows, spark, schema) -> DataFrame:
@@ -107,8 +125,12 @@ def _cc_loop(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
         # empty check itself is one short-circuiting scan of the (cached)
         # command projection
         return e.select(F.col("src").alias("id"), F.col("dst").alias("comp"))
-    head = e.limit(CC_DRIVER_MAX_EDGES + 1).collect()
-    if len(head) <= CC_DRIVER_MAX_EDGES:
+    head = (
+        e.limit(CC_DRIVER_MAX_EDGES + 1).collect()
+        if max_iter >= _DRIVER_PATH_MIN_ITERS
+        else None
+    )
+    if head is not None and len(head) <= CC_DRIVER_MAX_EDGES:
         id_type = e.schema["src"].dataType
         schema = StructType(
             [StructField("id", id_type), StructField("comp", id_type)]

@@ -38,6 +38,24 @@ from hogflare_spark.functions.hashing import hyperplanes
 from hogflare_spark.functions.caching import cached, release
 
 
+def _require_int_ids(df: DataFrame, id_col: str, op: str) -> None:
+    """The Arrow kernel tier moves ids as int64 arrays, and k-means‖
+    seeding hashes the id through splitmix64 — so these operators require
+    an INTEGRAL id column (r8 ADVICE: fail fast at plan-build with a
+    clear message instead of a numpy cast error deep inside a task).
+    Callers with string/uuid ids should derive a surrogate first, e.g.
+    `df.withColumn("vec_id", F.xxhash64("uuid"))`."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"{op} requires an integral id column; {id_col!r} is "
+            f"{dt.simpleString()}. Map non-integer ids to a surrogate "
+            f'first, e.g. df.withColumn({id_col!r}, F.xxhash64({id_col!r})).'
+        )
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float/double> columns, as double."""
     dot = F.aggregate(
@@ -72,9 +90,17 @@ def brute_force_topk(
     Column so boundary decisions match the previous plan and the
     oracle bit-for-bit. Only (query_id, neighbor_id, sim) scalars leave
     Python — the vectors themselves never materialize per pair.
+
+    NOTE the query-set collect is EAGER (runs at plan-build time, not
+    first action): the kernel closure must embed the query matrix before
+    mapInPandas pickles it to executors, and the operator's contract is
+    a small query set (it was broadcast even before the Arrow rewrite).
+    Ids must be integral — see _require_int_ids.
     """
     from hogflare_spark.operators.partitioning import fan_out
 
+    _require_int_ids(queries, id_col, "brute_force_topk")
+    _require_int_ids(corpus, id_col, "brute_force_topk")
     q_rows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).collect()
@@ -392,6 +418,7 @@ def lsh_near_dup_pairs(
     carries ids — the 64-double vectors join back by id for the verify
     step, sized by candidate count, not by n * bands.
     """
+    _require_int_ids(df, id_col, "lsh_near_dup_pairs")
     planes = hyperplanes(num_planes, dim)
     sig_udf = _band_sigs_udf(planes, bands)
     vecs = cached(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
@@ -811,6 +838,8 @@ def lsh_ann_topk(
     """
     from hogflare_spark.operators.partitioning import fan_out
 
+    _require_int_ids(queries, id_col, "lsh_ann_topk")
+    _require_int_ids(corpus, id_col, "lsh_ann_topk")
     planes = hyperplanes(num_planes, dim)
     c = fan_out(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))).select(
         "neighbor_id",
@@ -969,6 +998,7 @@ def distributed_kmeans(
 
     Output: (id, cell) for every corpus row under the final centroids.
     """
+    _require_int_ids(corpus, id_col, "distributed_kmeans")
     cent = distributed_kmeans_fit(corpus, k, iters, id_col, vec_col, init, seed)
     base = corpus.select(
         F.col(id_col).alias("id"), unit_vec_expr(F.col(vec_col)).alias("v")
@@ -1158,6 +1188,7 @@ def distributed_kmeans_fit(
     before returning."""
     import math
 
+    _require_int_ids(corpus, id_col, "distributed_kmeans_fit")
     base = corpus.select(
         F.col(id_col).alias("id"), unit_vec_expr(F.col(vec_col)).alias("v")
     )

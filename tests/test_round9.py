@@ -1,0 +1,166 @@
+"""Round-9 regressions: BPE train-on-sample, parameter validation,
+ADVICE hardening (classifier cache release, fan_out malformed bodies,
+id-type handling in the Arrow similarity kernels)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_bpe_checkpoint_every_validated(spark):
+    from hogflare_spark.operators.bpe import bpe_segment, bpe_train_merges
+
+    df = spark.createDataFrame([Row(doc_id=0, text="a a a")])
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            bpe_train_merges(df, "text", "doc_id", n_merges=1, checkpoint_every=bad)
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            bpe_segment(df, "text", "doc_id", [("a", "a")], checkpoint_every=bad)
+    with pytest.raises(ValueError, match="sample_docs"):
+        bpe_train_merges(df, "text", "doc_id", n_merges=1, sample_docs=0)
+
+
+def test_bpe_train_on_sample_matches_manual_subset(spark):
+    """sample_docs trains on exactly the n lowest-(h60, id) docs: the
+    merge table equals training on that manually-selected subset, and a
+    sample covering the whole corpus equals full-corpus training."""
+    from hogflare_spark.functions.hashing import _py_h60
+    from hogflare_spark.operators.bpe import TRAIN_SAMPLE_SALT, bpe_train_merges
+
+    rows = [
+        Row(doc_id=i, text=f"alpha beta gamma delta tok{i} alpha beta")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows)
+
+    keep = sorted(
+        range(12), key=lambda i: (_py_h60(f"{TRAIN_SAMPLE_SALT}{i}"), i)
+    )[:5]
+    manual = spark.createDataFrame([r for r in rows if r.doc_id in keep])
+
+    sampled = [
+        tuple(r)
+        for r in bpe_train_merges(df, "text", "doc_id", 3, sample_docs=5).collect()
+    ]
+    expected = [tuple(r) for r in bpe_train_merges(manual, "text", "doc_id", 3).collect()]
+    assert sampled == expected
+    # the dominant pair survives sampling on this uniform corpus
+    assert (sampled[0][1], sampled[0][2]) == ("alpha", "beta")
+
+    full = [tuple(r) for r in bpe_train_merges(df, "text", "doc_id", 3).collect()]
+    covering = [
+        tuple(r)
+        for r in bpe_train_merges(df, "text", "doc_id", 3, sample_docs=12).collect()
+    ]
+    assert covering == full
+
+
+def test_fan_out_lane_survives_malformed_and_compressed_bodies(spark, tmp_path):
+    """r8 ADVICE: the fused flag+command checkpoint in the under-parallel
+    fan_out lane evaluates every fast-path expression on INELIGIBLE rows
+    too — malformed JSON, compressed envelopes, non-JSON garbage. Pin
+    that the combined checkpoint materializes without error and the lane
+    stays row-identical to the all-Python path."""
+    import base64
+    import json
+    import zlib
+
+    from hogflare_spark.operators.normalize import decode_normalize_requests
+    from hogflare_spark.operators.partitioning import fan_out
+
+    payload = {"event": "gz", "distinct_id": "z1", "properties": {"k": 1}}
+    gz_env = json.dumps(
+        {
+            "data": base64.b64encode(zlib.compress(json.dumps(payload).encode())).decode(),
+            "compression": "gzip-js",
+        }
+    )
+    bodies = [
+        '{"event":"ok","distinct_id":"u1","properties":{"k":5}}',  # eligible
+        "{not json at all",  # malformed
+        "\x00\x1f\x8b garbage bytes",  # binary-ish garbage
+        gz_env,  # compressed data envelope
+        "",  # empty body
+    ]
+    p = str(tmp_path / "raw.parquet")
+    spark.createDataFrame(
+        [(i, "capture", b) for i, b in enumerate(bodies)],
+        "request_seq long, endpoint string, body string",
+    ).coalesce(1).write.parquet(p)
+    raw = spark.read.parquet(p)
+    assert fan_out(raw) is not raw, "test precondition: fan_out lane must engage"
+
+    fast = decode_normalize_requests(raw, fast_path=True)
+    slow = decode_normalize_requests(raw, fast_path=False)
+    cols = sorted(fast.columns)
+    key = lambda df: sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+    got = key(fast)
+    assert got == key(slow)
+    # the decodable bodies both came through: the eligible row via the
+    # fast branch, the compressed envelope via the Python branch
+    events = {r["event"] for r in fast.collect()}
+    assert events == {"ok", "gz"}
+
+
+def test_arrow_kernel_ops_reject_non_integer_ids(spark):
+    """r8 ADVICE (medium): the Arrow rewrites move ids as int64 — the
+    operators must fail fast at plan-build with a clear TypeError on a
+    string id column, not with a numpy cast error inside a task."""
+    from hogflare_spark.operators.similarity import (
+        brute_force_topk,
+        distributed_kmeans,
+        lsh_ann_topk,
+        lsh_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [Row(vec_id="a", embedding=[1.0, 0.0]), Row(vec_id="b", embedding=[0.0, 1.0])]
+    )
+    for op in (
+        lambda: brute_force_topk(df, df, 1),
+        lambda: lsh_near_dup_pairs(df, threshold=0.9, dim=2),
+        lambda: lsh_ann_topk(df, df, 1, dim=2),
+        lambda: distributed_kmeans(df, k=1, iters=1),
+    ):
+        with pytest.raises(TypeError, match="integral id column"):
+            op()
+
+
+def test_cc_driver_fast_path_skipped_for_truncating_max_iter(spark):
+    """The driver union-find always converges; max_iter below the
+    threshold must route to the round-bounded distributed loop so a
+    caller asking for a truncated fixpoint gets one."""
+    from hogflare_spark.operators.identity import connected_components
+
+    # a 10-node path graph: diameter 9, 1 round of min-prop + jump
+    # cannot reach the global min from the far end
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    converged = {
+        r["id"]: r["comp"] for r in connected_components(edges).collect()
+    }
+    assert set(converged.values()) == {0}
+    truncated = {
+        r["id"]: r["comp"]
+        for r in connected_components(edges, max_iter=1).collect()
+    }
+    assert any(v != 0 for v in truncated.values()), (
+        "max_iter=1 should be honored (fast path must step aside)"
+    )
+
+
+def test_linear_probe_releases_cache_on_empty_input(spark):
+    """The empty-input early return must release the per-fit cached
+    frame like every other exit path (inline release() contract)."""
+    from hogflare_spark.functions.caching import _LIVE, unpersist_all
+    from hogflare_spark.operators.classifier import linear_probe
+
+    unpersist_all()
+    before = len(_LIVE)
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label int"
+    )
+    out = linear_probe(empty, target_label=1, iters=1)
+    assert out.count() == 0
+    assert len(_LIVE) == before
