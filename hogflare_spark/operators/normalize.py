@@ -716,7 +716,37 @@ CASE WHEN __gset IS NULL THEN NULL ELSE (
 """
 
 
+# fast_capture_path output memo: building the ~200-node eligibility /
+# command Column trees costs ~0.2 s of pure py4j round trips per call
+# (measured r9), paid once per decode. The trees are UNRESOLVED
+# expressions — they depend only on body_col and on WHICH optional
+# columns exist (through opt()), never on the specific frame — so they
+# are reusable across frames. Keyed additionally on applicationId so a
+# restarted session (new JVM state) never sees stale py4j handles.
+_FCP_MEMO: dict = {}
+
+
 def fast_capture_path(raw: DataFrame, body_col: str = "body"):
+    opt_cols = (
+        "content_type",
+        "content_encoding",
+        "header_api_key",
+        "header_sent_at",
+        "geo_json",
+        "ip",
+    )
+    key = (
+        raw.sparkSession.sparkContext.applicationId,
+        body_col,
+        tuple(c for c in opt_cols if c in raw.columns),
+    )
+    hit = _FCP_MEMO.get(key)
+    if hit is None:
+        hit = _FCP_MEMO[key] = _fast_capture_path(raw, body_col)
+    return hit
+
+
+def _fast_capture_path(raw: DataFrame, body_col: str = "body"):
     """(eligibility Column over `raw`, fast COMMAND-frame builder).
 
     The JVM expression twin of `command_row` for the dominant wire shape:
@@ -1035,11 +1065,20 @@ def decode_normalize_requests(
         # scans instead of two more predicate evaluations. Engages only
         # for under-parallel inputs — at real scale the scan has
         # thousands of splits, fan_out is a no-op, and the filters
-        # SHOULD push into the scans.
-        from hogflare_spark.operators.partitioning import fan_out
+        # SHOULD push into the scans. Engagement is decided by FILE
+        # count (is_small_file_input), not by whether fan_out actually
+        # shuffled: a caller that pre-fanned its SCAN (so its heavy body
+        # projection evaluates above its own exchange — the r9 decode
+        # fix) arrives already wide, and the lane's other wins (one
+        # eligibility evaluation, empty-slow-branch skip, one
+        # materialization shared by every consumer) still apply.
+        from hogflare_spark.operators.partitioning import (
+            fan_out,
+            is_small_file_input,
+        )
 
-        fanned = fan_out(raw)
-        if fanned is not raw:
+        if is_small_file_input(raw):
+            fanned = fan_out(raw)
             eligible, build, staged_wide = fast_capture_path(fanned, body_col)
             # r8: the command projection rides in the SAME pass as the
             # flag — one checkpoint materializes flag + decoded command
@@ -1071,7 +1110,6 @@ def decode_normalize_requests(
             mapped = slow_raw.mapInPandas(_run, COMMAND_SCHEMA)
             slow_df = mapped.where(F.col("error").isNull()).drop("error")
             return fast_df.unionByName(slow_df)
-        raw = fanned
 
     if fast_path:
         eligible, build, _ = fast_capture_path(raw, body_col)

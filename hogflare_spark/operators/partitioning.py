@@ -15,23 +15,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def has_explicit_repartition(df: DataFrame) -> bool:
+    """True when the analyzed plan already contains a user-inserted
+    Repartition / RepartitionByExpression / Rebalance node — the author
+    has taken control of parallelism, so fan_out must not stack a second
+    shuffle on top (r9: gates pre-fan their SCAN so heavy projections
+    evaluate above the exchange; fan_out re-shuffling the projected rows
+    was measured 3x slower because the projection ran single-threaded
+    below the round-robin). Cheap: one plan-string render, no execution.
+    A false positive only skips an optional widening shuffle."""
+    try:
+        return "Repartition" in df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+
+
+def is_small_file_input(df: DataFrame, target: int | None = None) -> bool:
+    """0 < #input-files < target: the under-parallel regime where one
+    small parquet file arrives as one scan partition. Pure FileIndex
+    metadata (inputFiles()), because df.rdd.getNumPartitions() pays a
+    >1s plan->RDD conversion per call."""
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return False
+    return 0 < n_files < target
+
+
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     """Round-robin repartition to `target` (default: defaultParallelism)
-    iff the plan reads fewer input files than that.
+    iff the plan reads fewer input files than that AND the author hasn't
+    already inserted an explicit repartition.
 
-    The check uses inputFiles() — pure FileIndex metadata — because
-    df.rdd.getNumPartitions() pays a >1s plan->RDD conversion per call.
     A 100 TB table backs onto thousands of files, so this is a no-op
     exactly where the repartition shuffle would be expensive; non-file
     sources (createDataFrame, streams) report no files and are left
     untouched.
     """
+    if not is_small_file_input(df, target):
+        return df
+    if has_explicit_repartition(df):
+        return df
     spark = df.sparkSession
-    target = target or spark.sparkContext.defaultParallelism
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        return df
-    if n_files == 0 or n_files >= target:
-        return df
-    return df.repartition(target)
+    return df.repartition(target or spark.sparkContext.defaultParallelism)

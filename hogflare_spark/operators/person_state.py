@@ -92,48 +92,70 @@ def derive_person_ops(commands: DataFrame) -> DataFrame:
     update (lib.rs:690-718); the snapshot placed on the event comes from
     the update/ensure op (or the alias op for `/alias` items); group-
     identify events carry no person fields (lib.rs:869-920).
+
+    ONE scan (r9): a command derives at most two ops — an alias/auto-
+    alias op and an update/ensure op — built as conditional structs and
+    exploded, instead of the former three filtered branches unioned
+    (three scans of the command projection per fold; at 100 TB that is
+    two redundant passes over the decoded batch). `F.when` with no
+    otherwise yields a NULL struct, which the array filter drops, so a
+    command matching no branch still contributes nothing.
     """
-    c = commands
-    alias_ops = c.where(F.col("alias").isNotNull()).select(
+    is_alias = F.col("alias").isNotNull()
+    eligible = F.col("alias").isNull() & (F.col("skip_person") == "0")
+    null_s = F.lit(None).cast("string")
+    op_first = F.when(
+        is_alias,
+        F.struct(
+            F.lit(1).alias("sub"),
+            F.lit("alias").alias("kind"),
+            F.get_json_object("alias", "$.distinct_id").alias("distinct_id"),
+            F.get_json_object("alias", "$.alias").alias("alias_id"),
+            null_s.alias("update"),
+            F.lit(True).alias("emit"),
+        ),
+    ).when(
+        eligible & F.col("anon_distinct_id").isNotNull(),
+        F.struct(
+            F.lit(0).alias("sub"),
+            F.lit("alias").alias("kind"),
+            F.col("distinct_id").alias("distinct_id"),
+            F.col("anon_distinct_id").alias("alias_id"),
+            null_s.alias("update"),
+            F.lit(False).alias("emit"),
+        ),
+    )
+    op_update = F.when(
+        eligible,
+        F.struct(
+            F.lit(1).alias("sub"),
+            F.when(F.col("person_update").isNotNull(), F.lit("update"))
+            .otherwise(F.lit("ensure"))
+            .alias("kind"),
+            F.col("distinct_id").alias("distinct_id"),
+            null_s.alias("alias_id"),
+            F.col("person_update").alias("update"),
+            F.lit(True).alias("emit"),
+        ),
+    )
+    return commands.select(
         "request_seq",
         "item_index",
-        F.lit(1).alias("sub"),
-        F.lit("alias").alias("kind"),
-        F.get_json_object("alias", "$.distinct_id").alias("distinct_id"),
-        F.get_json_object("alias", "$.alias").alias("alias_id"),
-        F.lit(None).cast("string").alias("update"),
-        F.col("timestamp"),
-        F.lit(True).alias("emit"),
-    )
-    auto_alias_ops = c.where(
-        F.col("alias").isNull()
-        & (F.col("skip_person") == "0")
-        & F.col("anon_distinct_id").isNotNull()
+        "timestamp",
+        F.explode(
+            F.filter(F.array(op_first, op_update), lambda x: x.isNotNull())
+        ).alias("_op"),
     ).select(
         "request_seq",
         "item_index",
-        F.lit(0).alias("sub"),
-        F.lit("alias").alias("kind"),
-        F.col("distinct_id"),
-        F.col("anon_distinct_id").alias("alias_id"),
-        F.lit(None).cast("string").alias("update"),
+        F.col("_op.sub").alias("sub"),
+        F.col("_op.kind").alias("kind"),
+        F.col("_op.distinct_id").alias("distinct_id"),
+        F.col("_op.alias_id").alias("alias_id"),
+        F.col("_op.update").alias("update"),
         F.col("timestamp"),
-        F.lit(False).alias("emit"),
+        F.col("_op.emit").alias("emit"),
     )
-    update_ops = c.where(F.col("alias").isNull() & (F.col("skip_person") == "0")).select(
-        "request_seq",
-        "item_index",
-        F.lit(1).alias("sub"),
-        F.when(F.col("person_update").isNotNull(), F.lit("update"))
-        .otherwise(F.lit("ensure"))
-        .alias("kind"),
-        F.col("distinct_id"),
-        F.lit(None).cast("string").alias("alias_id"),
-        F.col("person_update").alias("update"),
-        F.col("timestamp"),
-        F.lit(True).alias("emit"),
-    )
-    return alias_ops.unionByName(auto_alias_ops).unionByName(update_ops)
 
 
 def _seed_ops(prior_persons: DataFrame) -> DataFrame:
@@ -319,10 +341,29 @@ def fold_person_state(
 
     small_batch = False
     n_commands: int | None = None
+    n_alias_cmds: int | None = None
     if fast_path == "auto":
-        # commands is cached by ingest_commands; the count is one cached
-        # scan and the materialization is work every consumer needs anyway
-        n_commands = commands.count()
+        # ONE aggregate job sizes the whole fold: the command count (rank
+        # scheme + fold width) and the alias-op count ride the same scan
+        # of the (checkpointed/cached) command projection. The alias
+        # count lets the common no-alias batch skip the CC probe job and
+        # the component left-join below outright (r9; the probe was a
+        # separate isEmpty job per fold).
+        agg_row = commands.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(
+                    F.col("alias").isNotNull()
+                    | (
+                        (F.col("skip_person") == "0")
+                        & F.col("anon_distinct_id").isNotNull()
+                    ),
+                    1,
+                )
+            ).alias("n_alias"),
+        ).first()
+        n_commands = int(agg_row["n"])
+        n_alias_cmds = int(agg_row["n_alias"])
         small_batch = n_commands < RANK_TWO_PHASE_MIN_COMMANDS
         if FAST_PATH_MIN_COMMANDS is not None and n_commands >= FAST_PATH_MIN_COMMANDS:
             fast_path = True
@@ -346,23 +387,30 @@ def fold_person_state(
     # of ~#ops (the event stream), which is the difference between a
     # constant-size fixpoint loop and one shuffling the whole stream per
     # round at 100 TB.
-    edges = ops.where(F.col("kind") == "alias").select(
-        F.col("distinct_id").alias("src"), F.col("alias_id").alias("dst")
-    )
-    if prior_persons is not None:
-        # a prior record's distinct_ids are identity edges: new ops touching
-        # any of them must land in the record's component
-        edges = edges.union(
-            prior_persons.select(
-                F.col("canonical_id").alias("src"),
-                F.explode("distinct_ids").alias("dst"),
-            )
+    if n_alias_cmds == 0 and prior_persons is None:
+        # the sizing aggregate above proved there are no alias ops and
+        # nothing is seeded: every component is the singleton of its
+        # distinct_id — skip the CC machinery AND its left join
+        components = None
+        ops_with_comp = ops.withColumn("comp", F.col("distinct_id"))
+    else:
+        edges = ops.where(F.col("kind") == "alias").select(
+            F.col("distinct_id").alias("src"), F.col("alias_id").alias("dst")
         )
-    components = connected_components(edges)
+        if prior_persons is not None:
+            # a prior record's distinct_ids are identity edges: new ops
+            # touching any of them must land in the record's component
+            edges = edges.union(
+                prior_persons.select(
+                    F.col("canonical_id").alias("src"),
+                    F.explode("distinct_ids").alias("dst"),
+                )
+            )
+        components = connected_components(edges)
 
-    ops_with_comp = ops.join(
-        components.withColumnRenamed("id", "distinct_id"), "distinct_id", "left"
-    ).withColumn("comp", F.coalesce("comp", "distinct_id"))
+        ops_with_comp = ops.join(
+            components.withColumnRenamed("id", "distinct_id"), "distinct_id", "left"
+        ).withColumn("comp", F.coalesce("comp", "distinct_id"))
 
     def _row(row_type: str, **kw) -> dict:
         base = {f.name: None for f in _FOLD_OUT.fields}
@@ -556,18 +604,21 @@ def fold_person_state(
         # the window flag pass and its full-frame localCheckpoint
         # entirely; the fold re-reads ops from the cached commands.
         id_counts = ops.groupBy("distinct_id").agg(F.count(F.lit(1)).alias("c"))
-        mx = (
-            id_counts.join(
-                components.withColumnRenamed("id", "distinct_id"),
-                "distinct_id",
-                "left",
+        if components is None:
+            # no alias ops, no seeds: components ARE the distinct_ids
+            comp_counts = id_counts.withColumnRenamed("distinct_id", "comp")
+        else:
+            comp_counts = (
+                id_counts.join(
+                    components.withColumnRenamed("id", "distinct_id"),
+                    "distinct_id",
+                    "left",
+                )
+                .withColumn("comp", F.coalesce("comp", "distinct_id"))
+                .groupBy("comp")
+                .agg(F.sum("c").alias("c"))
             )
-            .withColumn("comp", F.coalesce("comp", "distinct_id"))
-            .groupBy("comp")
-            .agg(F.sum("c").alias("c"))
-            .agg(F.max("c").alias("mx"))
-            .first()["mx"]
-        )
+        mx = comp_counts.agg(F.max("c").alias("mx")).first()["mx"]
         if mx is None or mx < MEGA_COMPONENT_MIN_OPS:
             fast_path = False
         else:
@@ -652,20 +703,31 @@ def fold_person_state(
     # the global max id it tracks in its state pointer) — without it a
     # restricted seed would re-issue ids already held by unseeded rows.
     if person_id_floor is not None:
-        max_prior = folded.sparkSession.range(1).select(
-            F.lit(int(person_id_floor)).cast("long").alias("_max_prior")
+        # a known floor is a literal — no join needed
+        id_rank = _two_phase_rank(allocs, small_batch).select(
+            "alloc_uuid",
+            (F.col("rank") + F.lit(int(person_id_floor)).cast("long")).alias(
+                "new_id"
+            ),
         )
     elif prior_persons is not None:
         max_prior = prior_persons.agg(
             F.coalesce(F.max("id"), F.lit(0)).cast("long").alias("_max_prior")
         )
-    else:
-        max_prior = folded.sparkSession.range(1).select(
-            F.lit(0).cast("long").alias("_max_prior")
+        id_rank = (
+            _two_phase_rank(allocs, small_batch)
+            .crossJoin(F.broadcast(max_prior))
+            .select(
+                "alloc_uuid",
+                (F.col("rank") + F.col("_max_prior")).alias("new_id"),
+            )
         )
-    id_rank = _two_phase_rank(allocs, small_batch).crossJoin(F.broadcast(max_prior)).select(
-        "alloc_uuid", (F.col("rank") + F.col("_max_prior")).alias("new_id")
-    )
+    else:
+        # fresh fold: ids start at 1 — the former broadcast-crossJoin of
+        # a literal 0 cost one AQE broadcast job per fold for nothing
+        id_rank = _two_phase_rank(allocs, small_batch).select(
+            "alloc_uuid", F.col("rank").alias("new_id")
+        )
     persons = (
         folded.where(F.col("row_type") == "person")
         .join(id_rank, F.col("uuid") == F.col("alloc_uuid"), "left")

@@ -40,8 +40,25 @@ def _capture_requests_from_events(spark: SparkSession, sf_dir: str) -> DataFrame
     {"temp": k}}} — even k sets temp, odd k unsets it, so every event
     touches every key and the oracle reduces to the k at each user's
     boundary events.
+
+    The SCAN is fanned out before the body projection: a single small
+    parquet file reads as one task, and the ~10-JSON-op body build plus
+    the decode lane's eligibility/command expressions would all run
+    single-threaded below decode's own round-robin exchange (measured
+    3x slower at sf0.1). With the exchange under the projection, every
+    expression evaluates at session width and decode's lane sees the
+    explicit repartition and does not re-shuffle. At real scale the
+    scan has thousands of splits and fan_out is a no-op.
     """
-    ev = load_table(spark, sf_dir, "events")
+    from hogflare_spark.operators.partitioning import fan_out
+
+    # (Tried and reverted: extracting k below the exchange so the five
+    # CollapseProject-inlined get_json_object references become one parse
+    # — consistently ~0.5 s SLOWER at sf1, because the parse then rides
+    # the narrow 6-task scan stage instead of spreading 32-wide above
+    # the exchange. Parse count is not the binding constraint; stage
+    # width is.)
+    ev = fan_out(load_table(spark, sf_dir, "events"))
     k = F.get_json_object("props", "$.k").cast("long")
     even = (k % 2) == 0
     set_map = F.when(
@@ -98,10 +115,13 @@ def hf_person_fold_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hogflare_spark.operators.normalize import decode_normalize_requests
     from hogflare_spark.operators.person_state import fold_person_state
 
-    from hogflare_spark.functions.caching import cached
-
     raw = _capture_requests_from_events(spark, sf_dir)
-    commands = cached(decode_normalize_requests(raw))
+    # No cached() here (r9): decode's fused-checkpoint lane already
+    # pins the decoded rows; every fold consumer (count, the one-scan
+    # op derivation, the alias-edge probe) re-reads cheap column
+    # selects off that checkpoint, so a second cache materialization
+    # pass bought nothing and cost ~0.3 s of the warm gate.
+    commands = decode_normalize_requests(raw)
     _, persons = fold_person_state(commands, emit_snapshots=False)
     return persons.select(
         F.col("canonical_id").cast("long").alias("user_id"),
