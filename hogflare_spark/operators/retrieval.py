@@ -171,6 +171,177 @@ def bm25_topk_sql(
     """
 
 
+def bm25_batch_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k_top: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Batched BM25: N queries against ONE corpus pass (r8 verdict #5).
+
+    `bm25_topk` pays a corpus scan per query — fine interactively, wrong
+    for a curation pass running hundreds of queries. This variant goes
+    through the exploded inverted shape instead of per-term tf columns:
+
+      * scan 1 (column-pruned agg): corpus stats N / Σdl — 1 row;
+      * scan 2: explode tokens, keep only tokens in the UNION of all
+        query term lists (a broadcast literal set — queries are small by
+        contract), groupBy (doc, term) → tf. The shuffle carries only
+        matched tokens, a small fraction of the token stream; per-term
+        document frequencies reduce from the same frame (≤ |terms| rows,
+        broadcast back).
+      * scoring: matched-tf join × broadcast(query terms) × broadcast
+        stats/df — pure arithmetic; per-(query, doc) scores fold in
+        sorted-term order, exactly the order the single-query plan adds
+        its term columns, so scores are BIT-IDENTICAL to running
+        bm25_topk per query (absent tf=0 terms contribute an exact +0.0,
+        which IEEE addition ignores — pinned in tests).
+      * per-query top-k: a rank window PARTITIONED by query_id — k rows
+        per query out, never a global sort.
+
+    So N queries cost two corpus scans total, not N — and the exploded
+    frame is term-filtered before its only shuffle. Output: (query_id,
+    doc_id, rank, score), ties on the lower doc_id, score-0 docs
+    excluded, exactly like the single-query contract."""
+    spark = docs.sparkSession
+    qrows = [
+        (int(qid), t)
+        for qid, terms in queries
+        for t in sorted(set(x.lower() for x in terms))
+    ]
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, rank int, score double"
+        )
+    qdf = spark.createDataFrame(qrows, "query_id long, term string")
+    term_set = sorted({t for _, t in qrows})
+    tok = T.tokens(F.col(text_col))
+
+    stats = docs.select(F.size(tok).alias("dl")).agg(
+        F.count("*").alias("n"), F.sum("dl").alias("sdl")
+    )
+    matched = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.size(tok).alias("dl"),
+            F.explode(tok).alias("term"),
+        )
+        .where(F.col("term").isin(term_set))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = matched.groupBy("term").agg(F.count("*").alias("df"))
+
+    j = (
+        matched.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sdl").cast("double") / F.col("n").cast("double")
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0)
+        - F.lit(float(b))
+        + F.lit(float(b)) * (F.col("dl").cast("double") / avgdl)
+    )
+    idf = _round9(
+        F.log(
+            (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+    )
+    tf = F.col("tf").cast("double")
+    per_term = j.select(
+        "query_id",
+        "id",
+        "term",
+        (idf * (tf * F.lit(float(k1) + 1.0)) / (tf + norm)).alias("ts"),
+    )
+    doc = per_term.groupBy("query_id", "id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "ts"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["ts"],
+        ).alias("_s")
+    )
+    scored = doc.select(
+        "query_id",
+        "id",
+        (F.floor(F.col("_s") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("score"),
+    ).where(F.col("score") > 0)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_top)
+        .select(
+            "query_id",
+            F.col("id").alias("doc_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "score",
+        )
+    )
+
+
+def bm25_batch_topk_sql(
+    table: str,
+    queries: list[tuple[int, list[str]]],
+    k_top: int = 10,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB mirror of bm25_batch_topk — same inverted shape, same
+    sorted-term fold, same rounding sequence."""
+    qrows = [
+        (int(qid), t)
+        for qid, terms in queries
+        for t in sorted(set(x.lower() for x in terms))
+    ]
+    tok = T.tokens_sql(text_expr)
+    q_values = ", ".join(f"({qid}, '{t}')" for qid, t in qrows)
+    term_list = ", ".join(f"'{t}'" for t in sorted({t for _, t in qrows}))
+    idf = "(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1000000000 + 0.5) / 1000000000)"
+    ts = (
+        f"{idf} * (tf::DOUBLE * {k1 + 1.0}) / "
+        f"(tf::DOUBLE + {k1} * (1.0 - {b} + {b} * (dl::DOUBLE / (sdl::DOUBLE / n::DOUBLE))))"
+    )
+    return f"""
+    WITH q(query_id, term) AS (VALUES {q_values}),
+    toks AS (SELECT {id_expr} AS id, {tok} AS tok FROM {table}),
+    stats AS (SELECT count(*) AS n, sum(len(tok)) AS sdl FROM toks),
+    matched AS (
+      SELECT id, dl, t AS term, count(*) AS tf
+      FROM (SELECT id, len(tok) AS dl, unnest(tok) AS t FROM toks)
+      WHERE t IN ({term_list})
+      GROUP BY id, dl, t
+    ),
+    dft AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+    per_term AS (
+      SELECT q.query_id, m.id, m.term, {ts} AS ts
+      FROM matched m
+      JOIN q ON q.term = m.term
+      JOIN dft ON dft.term = m.term
+      CROSS JOIN stats
+    ),
+    doc AS (
+      SELECT query_id, id,
+             floor(list_sum(list(ts ORDER BY term)) * 1000000 + 0.5) / 1000000 AS score
+      FROM per_term GROUP BY query_id, id
+    ),
+    r AS (
+      SELECT query_id, id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
+      FROM doc WHERE score > 0
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, id AS doc_id,
+           CAST(rank AS INT) AS rank, score
+    FROM r WHERE rank <= {k_top}
+    """
+
+
 def hybrid_rrf_topk(
     docs: DataFrame,
     embeddings: DataFrame,

@@ -699,6 +699,39 @@ def dsir_score(feats: DataFrame, model: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+def dsir_model_counts_sql(
+    table: str,
+    text_expr: str,
+    id_expr: str,
+    target_expr: str,
+    target_value: str,
+    n_buckets: int = 256,
+) -> str:
+    """DuckDB mirror of `dsir_model_counts`: the exact (b, cr, ct)
+    integer bucket counts — the oracle for the incremental streaming
+    model, whose accumulated counts must equal these bit-for-bit
+    (additive ints; streaming/incremental_model.py)."""
+    from hogflare_spark.functions.hashing import h60_sql
+
+    tok = T.tokens_sql(text_expr)
+    ng = _ngrams12_sql("tok")
+    return f"""
+    WITH base AS (
+      SELECT {id_expr} AS id, {target_expr} = '{target_value}' AS is_target,
+             {tok} AS tok FROM {table}
+    ), feats AS (
+      SELECT id, is_target, {h60_sql('f')} % {n_buckets} AS b
+      FROM (SELECT id, is_target, unnest({ng}) AS f FROM base)
+    ), raw AS (
+      SELECT b, count(*) AS cr FROM feats GROUP BY b
+    ), tgt AS (
+      SELECT b, count(*) AS ct FROM feats WHERE is_target GROUP BY b
+    )
+    SELECT raw.b, raw.cr, coalesce(tgt.ct, 0) AS ct
+    FROM raw LEFT JOIN tgt ON tgt.b = raw.b
+    """
+
+
 def dsir_weights_sql(
     table: str,
     text_expr: str,

@@ -204,6 +204,18 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     "llm_ann_lsh_exhaustive",
     "ev_weekly_retention",
     "llm_lang_id",
+    # round 9: the incremental DSIR model gate registers past the window
+    # from birth (r8 verdict #4) — the streaming-state pattern it rides
+    # has a graded representative in llm_stream_incremental_dedup and
+    # (after this round's rotation) llm_stream_near_dedup; the model
+    # arithmetic is graded via the dsir/unigram family sims and pinned
+    # bit-equal to its batch twin in tests/test_streaming_model.py.
+    "llm_stream_dsir_model",
+    # round 9: batched multi-query BM25 (r8 verdict #5) — the scoring
+    # arithmetic has a graded representative in llm_bm25_topk (promoted
+    # this round); the batch variant is pinned bit-identical per query
+    # in tests/test_retrieval.py and sim-graded here.
+    "llm_bm25_batch",
 )
 
 

@@ -1442,6 +1442,57 @@ def _register_dsir_oracle() -> None:
 _register_dsir_oracle()
 
 
+@query("llm_stream_dsir_model", oracle=None)
+def llm_stream_dsir_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DSIR model over streaming snapshots
+    (streaming/incremental_model.IncrementalDsirModel, r8 verdict #4):
+    the documents table arrives as three doc_id-range micro-batches;
+    each batch's hashed-n-gram bucket counts fold into per-batch state
+    dirs, compacted into a rolling snapshot every 2 batches (so this
+    run exercises a compaction mid-stream). Because the model is exact
+    ADDITIVE integer counts, the accumulated (b, cr, ct) after all
+    batches equals the batch `dsir_model_counts` over the whole table
+    bit-for-bit — which is the oracle (dsir_model_counts_sql)."""
+    import shutil
+    import tempfile
+
+    from hogflare_spark.streaming.incremental_model import IncrementalDsirModel
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    n = docs.count()
+    b1, b2 = n // 3, 2 * n // 3
+    work = tempfile.mkdtemp(prefix="llm_stream_dsir_")
+    try:
+        job = IncrementalDsirModel(
+            work,
+            target_col=_DSIR_TARGET[0],
+            target_value=_DSIR_TARGET[1],
+            n_buckets=_DSIR_BUCKETS,
+            compact_every=2,
+        )
+        job.process_batch(docs.where(F.col("doc_id") < b1), 0)
+        job.process_batch(
+            docs.where((F.col("doc_id") >= b1) & (F.col("doc_id") < b2)), 1
+        )
+        job.process_batch(docs.where(F.col("doc_id") >= b2), 2)
+        return job.model(spark).orderBy("b").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _register_stream_dsir_oracle() -> None:
+    from hogflare_spark.operators.text_analysis import dsir_model_counts_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = dsir_model_counts_sql(
+        "documents", "text", "doc_id", *_DSIR_TARGET, n_buckets=_DSIR_BUCKETS
+    )
+    ORACLES["llm_stream_dsir_model"] = f"SELECT * FROM ({inner}) ORDER BY b"
+
+
+_register_stream_dsir_oracle()
+
+
 _BUDGET_TOKENS = 12_000
 
 
@@ -1699,6 +1750,43 @@ def _register_bm25_oracle() -> None:
 
 
 _register_bm25_oracle()
+
+
+# a curation pass: several named queries against one corpus pass
+_BM25_BATCH_QUERIES = [
+    (1, _BM25_TERMS),
+    (2, ["data", "model", "training"]),
+    (3, ["stream", "window"]),
+]
+
+
+@query("llm_bm25_batch", oracle=None)
+def llm_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 (operators/retrieval.bm25_batch_topk, r8 verdict
+    #5): N queries rank against TWO corpus scans total (a 1-row stats
+    agg + one term-filtered inverted explode), not N scans — the
+    curation-pass shape. Per-(query, doc) scores are bit-identical to
+    running bm25_topk per query (sorted-term fold; pinned in
+    tests/test_retrieval.py)."""
+    from hogflare_spark.operators.retrieval import bm25_batch_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_batch_topk(docs, _BM25_BATCH_QUERIES, k_top=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _register_bm25_batch_oracle() -> None:
+    from hogflare_spark.operators.retrieval import bm25_batch_topk_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = bm25_batch_topk_sql("documents", _BM25_BATCH_QUERIES, k_top=10)
+    ORACLES["llm_bm25_batch"] = (
+        f"SELECT * FROM ({inner}) ORDER BY query_id, rank"
+    )
+
+
+_register_bm25_batch_oracle()
 
 
 @query("llm_hybrid_rrf", oracle=None)

@@ -80,3 +80,36 @@ def test_hybrid_rrf_rewards_presence_in_both_rankings(spark):
     ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert ranked[0] == 0  # top of dense, top-2 lexical
     assert 9 not in ranked  # the query row itself is excluded
+
+
+def test_bm25_batch_matches_per_query_bitwise(spark):
+    """bm25_batch_topk's per-(query, doc) scores and ranks must equal
+    running bm25_topk per query — the sorted-term fold reproduces the
+    single-query summation order exactly (absent tf=0 terms contribute
+    an exact +0.0, which IEEE addition ignores)."""
+    from hogflare_spark.operators.retrieval import bm25_batch_topk, bm25_topk
+
+    docs = spark.createDataFrame(DOCS)
+    queries = [
+        (1, ["spark", "join"]),
+        (2, ["window", "hash", "value"]),
+        (3, ["nothing"]),
+        (4, ["absent-term"]),  # matches no doc -> no rows for query 4
+    ]
+    batch = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in bm25_batch_topk(docs, queries, k_top=10).collect()
+    }
+    expect = {}
+    for qid, terms in queries:
+        for r in bm25_topk(docs, terms, k_top=10).collect():
+            expect[(qid, r["doc_id"])] = (r["rank"], r["score"])
+    assert batch == expect
+    assert not any(q == 4 for q, _ in batch)
+
+
+def test_bm25_batch_empty_queries(spark):
+    from hogflare_spark.operators.retrieval import bm25_batch_topk
+
+    out = bm25_batch_topk(spark.createDataFrame(DOCS), [])
+    assert out.count() == 0
