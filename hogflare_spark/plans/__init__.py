@@ -216,6 +216,11 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # this round); the batch variant is pinned bit-identical per query
     # in tests/test_retrieval.py and sim-graded here.
     "llm_bm25_batch",
+    # round 9: /decide on live streaming state (r8 verdict #9) — both
+    # halves have graded representatives (hf_streaming_person_fold for
+    # the state, hf_flag_eval for the kernel); the composition is
+    # sim-graded here.
+    "hf_flags_on_streaming_state",
 )
 
 

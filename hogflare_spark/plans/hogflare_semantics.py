@@ -227,6 +227,126 @@ def hf_streaming_person_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+# /decide on live state (r8 verdict #9): the reference's flag read path
+# evaluates against CURRENT person state (lib.rs:1284-1345), not against
+# a batch rebuild — this gate closes that loop by folding the capture
+# stream through the streaming ingest job and evaluating compiled flags
+# on the read-back persons table.
+_STREAM_FLAGS_CONFIG = """
+{"flags": [
+  {"key": "big-k",
+   "conditions": [{"properties": [
+     {"key": "k", "value": 50, "operator": "gte"}]}]},
+  {"key": "temp-set",
+   "conditions": [{"properties": [
+     {"key": "temp", "value": 0, "operator": "gte"}]}]},
+  {"key": "early-bird-or-big",
+   "conditions": [
+     {"properties": [{"key": "first_k", "value": 10, "operator": "lt"}]},
+     {"properties": [{"key": "k", "value": 90, "operator": "gte"}]}]}
+]}
+"""
+
+_STREAM_FLAGS_ORACLE = """
+    WITH k_events AS (
+      SELECT user_id, event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ), lasts AS (
+      SELECT user_id,
+             arg_max(k, event_id) AS last_k,
+             arg_min(k, event_id) AS first_k
+      FROM k_events GROUP BY user_id
+    ), state AS (
+      SELECT user_id, last_k, first_k,
+             CASE WHEN last_k % 2 = 0 THEN last_k END AS temp_last
+      FROM lasts
+    )
+    SELECT user_id, flag_key, value, reason, condition_index FROM (
+      SELECT user_id, 'big-k' AS flag_key,
+             CASE WHEN last_k >= 50 THEN 'true' ELSE 'false' END AS value,
+             CASE WHEN last_k >= 50 THEN 'match' ELSE 'no_match' END AS reason,
+             CASE WHEN last_k >= 50 THEN 0 END AS condition_index
+      FROM state
+      UNION ALL
+      SELECT user_id, 'temp-set',
+             CASE WHEN temp_last IS NOT NULL AND temp_last >= 0 THEN 'true' ELSE 'false' END,
+             CASE WHEN temp_last IS NOT NULL AND temp_last >= 0 THEN 'match' ELSE 'no_match' END,
+             CASE WHEN temp_last IS NOT NULL AND temp_last >= 0 THEN 0 END
+      FROM state
+      UNION ALL
+      SELECT user_id, 'early-bird-or-big',
+             CASE WHEN first_k < 10 OR last_k >= 90 THEN 'true' ELSE 'false' END,
+             CASE WHEN first_k < 10 OR last_k >= 90 THEN 'match' ELSE 'no_match' END,
+             CASE WHEN first_k < 10 THEN 0 WHEN last_k >= 90 THEN 1 END
+      FROM state
+    )
+    ORDER BY user_id, flag_key
+    """
+
+
+@query("hf_flags_on_streaming_state", oracle=_STREAM_FLAGS_ORACLE)
+def hf_flags_on_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/decide against LIVE streaming state (r8 verdict #9): the capture
+    stream folds through the streaming ingest job as two micro-batches,
+    then compiled flags evaluate over the READ-BACK persons table — the
+    reference's flag read path consumes current person state
+    (lib.rs:1284-1345), and this is the first gate composing the
+    streaming fold's output with the flag kernel. Flag contexts carry
+    the state table's merged properties (values are JSON-encoded
+    strings, so the gte/lt filters also exercise F5 coercion); the
+    oracle derives the same final state relationally and replays the
+    ordered-conditions semantics as CASE arms."""
+    import shutil
+    import tempfile
+
+    from hogflare_spark.flags.compiler import evaluate_flags_df
+    from hogflare_spark.flags.model import parse_flag_config
+    from hogflare_spark.streaming.ingest_stream import (
+        StreamingIngestJob,
+        read_request_stream,
+    )
+
+    raw = _capture_requests_from_events(spark, sf_dir)
+    (mid,) = raw.approxQuantile("request_seq", [0.5], 0.001)
+    chunks = [
+        raw.where(F.col("request_seq") <= F.lit(int(mid))),
+        raw.where(F.col("request_seq") > F.lit(int(mid))),
+    ]
+    work = tempfile.mkdtemp(prefix="hf_stream_flags_")
+    landing = os.path.join(work, "landing")
+    ckpt = os.path.join(work, "ckpt")
+    warehouse = os.path.join(work, "warehouse")
+    job = StreamingIngestJob(warehouse, hybrid=True)
+    try:
+        for chunk in chunks:
+            chunk.write.mode("append").json(landing)
+            job.run_available_now(read_request_stream(spark, landing), ckpt)
+        persons = job.read_persons(spark)
+        contexts = persons.select(
+            F.col("canonical_id").cast("long").alias("user_id"),
+            F.col("canonical_id").alias("distinct_id"),
+            F.to_json(
+                F.struct(
+                    F.element_at("properties", "k").alias("k"),
+                    F.element_at("properties", "temp").alias("temp"),
+                    F.element_at("properties_set_once", "first_k").alias(
+                        "first_k"
+                    ),
+                )
+            ).alias("person_properties"),
+            F.create_map().cast("map<string,string>").alias("groups"),
+            F.lit(None).cast("string").alias("group_properties"),
+        )
+        flags = parse_flag_config(_STREAM_FLAGS_CONFIG)
+        out = evaluate_flags_df(
+            contexts.orderBy("user_id"), sorted(flags, key=lambda f: f.key)
+        ).select("user_id", "flag_key", "value", "reason", "condition_index")
+        result = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
 @query(
     "ev_stream_windowed_counts",
     oracle="""
