@@ -656,3 +656,143 @@ def mixture_materialize_sql(
     SELECT doc_id, domain, CAST(_rk AS INT) AS draw_rank
     FROM ranked WHERE _rk <= quota
     """
+
+
+SHUFFLE_SALT = "global-shuffle:"
+
+
+def global_shuffle(
+    df: DataFrame, id_col: str, n_shards: int = 64
+) -> DataFrame:
+    """Deterministic global training-order shuffle: (doc_id, shard, pos).
+
+    Every training run starts by shuffling the corpus into shards whose
+    within-shard order is random but REPRODUCIBLE — what tf.data /
+    webdataset-style loaders consume. shard = h60(salt || id) %
+    n_shards is a content-derived uniform assignment (same device as
+    hash_split, so it is stable under corpus growth and engine choice);
+    pos is the rank within the shard by (h60(salt2 || id), id) — a
+    second independent hash order with the id tiebreak, so ordering is
+    total and engine-independent.
+
+    Scale shape: one projection computes both hashes; the only shuffle
+    is the hash-partition by shard for the per-shard rank window — each
+    reducer sorts ~|corpus|/n_shards rows, so n_shards sized to the
+    cluster keeps the sort partition-local and bounded. No driver
+    traffic, no global sort: the (shard, pos) pair IS the shuffled
+    order, consumed shard-by-shard exactly as a loader reads it."""
+    shard = (
+        h60(F.concat(F.lit(SHUFFLE_SALT), F.col(id_col).cast("string")))
+        % n_shards
+    ).cast("int")
+    order = h60(
+        F.concat(F.lit(SHUFFLE_SALT + "pos:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy("_ord", id_col)
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"), shard.alias("shard"), order.alias("_ord")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def global_shuffle_sql(
+    table: str, id_expr: str, n_shards: int = 64
+) -> str:
+    """DuckDB mirror of global_shuffle."""
+    from hogflare_spark.functions.hashing import h60_sql
+
+    shard_hash = h60_sql(f"'{SHUFFLE_SALT}' || CAST({id_expr} AS VARCHAR)")
+    shard = f"({shard_hash} % {n_shards})"
+    ordh = h60_sql(f"'{SHUFFLE_SALT}pos:' || CAST({id_expr} AS VARCHAR)")
+    return f"""
+    SELECT {id_expr} AS doc_id, CAST({shard} AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY {shard} ORDER BY {ordh}, {id_expr}
+           ) AS BIGINT) AS pos
+    FROM {table}
+    """
+
+
+INTERLEAVE_SALT = "mixture-interleave:"
+
+
+def mixture_interleave(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: dict[str, int],
+) -> DataFrame:
+    """Weighted round-robin training order across domains:
+    (doc_id, domain, okey) where sorting by (okey, domain, doc_id)
+    yields a stream that interleaves domains proportionally to their
+    integer weights — the standard "mixture schedule" consumed after
+    quotas are materialized (llm_mixture_materialize picks WHAT to
+    train on; this orders it).
+
+    okey = within-domain draw rank r (1-based, by the deterministic
+    (h60, id) order) divided by the domain's weight: a weight-2w domain
+    emits two docs for every one of a weight-w domain at any prefix of
+    the stream — the classic deficit-round-robin key. The divide is ONE
+    int/int IEEE operation per row (exactly rounded), so okey is
+    engine-independent; ties break on (domain, doc_id).
+
+    Scale shape: one per-domain rank window (hash-partition by domain —
+    the same skew note as every per-domain window: a mega-domain sorts
+    on one reducer, and the documented relaxation is pre-bucketing a
+    mega domain by hash range) + one projection. The global order is
+    carried as a KEY, not materialized as a global sort — consumers
+    range-partition on okey to read the stream in order."""
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], int(kv[1]))]
+    )
+    order = h60(
+        F.concat(F.lit(INTERLEAVE_SALT), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("domain").orderBy("_ord", "doc_id")
+    ranked = (
+        df.where(F.col(domain_col).isin(list(weights)))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(domain_col).alias("domain"),
+            order.alias("_ord"),
+        )
+        .withColumn("_rk", F.row_number().over(w).cast("long"))
+    )
+    okey = F.col("_rk").cast("double") / wmap[F.col("domain")].cast("double")
+    # floor-based round9, the repo's cross-engine rounding convention
+    # (F.round's HALF_UP BigDecimal path vs DuckDB round() could differ
+    # at half-ulp boundaries)
+    okey9 = F.floor(okey * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    return ranked.select("doc_id", "domain", okey9.alias("okey"))
+
+
+def mixture_interleave_sql(
+    table: str,
+    id_expr: str,
+    domain_expr: str,
+    weights: dict[str, int],
+) -> str:
+    """DuckDB mirror of mixture_interleave."""
+    from hogflare_spark.functions.hashing import h60_sql
+
+    ordh = h60_sql(f"'{INTERLEAVE_SALT}' || CAST({id_expr} AS VARCHAR)")
+    domains = ", ".join(f"'{d}'" for d in weights)
+    wcase = " ".join(
+        f"WHEN '{d}' THEN {int(v)}" for d, v in weights.items()
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT {id_expr} AS doc_id, {domain_expr} AS domain,
+             row_number() OVER (
+               PARTITION BY {domain_expr} ORDER BY {ordh}, {id_expr}
+             ) AS _rk
+      FROM {table} WHERE {domain_expr} IN ({domains})
+    )
+    SELECT doc_id, domain,
+           floor(_rk::DOUBLE / (CASE domain {wcase} END)::DOUBLE
+                 * 1000000000 + 0.5) / 1000000000 AS okey
+    FROM ranked
+    """

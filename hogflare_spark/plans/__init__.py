@@ -221,6 +221,12 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # the state, hf_flag_eval for the kernel); the composition is
     # sim-graded here.
     "hf_flags_on_streaming_state",
+    # round 9: training-order operators — deterministic shard shuffle
+    # and the weighted round-robin mixture schedule; pure
+    # hash-projection + per-key rank-window shapes with graded
+    # relatives in llm_hash_split / llm_mixture_materialize.
+    "llm_global_shuffle",
+    "llm_mixture_interleave",
 )
 
 

@@ -1071,6 +1071,12 @@ BENCH_EXTRA.update(
         "llm_bpe_merges",
         "llm_pq_adc_topk",
         "llm_mixture_materialize",
+        # round-9: the retrieval/pipeline gates promoted into the
+        # grading window this round join the bench too
+        "llm_bm25_topk",
+        "llm_hybrid_rrf",
+        "llm_ivfpq_rerank_topk",
+        "llm_stream_near_dedup",
     }
 )
 
@@ -1879,3 +1885,73 @@ def _register_stream_near_dedup_oracle() -> None:
 
 
 _register_stream_near_dedup_oracle()
+
+
+# ------------------------------------------------------- round-9 additions
+# training-order operators: deterministic global shuffle into loader
+# shards, and the weighted round-robin mixture schedule. Both register
+# past the grading window from birth: pure hash-projection + per-key
+# rank-window shapes with graded relatives in llm_hash_split /
+# llm_mixture_materialize.
+
+_SHUFFLE_SHARDS = 16
+_INTERLEAVE_WEIGHTS = {"en": 3, "de": 2, "fr": 1}
+
+
+@query("llm_global_shuffle", oracle=None)
+def llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle (operators/sampling.
+    global_shuffle): content-derived shard assignment + reproducible
+    within-shard order — the shard/position pair a webdataset-style
+    loader consumes. One projection + one shard-partitioned rank
+    window; no global sort, no driver traffic."""
+    from hogflare_spark.operators.sampling import global_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return global_shuffle(docs, "doc_id", n_shards=_SHUFFLE_SHARDS).orderBy(
+        "shard", "pos"
+    )
+
+
+def _register_global_shuffle_oracle() -> None:
+    from hogflare_spark.operators.sampling import global_shuffle_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = global_shuffle_sql("documents", "doc_id", n_shards=_SHUFFLE_SHARDS)
+    ORACLES["llm_global_shuffle"] = (
+        f"SELECT * FROM ({inner}) ORDER BY shard, pos"
+    )
+
+
+_register_global_shuffle_oracle()
+
+
+@query("llm_mixture_interleave", oracle=None)
+def llm_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted round-robin mixture schedule (operators/sampling.
+    mixture_interleave): okey = within-domain draw rank / integer
+    weight, so any okey-prefix of the stream carries domains in weight
+    proportion — llm_mixture_materialize picks WHAT to train on, this
+    orders it. One per-domain rank window + one projection; the global
+    order ships as a key, never as a global sort."""
+    from hogflare_spark.operators.sampling import mixture_interleave
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_interleave(
+        docs, "doc_id", "lang", _INTERLEAVE_WEIGHTS
+    ).orderBy("okey", "domain", "doc_id")
+
+
+def _register_mixture_interleave_oracle() -> None:
+    from hogflare_spark.operators.sampling import mixture_interleave_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = mixture_interleave_sql(
+        "documents", "doc_id", "lang", _INTERLEAVE_WEIGHTS
+    )
+    ORACLES["llm_mixture_interleave"] = (
+        f"SELECT * FROM ({inner}) ORDER BY okey, domain, doc_id"
+    )
+
+
+_register_mixture_interleave_oracle()

@@ -164,3 +164,48 @@ def test_linear_probe_releases_cache_on_empty_input(spark):
     out = linear_probe(empty, target_label=1, iters=1)
     assert out.count() == 0
     assert len(_LIVE) == before
+
+
+def test_global_shuffle_contiguous_positions_and_determinism(spark):
+    from hogflare_spark.functions.hashing import _py_h60
+    from hogflare_spark.operators.sampling import SHUFFLE_SALT, global_shuffle
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+    out = global_shuffle(df, "doc_id", n_shards=8).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        assert _py_h60(f"{SHUFFLE_SALT}{r['doc_id']}") % 8 == r["shard"]
+        by_shard.setdefault(r["shard"], []).append((r["pos"], r["doc_id"]))
+    for shard, rows in by_shard.items():
+        poss = sorted(p for p, _ in rows)
+        assert poss == list(range(1, len(rows) + 1))
+        # within-shard order follows the independent position hash
+        expect = sorted(
+            (d for _, d in rows),
+            key=lambda d: (_py_h60(f"{SHUFFLE_SALT}pos:{d}"), d),
+        )
+        got = [d for _, d in sorted(rows)]
+        assert got == expect
+    again = global_shuffle(df.repartition(7), "doc_id", n_shards=8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_mixture_interleave_weight_proportional_prefix(spark):
+    from hogflare_spark.operators.sampling import mixture_interleave
+
+    rows = [Row(doc_id=i, lang="a" if i % 2 == 0 else "b") for i in range(120)]
+    df = spark.createDataFrame(rows)
+    out = mixture_interleave(df, "doc_id", "lang", {"a": 2, "b": 1}).collect()
+    assert len(out) == 120
+    # okey = rank/weight: docs of domain d with okey <= K are exactly
+    # min(n_d, floor(K * w_d)) — weight proportionality at every prefix
+    for K in (1.0, 5.0, 12.5, 30.0):
+        na = sum(1 for r in out if r["domain"] == "a" and r["okey"] <= K)
+        nb = sum(1 for r in out if r["domain"] == "b" and r["okey"] <= K)
+        assert na == min(60, int(K * 2))
+        assert nb == min(60, int(K * 1))
+    # domains not in the weight table are excluded
+    df2 = spark.createDataFrame(rows + [Row(doc_id=999, lang="zz")])
+    out2 = mixture_interleave(df2, "doc_id", "lang", {"a": 2, "b": 1}).collect()
+    assert all(r["domain"] != "zz" for r in out2)
