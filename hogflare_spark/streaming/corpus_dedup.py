@@ -326,7 +326,12 @@ class StreamingNearDupDedup:
         except Exception:
             return spark.read.schema(NEAR_SNAPSHOT_SCHEMA).parquet(path)
 
-    def _prior_state(self, spark: SparkSession, batch_id: int) -> DataFrame:
+    def _prior_state(
+        self, spark: SparkSession, batch_id: int
+    ) -> DataFrame | None:
+        """Accumulated (id, band_key, sig) state of every batch < batch_id,
+        or None when there is none (lets the first batch skip the prior
+        probe's stages entirely)."""
         ptr = self._read_snapshot_pointer()
         covered = ptr["covered_max"] if ptr else -1
         parts = []
@@ -340,7 +345,7 @@ class StreamingNearDupDedup:
         if dirs:
             parts.append(spark.read.schema(NEAR_STATE_SCHEMA).parquet(*dirs))
         if not parts:
-            return spark.createDataFrame([], NEAR_STATE_SCHEMA)
+            return None
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -375,19 +380,6 @@ class StreamingNearDupDedup:
             )
         )
         try:
-            prior = self._prior_state(spark, batch_id).select(
-                F.col("band_key"),
-                F.col("id").alias("p_id"),
-                F.col("sig").alias("p_sig"),
-            )
-            dropped_prior = (
-                bands.join(prior, "band_key")
-                .where(
-                    self._sig_matches(F.col("sig"), F.col("p_sig"))
-                    >= F.lit(self.min_matches)
-                )
-                .select("id")
-            )
             other = bands.select(
                 F.col("band_key"),
                 F.col("id").alias("o_id"),
@@ -402,9 +394,34 @@ class StreamingNearDupDedup:
                 )
                 .select("id")
             )
-            dropped = dropped_prior.unionByName(dropped_within).distinct()
+            prior = self._prior_state(spark, batch_id)
+            if prior is None:
+                # first batch: no accumulated state — skip the prior
+                # probe's join/scan stages outright
+                dropped = dropped_within.distinct()
+            else:
+                dropped_prior = (
+                    bands.join(
+                        prior.select(
+                            F.col("band_key"),
+                            F.col("id").alias("p_id"),
+                            F.col("sig").alias("p_sig"),
+                        ),
+                        "band_key",
+                    )
+                    .where(
+                        self._sig_matches(F.col("sig"), F.col("p_sig"))
+                        >= F.lit(self.min_matches)
+                    )
+                    .select("id")
+                )
+                dropped = dropped_prior.unionByName(dropped_within).distinct()
+            # anti-join probe is the RAW batch ids: with_shingle_hashes is
+            # row-preserving, and probing sg would re-run the whole
+            # shingle+minhash tree just to project ids (only `bands` is
+            # cached; measured ~0.8 s/batch at sf0.1)
             kept = (
-                sg.select("id")
+                batch_df.select(F.col(self.id_col).alias("id"))
                 .join(dropped, "id", "left_anti")
                 .select(F.col("id").alias("doc_id"))
             )
