@@ -1344,6 +1344,60 @@ def distributed_kmeans_sql(
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    n_per_cluster: int,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced diversity sampling: spherical k-means over the
+    embedding column, then the `n_per_cluster` lowest-hash documents of
+    EACH cluster — the cluster-then-uniform-sample curation recipe
+    (D4, Tirumala et al. 2023; the selection stage SemDeDup-style
+    pipelines run after dedup) that flattens topical skew: web corpora
+    concentrate in a few dense clusters, and a uniform draw reproduces
+    that concentration, while an equal per-cluster quota caps it.
+
+    Spark shape: the trainer is distributed_kmeans (per iteration one
+    map-only assignment scan + one k-row groupBy — driver traffic is
+    the model); the draw is stratified_sample over the (id, cell)
+    assignment — one per-cell rank window with the mega-stratum
+    pre-filter, so at 100 TB each cell ranks an expected
+    n·safety-row superset, not its full membership. Deterministic end
+    to end (lowest-id init + fixed-point sums + (h60, id) draw order),
+    which is what keeps the whole composition DuckDB-replayable.
+
+    Output: (id, cell) — the kept sample with its cluster provenance.
+    """
+    from hogflare_spark.operators.sampling import stratified_sample
+
+    cells = distributed_kmeans(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    return stratified_sample(cells, "id", "cell", n_per_cluster)
+
+
+def cluster_balanced_sample_sql(
+    table: str,
+    n_per_cluster: int,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    id_expr: str = "vec_id",
+    vec_expr: str = "embedding",
+) -> str:
+    """DuckDB mirror: the unrolled k-means CTEs feeding the same
+    (h60, id)-ranked per-cell quota."""
+    from hogflare_spark.operators.sampling import stratified_sample_sql
+
+    inner = distributed_kmeans_sql(
+        table, k=k, iters=iters, dim=dim, id_expr=id_expr, vec_expr=vec_expr
+    )
+    return stratified_sample_sql(f"({inner})", "id", "cell", n_per_cluster)
+
+
 def _subspace_unit_q(vec: list, m: int, d_sub: int, scale: float):
     """Driver/kernel-shared helper: per-subspace normalize + quantize a
     full vector with the EXACT op sequence of unit_vec_expr over a slice

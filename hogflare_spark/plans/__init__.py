@@ -227,6 +227,12 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # relatives in llm_hash_split / llm_mixture_materialize.
     "llm_global_shuffle",
     "llm_mixture_interleave",
+    # round 9: cluster-balanced diversity sampling — a pure composition
+    # of two graded representatives (llm_kmeans_clusters' trainer
+    # arithmetic + the mixture/stratified quota-window family graded via
+    # llm_mixture_materialize), so it registers past the window from
+    # birth with sim + pytest evidence.
+    "llm_cluster_balanced_sample",
 )
 
 

@@ -1331,6 +1331,49 @@ def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_kmeans_oracle()
 
 
+_CBS_PER_CLUSTER = 40
+
+
+def _register_cluster_balanced_oracle() -> None:
+    from hogflare_spark.operators.similarity import cluster_balanced_sample_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = cluster_balanced_sample_sql(
+        "embeddings",
+        _CBS_PER_CLUSTER,
+        k=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+        dim=EMBED_DIM,
+    )
+    ORACLES["llm_cluster_balanced_sample"] = (
+        f"SELECT id, cell FROM ({inner}) ORDER BY id"
+    )
+
+
+@query("llm_cluster_balanced_sample", oracle=None)
+def llm_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (operators/similarity.
+    cluster_balanced_sample): spherical k-means over the embeddings
+    table, then an equal per-cluster lowest-hash quota — the
+    cluster-then-sample curation recipe (D4, Tirumala et al. 2023)
+    that flattens topical skew. The oracle unrolls the identical
+    fixed-point k-means iterations and applies the same (h60, id)-ranked
+    per-cell quota."""
+    from hogflare_spark.operators.similarity import cluster_balanced_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        cluster_balanced_sample(
+            emb, _CBS_PER_CLUSTER, k=_KMEANS_K, iters=_KMEANS_ITERS
+        )
+        .select("id", "cell")
+        .orderBy("id")
+    )
+
+
+_register_cluster_balanced_oracle()
+
+
 @query("llm_perplexity_buckets", oracle=None)
 def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail quality split (operators/text_analysis.

@@ -209,3 +209,46 @@ def test_mixture_interleave_weight_proportional_prefix(spark):
     df2 = spark.createDataFrame(rows + [Row(doc_id=999, lang="zz")])
     out2 = mixture_interleave(df2, "doc_id", "lang", {"a": 2, "b": 1}).collect()
     assert all(r["domain"] != "zz" for r in out2)
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    """Every cluster contributes exactly min(n, |cell|) rows, the kept
+    set is a subset of the corpus with the cluster assignment it would
+    get from plain distributed_kmeans, and the draw is
+    partitioning-independent."""
+    import numpy as np
+
+    from hogflare_spark.operators.similarity import (
+        cluster_balanced_sample,
+        distributed_kmeans,
+    )
+
+    rng = np.random.RandomState(7)
+    # 3 planted directions with lopsided membership: 40 / 12 / 3
+    dirs = rng.randn(3, 16)
+    rows = []
+    sizes = [40, 12, 3]
+    vid = 0
+    for c, n in enumerate(sizes):
+        for _ in range(n):
+            v = dirs[c] + 0.05 * rng.randn(16)
+            rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows)
+
+    out = cluster_balanced_sample(df, 5, k=3, iters=2).collect()
+    cells = {
+        r["id"]: r["cell"]
+        for r in distributed_kmeans(df, k=3, iters=2).collect()
+    }
+    # assignment provenance matches the plain trainer
+    assert all(cells[r["id"]] == r["cell"] for r in out)
+    # per-cell quota: min(5, |cell|)
+    from collections import Counter
+
+    cell_sizes = Counter(cells.values())
+    kept_sizes = Counter(r["cell"] for r in out)
+    assert kept_sizes == {c: min(5, n) for c, n in cell_sizes.items()}
+    # partitioning-independent draw
+    again = cluster_balanced_sample(df.repartition(13), 5, k=3, iters=2).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
