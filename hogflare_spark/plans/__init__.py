@@ -233,6 +233,12 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # llm_mixture_materialize), so it registers past the window from
     # birth with sim + pytest evidence.
     "llm_cluster_balanced_sample",
+    # round 9: SCD2 person-property history — lag/lead window passes
+    # over one per-key sort; the window family keeps graded
+    # representatives (q_window_top_orders_per_customer,
+    # ev_sessionization) and the persons family keeps four graded
+    # gates, so it registers past the window from birth.
+    "hf_person_history",
 )
 
 

@@ -1110,6 +1110,48 @@ def hf_flags_batch_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_flag_responses(persons, flags).orderBy("canonical_id")
 
 
+def _register_person_history_oracle() -> None:
+    from hogflare_spark.operators.temporal import scd2_history_sql
+
+    inner = scd2_history_sql(
+        "events",
+        ("user_id", "user_id"),
+        [
+            ("CAST(json_extract(props, '$.k') AS BIGINT)", "k"),
+            ("event_type", "event_type"),
+        ],
+        "event_id",
+    )
+    ORACLES["hf_person_history"] = (
+        f"SELECT * FROM ({inner}) ORDER BY user_id, valid_from"
+    )
+
+
+@query("hf_person_history", oracle=None)
+def hf_person_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 person-property history (operators/temporal.scd2_history):
+    the warehouse temporal form of the person store — the reference
+    keeps only CURRENT state + version (persons.rs:55-74); this builds
+    one row per (k, event_type) value epoch with [valid_from, valid_to)
+    event-sequence bounds, so any past state is a range predicate away
+    and as-of joins can hit historical attributes. Two window passes
+    sharing one (user_id, event_id) sort = ONE Exchange in the plan."""
+    from hogflare_spark.operators.temporal import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        "event_type",
+    )
+    return scd2_history(ev, "user_id", ["k", "event_type"], "event_id").orderBy(
+        "user_id", "valid_from"
+    )
+
+
+_register_person_history_oracle()
+
+
 BENCH_EXTRA.update(
     {"hf_person_fold_state", "hf_flag_eval", "ev_stream_sessionization"}
 )

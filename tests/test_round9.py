@@ -252,3 +252,42 @@ def test_cluster_balanced_sample_quota_and_determinism(spark):
     # partitioning-independent draw
     again = cluster_balanced_sample(df.repartition(13), 5, k=3, iters=2).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_scd2_history_semantics_and_single_exchange(spark):
+    """Epoch semantics: consecutive duplicate values collapse, null-safe
+    transitions (null->v, v->null open epochs; null->null does not),
+    multi-column change detection, contiguous [valid_from, valid_to)
+    bounds; and the whole construction plans ONE Exchange + ONE Sort
+    with both Windows on the same sorted run."""
+    from hogflare_spark.operators.temporal import scd2_history
+
+    rows = [
+        # u1: v 1,1,2,2,None,None,2 -> epochs at o=1(v1), 3(v2), 5(None), 7(v2)
+        Row(u=1, v=1, o=1), Row(u=1, v=1, o=2), Row(u=1, v=2, o=3),
+        Row(u=1, v=2, o=4), Row(u=1, v=None, o=5), Row(u=1, v=None, o=6),
+        Row(u=1, v=2, o=7),
+        # u2: single row -> one current epoch
+        Row(u=2, v=9, o=1),
+    ]
+    out = scd2_history(spark.createDataFrame(rows), "u", ["v"], "o").collect()
+    got = sorted((r["u"], r["valid_from"], r["valid_to"], r["v"],
+                  r["version"], r["is_current"]) for r in out)
+    assert got == [
+        (1, 1, 3, 1, 1, False),
+        (1, 3, 5, 2, 2, False),
+        (1, 5, 7, None, 3, False),
+        (1, 7, None, 2, 4, True),
+        (2, 1, None, 9, 1, True),
+    ]
+
+    # multi-column: a change in EITHER column opens an epoch
+    rows2 = [Row(u=1, a=1, b="x", o=1), Row(u=1, a=1, b="y", o=2),
+             Row(u=1, a=2, b="y", o=3), Row(u=1, a=2, b="y", o=4)]
+    out2 = scd2_history(spark.createDataFrame(rows2), "u", ["a", "b"], "o")
+    # read the plan BEFORE any action: the post-collect AQE string
+    # repeats the plan (Final + Initial sections) and double-counts
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and plan.count("Sort") == 1
+    assert [r["valid_from"] for r in sorted(out2.collect(),
+                                            key=lambda r: r["version"])] == [1, 2, 3]
