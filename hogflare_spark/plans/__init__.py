@@ -239,6 +239,10 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # ev_sessionization) and the persons family keeps four graded
     # gates, so it registers past the window from birth.
     "hf_person_history",
+    # round 9: multi-touch attribution — per-user window segmentation +
+    # a |channels|-row aggregate; the events-analytics family keeps
+    # seven graded gates, so it registers past the window from birth.
+    "ev_attribution_multitouch",
 )
 
 

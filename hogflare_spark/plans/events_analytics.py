@@ -346,3 +346,31 @@ def ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("n_days")
     )
+
+
+def _register_attribution_oracle() -> None:
+    from hogflare_spark.operators.attribution import multi_touch_attribution_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = multi_touch_attribution_sql("events", "purchase")
+    ORACLES["ev_attribution_multitouch"] = (
+        f"SELECT * FROM ({inner}) ORDER BY channel"
+    )
+
+
+@query("ev_attribution_multitouch", oracle=None)
+def ev_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (operators/attribution.
+    multi_touch_attribution): per-channel credit for 'purchase'
+    conversions under first/last/linear/position models in ONE pass —
+    reverse-cumulative conversion segmentation instead of an as-of
+    join, and integer basis-point credits so the distributed sums are
+    exact and order-free (which is what makes the DuckDB oracle a hash
+    match, not a tolerance check)."""
+    from hogflare_spark.operators.attribution import multi_touch_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return multi_touch_attribution(ev, "purchase").orderBy("channel")
+
+
+_register_attribution_oracle()

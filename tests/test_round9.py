@@ -291,3 +291,46 @@ def test_scd2_history_semantics_and_single_exchange(spark):
     assert plan.count("Exchange") == 1 and plan.count("Sort") == 1
     assert [r["valid_from"] for r in sorted(out2.collect(),
                                             key=lambda r: r["version"])] == [1, 2, 3]
+
+
+def test_multi_touch_attribution_models_hand_computed(spark):
+    """All four models on a hand-worked stream: n=1, n=2 and n=3
+    conversions, a multi-conversion user (touches scope to the NEXT
+    conversion only), and an unattributed tail touch after the last
+    conversion."""
+    from datetime import datetime
+
+    from hogflare_spark.operators.attribution import multi_touch_attribution
+
+    def ev(i, u, t, typ):
+        return Row(event_id=i, user_id=u,
+                   ts=datetime(2025, 1, 1, 0, 0, t), event_type=typ)
+
+    rows = [
+        # u1: click, view -> purchase ; click -> purchase ; error (tail)
+        ev(1, 1, 1, "click"), ev(2, 1, 2, "view"), ev(3, 1, 3, "purchase"),
+        ev(4, 1, 4, "click"), ev(5, 1, 5, "purchase"), ev(6, 1, 6, "error"),
+        # u2: a, b, c -> purchase  (n=3 position split 40/20/40)
+        ev(7, 2, 1, "a"), ev(8, 2, 2, "b"), ev(9, 2, 3, "c"),
+        ev(10, 2, 4, "purchase"),
+    ]
+    out = {
+        r["channel"]: r
+        for r in multi_touch_attribution(
+            spark.createDataFrame(rows), "purchase"
+        ).collect()
+    }
+    assert set(out) == {"click", "view", "a", "b", "c"}  # error: unattributed
+    c = out["click"]
+    assert (c["n_touches"], c["linear_bp"], c["first_bp"], c["last_bp"],
+            c["position_bp"]) == (2, 1_500_000, 2_000_000, 1_000_000, 1_500_000)
+    v = out["view"]
+    assert (v["n_touches"], v["linear_bp"], v["first_bp"], v["last_bp"],
+            v["position_bp"]) == (1, 500_000, 0, 1_000_000, 500_000)
+    a, b, cc = out["a"], out["b"], out["c"]
+    assert (a["linear_bp"], a["first_bp"], a["last_bp"], a["position_bp"]) == (
+        333_333, 1_000_000, 0, 400_000)
+    assert (b["linear_bp"], b["first_bp"], b["last_bp"], b["position_bp"]) == (
+        333_333, 0, 0, 200_000)
+    assert (cc["linear_bp"], cc["first_bp"], cc["last_bp"], cc["position_bp"]) == (
+        333_333, 0, 1_000_000, 400_000)
