@@ -243,6 +243,11 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # a |channels|-row aggregate; the events-analytics family keeps
     # seven graded gates, so it registers past the window from birth.
     "ev_attribution_multitouch",
+    # round 9: incremental IVF index maintenance — the streaming-state
+    # pattern has graded representatives (llm_stream_incremental_dedup,
+    # llm_stream_near_dedup) and the IVF query path is graded via
+    # llm_ivfpq_rerank_topk, so it registers past the window from birth.
+    "llm_stream_ivf_index",
 )
 
 

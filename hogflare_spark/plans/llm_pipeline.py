@@ -1930,6 +1930,47 @@ def _register_stream_near_dedup_oracle() -> None:
 _register_stream_near_dedup_oracle()
 
 
+@query("llm_stream_ivf_index", oracle=_ANN_TOPK_ORACLE)
+def llm_stream_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance (streaming/ann_index.
+    StreamingIvfIndex): the embeddings table arrives as three ascending
+    id-range micro-batches — the first trains and persists the coarse
+    quantizer, the rest append under it — and the query probes EVERY
+    cell (n_probe == n_centroids), so the accumulated index must
+    reproduce brute force over the full corpus exactly: any dropped
+    batch, mis-assigned cell, or stale-pointer read breaks the hash.
+    Approximate-regime pruning (n_probe < n_centroids) is gated in
+    tests/test_round9.py with a PartitionFilters plan pin."""
+    import os
+    import shutil
+    import tempfile
+
+    from hogflare_spark.streaming.ann_index import StreamingIvfIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    b1, b2 = n // 3, 2 * n // 3
+    work = tempfile.mkdtemp(prefix="llm_stream_ivf_")
+    try:
+        idx = StreamingIvfIndex(os.path.join(work, "index"), n_centroids=8)
+        idx.process_batch(emb.where(F.col("vec_id") < b1), 0)
+        idx.process_batch(
+            emb.where((F.col("vec_id") >= b1) & (F.col("vec_id") < b2)), 1
+        )
+        idx.process_batch(emb.where(F.col("vec_id") >= b2), 2)
+        q = emb.where(F.col("vec_id") % 50 == 0)
+        out = idx.query_topk(spark, q, TOPK, n_probe=8)
+        return (
+            out.select(
+                "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim")
+            )
+            .orderBy("query_id", "rank")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ------------------------------------------------------- round-9 additions
 # training-order operators: deterministic global shuffle into loader
 # shards, and the weighted round-robin mixture schedule. Both register

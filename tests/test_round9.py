@@ -334,3 +334,66 @@ def test_multi_touch_attribution_models_hand_computed(spark):
         333_333, 0, 0, 200_000)
     assert (cc["linear_bp"], cc["first_bp"], cc["last_bp"], cc["position_bp"]) == (
         333_333, 0, 1_000_000, 400_000)
+
+
+def test_streaming_ivf_index_append_replay_and_pruning(spark, tmp_path):
+    """Incremental IVF index: batches accumulate (queries see every
+    batch's vectors), re-delivery of a batch id is idempotent, the
+    bootstrap centroids persist unchanged across appends, and an
+    approximate probe prunes at the cell-partition level."""
+    import json
+
+    import numpy as np
+
+    from hogflare_spark.streaming.ann_index import StreamingIvfIndex
+
+    rng = np.random.RandomState(3)
+    dirs = rng.randn(4, 8)
+    def mk(ids, cdx):
+        return spark.createDataFrame([
+            Row(vec_id=i, embedding=[float(x) for x in dirs[cdx[j]] + 0.05 * rng.randn(8)])
+            for j, i in enumerate(ids)
+        ])
+
+    idx = StreamingIvfIndex(str(tmp_path / "idx"), n_centroids=4)
+    b0 = mk(range(0, 12), [j % 4 for j in range(12)])
+    idx.process_batch(b0, 0)
+    ptr0 = json.load(open(str(tmp_path / "idx" / "_CENTROIDS.json")))
+
+    q = b0.where(F.col("vec_id") < 2)
+    hits0 = {r["neighbor_id"] for r in idx.query_topk(spark, q, 5, n_probe=4).collect()}
+    assert hits0 <= set(range(12))
+
+    b1 = mk(range(12, 20), [j % 4 for j in range(8)])
+    idx.process_batch(b1, 1)
+    # centroids persisted, not retrained
+    ptr1 = json.load(open(str(tmp_path / "idx" / "_CENTROIDS.json")))
+    assert ptr1 == ptr0
+    # accumulated: probe-all now reaches batch-1 vectors
+    all_hits = {
+        r["neighbor_id"]
+        for r in idx.query_topk(spark, mk(range(0, 12), [j % 4 for j in range(12)]),
+                                19, n_probe=4).collect()
+    }
+    assert all_hits == set(range(20)) - set()  # every other vector reachable
+
+    # replay idempotence: reprocessing batch 1 changes nothing
+    idx.process_batch(b1, 1)
+    again = {
+        r["neighbor_id"]
+        for r in idx.query_topk(spark, mk(range(0, 12), [j % 4 for j in range(12)]),
+                                19, n_probe=4).collect()
+    }
+    assert again == all_hits
+    n_rows = spark.read.parquet(str(tmp_path / "idx" / ptr1["data"])).count()
+    assert n_rows == 20
+
+    # approximate probe prunes: the scan's partition filter keeps only
+    # probed cells (cell is a partition column at the second dir level)
+    out = idx.query_topk(spark, q, 3, n_probe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("cell" in ln for ln in pf), plan
+    # and the result is a subset of the exact probe-all answer's pool
+    approx = {r["neighbor_id"] for r in out.collect()}
+    assert approx <= all_hits | set(range(20))
