@@ -780,3 +780,68 @@ def dsir_weights_sql(
            floor(s / n_feats::DOUBLE * 1000000 + 0.5) / 1000000 AS imp_weight
     FROM doc
     """
+
+
+def topk_ngrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams: (ngram, occurrences, doc_freq) —
+    the frequency census behind boilerplate detection (high doc_freq,
+    template headers/footers) and contamination triage (which repeated
+    n-grams carry benchmark text).
+
+    Spark shape: explode ALL n-gram occurrences (not the per-doc
+    distinct set MinHash uses), then ONE hash aggregation computing
+    count(*) and count(DISTINCT id) together — Catalyst plans the
+    distinct via an Expand + two-phase aggregate, all map-side-combined,
+    which is exactly right for a zipfian key set: the head n-grams
+    partial-aggregate inside each task and the shuffle carries near-
+    distinct keys. The final top-k is a TakeOrdered (k rows to the
+    driver), never a global sort. At 100 TB the exact doc_freq is the
+    expensive half — swap count_distinct for approx_count_distinct when
+    a ±2% census is acceptable; occurrences stays exact either way.
+    """
+    tok = T.tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    grams = F.when(
+        F.size(tok) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("occurrences"), "ngram")
+        .limit(k)
+    )
+
+
+def topk_ngrams_sql(
+    table: str, text_expr: str, id_expr: str, n: int = 3, k: int = 50
+) -> str:
+    """DuckDB mirror: same occurrence explode, counts, and
+    (occurrences DESC, ngram) deterministic top-k."""
+    tok = T.tokens_sql(text_expr)
+    return f"""
+    WITH toks AS (
+      SELECT {id_expr} AS id, {tok} AS tok FROM {table}
+    ), grams AS (
+      SELECT id, unnest(
+        CASE WHEN len(tok) >= {n} THEN list_transform(
+          generate_series(1, len(tok) - {n - 1}),
+          i -> array_to_string(list_slice(tok, i, i + {n - 1}), ' '))
+        ELSE [] END) AS ngram
+      FROM toks
+    )
+    SELECT ngram, count(*) AS occurrences,
+           count(DISTINCT id) AS doc_freq
+    FROM grams GROUP BY ngram
+    ORDER BY occurrences DESC, ngram LIMIT {k}
+    """

@@ -248,6 +248,10 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # llm_stream_near_dedup) and the IVF query path is graded via
     # llm_ivfpq_rerank_topk, so it registers past the window from birth.
     "llm_stream_ivf_index",
+    # round 9: corpus n-gram census — explode + map-side-combined
+    # aggregate + TakeOrdered; every shape has graded representatives
+    # (llm_quality_tokens, ev_skew_distinct_users' distinct aggregate).
+    "llm_topk_ngrams",
 )
 
 

@@ -1930,6 +1930,34 @@ def _register_stream_near_dedup_oracle() -> None:
 _register_stream_near_dedup_oracle()
 
 
+@query(
+    "llm_topk_ngrams",
+    oracle=None,  # registered below from the shared SQL builder
+)
+def llm_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram census (operators/text_analysis.topk_ngrams): the
+    top-50 trigrams by occurrence with document frequency — boilerplate
+    and contamination triage. One explode + one map-side-combined
+    aggregate + a TakeOrdered; the oracle mirrors the explode, counts
+    and deterministic (occurrences DESC, ngram) tiebreak."""
+    from hogflare_spark.operators.text_analysis import topk_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return topk_ngrams(docs, "text", "doc_id", n=3, k=50)
+
+
+def _register_topk_ngrams_oracle() -> None:
+    from hogflare_spark.operators.text_analysis import topk_ngrams_sql
+    from hogflare_spark.plans import ORACLES
+
+    ORACLES["llm_topk_ngrams"] = topk_ngrams_sql(
+        "documents", "text", "doc_id", n=3, k=50
+    )
+
+
+_register_topk_ngrams_oracle()
+
+
 @query("llm_stream_ivf_index", oracle=_ANN_TOPK_ORACLE)
 def llm_stream_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index maintenance (streaming/ann_index.

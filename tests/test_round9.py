@@ -397,3 +397,21 @@ def test_streaming_ivf_index_append_replay_and_pruning(spark, tmp_path):
     # and the result is a subset of the exact probe-all answer's pool
     approx = {r["neighbor_id"] for r in out.collect()}
     assert approx <= all_hits | set(range(20))
+
+
+def test_topk_ngrams_counts_and_tiebreak(spark):
+    from hogflare_spark.operators.text_analysis import topk_ngrams
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="the quick fox the quick fox"),
+        Row(doc_id=1, text="the quick fox jumps"),
+        Row(doc_id=2, text="so short"),  # < n tokens: contributes nothing
+    ])
+    out = [(r["ngram"], r["occurrences"], r["doc_freq"])
+           for r in topk_ngrams(docs, "text", "doc_id", n=3, k=3).collect()]
+    # doc0 trigrams: [the quick fox, quick fox the, fox the quick, the quick fox]
+    # doc1 trigrams: [the quick fox, quick fox jumps]
+    assert out[0] == ("the quick fox", 3, 2)
+    # ties on occurrences=1 resolve alphabetically
+    assert out[1] == ("fox the quick", 1, 1)
+    assert out[2] == ("quick fox jumps", 1, 1)
