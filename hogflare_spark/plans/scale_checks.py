@@ -354,63 +354,73 @@ def _corpus_filter_check(name: str = "llm_corpus_filter") -> Callable:
 
 
 
+def _py_kmeans_cells(sf_dir: str) -> list[tuple[int, int]]:
+    """Pure-Python replay of distributed_kmeans over the embeddings
+    table: bit-exact (id, cell) assignments (fixed-point int sums are
+    order-free; every float op is the same IEEE sequence). Shared by
+    the kmeans and cluster-balanced-sample checks."""
+    import math
+
+    from hogflare_spark.operators.similarity import KMEANS_SCALE
+    from hogflare_spark.plans.llm_pipeline import _KMEANS_ITERS, _KMEANS_K
+
+    con = _duck(sf_dir)
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+
+    def unit(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        n = math.sqrt(acc)
+        return [x / n for x in v] if n > 0 else [0.0] * len(v)
+
+    data = [(i, unit(v)) for i, v in rows]
+    q = {i: [math.floor(x * KMEANS_SCALE + 0.5) for x in v] for i, v in data}
+    k = min(_KMEANS_K, len(data))
+    cent = [v for _, v in data[:k]]
+    dim = len(cent[0]) if cent else 0
+
+    def assign(v):
+        best = None
+        for j, c in enumerate(cent):
+            acc = 0.0
+            for x, y in zip(v, c):
+                acc += x * y
+            d = math.floor(acc * 1e9 + 0.5) / 1e9
+            if best is None or d > best[0] or (d == best[0] and j < best[1]):
+                best = (d, j)
+        return best[1]
+
+    for _ in range(_KMEANS_ITERS):
+        members: dict[int, list[int]] = {}
+        for i, v in data:
+            members.setdefault(assign(v), []).append(i)
+        for j, ids in members.items():
+            sums = [sum(q[i][d] for i in ids) for d in range(dim)]
+            m = [(s / len(ids)) / KMEANS_SCALE for s in sums]
+            acc = 0.0
+            for x in m:
+                acc += x * x
+            nrm = math.sqrt(acc)
+            if nrm > 0:
+                cent[j] = [x / nrm for x in m]
+    return sorted((i, assign(v)) for i, v in data)
+
+
 def _kmeans_replay_check(name: str) -> Callable:
     """Exact pure-Python replay of distributed_kmeans' fixed-point Lloyd
     iterations — an oracle INDEPENDENT of both engines, and ~10x faster
-    at scaled SFs than DuckDB's unrolled relational replay (the int
-    sums are order-free and every float op is the same IEEE sequence,
-    so the replay is bit-exact, not approximate). Full-output compare."""
+    at scaled SFs than DuckDB's unrolled relational replay. Full-output
+    compare."""
 
     def check(spark, sf_dir, srows, scols):
-        import math
-
-        from hogflare_spark.operators.similarity import KMEANS_SCALE
         from hogflare_spark.plans.llm_pipeline import _KMEANS_ITERS, _KMEANS_K
 
-        con = _duck(sf_dir)
-        rows = con.execute(
-            "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
-        ).fetchall()
-        con.close()
-
-        def unit(v):
-            acc = 0.0
-            for x in v:
-                acc += x * x
-            n = math.sqrt(acc)
-            return [x / n for x in v] if n > 0 else [0.0] * len(v)
-
-        data = [(i, unit(v)) for i, v in rows]
-        q = {i: [math.floor(x * KMEANS_SCALE + 0.5) for x in v] for i, v in data}
-        k = min(_KMEANS_K, len(data))
-        cent = [v for _, v in data[:k]]
-        dim = len(cent[0]) if cent else 0
-
-        def assign(v):
-            best = None
-            for j, c in enumerate(cent):
-                acc = 0.0
-                for x, y in zip(v, c):
-                    acc += x * y
-                d = math.floor(acc * 1e9 + 0.5) / 1e9
-                if best is None or d > best[0] or (d == best[0] and j < best[1]):
-                    best = (d, j)
-            return best[1]
-
-        for _ in range(_KMEANS_ITERS):
-            members: dict[int, list[int]] = {}
-            for i, v in data:
-                members.setdefault(assign(v), []).append(i)
-            for j, ids in members.items():
-                sums = [sum(q[i][d] for i in ids) for d in range(dim)]
-                m = [(s / len(ids)) / KMEANS_SCALE for s in sums]
-                acc = 0.0
-                for x in m:
-                    acc += x * x
-                nrm = math.sqrt(acc)
-                if nrm > 0:
-                    cent[j] = [x / nrm for x in m]
-        want = sorted((i, assign(v)) for i, v in data)
+        want = _py_kmeans_cells(sf_dir)
+        k = min(_KMEANS_K, len(want))
         ii, ic = scols.index("id"), scols.index("cell")
         got = sorted((r[ii], r[ic]) for r in srows)
         ok = got == want
@@ -421,6 +431,41 @@ def _kmeans_replay_check(name: str) -> Callable:
             replay_rows=len(want),
             k=k,
             iters=_KMEANS_ITERS,
+        )
+
+    return check
+
+
+def _cluster_balanced_replay_check(name: str) -> Callable:
+    """Exact check for llm_cluster_balanced_sample: the shared kmeans
+    Python replay plus the (h60(salt||id), id) per-cell quota — a full
+    independent recomputation of the kept set."""
+
+    def check(spark, sf_dir, srows, scols):
+        from hogflare_spark.functions.hashing import _py_h60
+        from hogflare_spark.operators.sampling import SAMPLE_SALT
+        from hogflare_spark.plans.llm_pipeline import _CBS_PER_CLUSTER
+
+        cells = _py_kmeans_cells(sf_dir)
+        by_cell: dict[int, list[int]] = {}
+        for i, c in cells:
+            by_cell.setdefault(c, []).append(i)
+        want = set()
+        for c, ids in by_cell.items():
+            drawn = sorted(
+                ids, key=lambda i: (_py_h60(f"{SAMPLE_SALT}{i}"), i)
+            )[:_CBS_PER_CLUSTER]
+            want.update((i, c) for i in drawn)
+        ii, ic = scols.index("id"), scols.index("cell")
+        got = {(r[ii], r[ic]) for r in srows}
+        ok = got == want
+        return _result(
+            ok,
+            family="exact-replay",
+            rows=len(srows),
+            replay_rows=len(want),
+            cells=len(by_cell),
+            per_cluster=_CBS_PER_CLUSTER,
         )
 
     return check
@@ -559,4 +604,10 @@ CHECKS: dict[str, Callable] = {
     ),
     # capstone composition
     "llm_corpus_filter": _corpus_filter_check(),
+    # round-9 second wave: the two new gates whose oracles are
+    # super-linear at sf1 (brute-force ANN O(n*q); kmeans CTE unroll)
+    "llm_stream_ivf_index": _ann_check("llm_stream_ivf_index"),
+    "llm_cluster_balanced_sample": _cluster_balanced_replay_check(
+        "llm_cluster_balanced_sample"
+    ),
 }
