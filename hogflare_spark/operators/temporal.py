@@ -103,3 +103,44 @@ def scd2_history_sql(
            lead(ord) OVER w2 IS NULL AS is_current
     FROM starts WINDOW w2 AS (PARTITION BY {ka} ORDER BY ord)
     """
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Join each fact row to the history epoch valid AT its order key —
+    the point-in-time-correct feature lookup a training pipeline needs
+    to avoid label leakage (joining CURRENT state onto past examples
+    leaks the future; joining the epoch whose
+    [valid_from, valid_to) contains the example's own order key cannot).
+
+    `history` is scd2_history output for the same key domain. The join
+    is an equi-join on the key with the interval predicate as a join
+    filter — per-key epoch counts are small (bounded by that key's
+    change count), so the equi-join carries the heavy lifting and every
+    fact matches EXACTLY one epoch (intervals partition the key's
+    order-range by construction; facts before the key's first epoch or
+    for unknown keys are dropped). When per-key epoch counts explode,
+    the union-and-carry-forward window form (ev_asof_last_touch's
+    shape) trades the join for one sort — same result, different cost
+    profile.
+    """
+    h = history.select(
+        F.col(key_col).alias("_h_key"),
+        F.col("valid_from"),
+        F.col("valid_to"),
+        *[
+            F.col(c)
+            for c in history.columns
+            if c not in (key_col, "valid_from", "valid_to")
+        ],
+    )
+    cond = (
+        (F.col(key_col) == F.col("_h_key"))
+        & (F.col(order_col) >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col(order_col) < F.col("valid_to")))
+    )
+    return facts.join(h, cond).drop("_h_key")

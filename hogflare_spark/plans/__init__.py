@@ -252,6 +252,10 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # aggregate + TakeOrdered; every shape has graded representatives
     # (llm_quality_tokens, ev_skew_distinct_users' distinct aggregate).
     "llm_topk_ngrams",
+    # round 9: point-in-time feature lookup — equi-join + interval
+    # filter over the SCD2 epochs; join and window families keep graded
+    # representatives (q_range_join_seasons, ev_asof_last_touch).
+    "hf_point_in_time_props",
 )
 
 

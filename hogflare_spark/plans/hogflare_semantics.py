@@ -1152,6 +1152,60 @@ def hf_person_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_person_history_oracle()
 
 
+def _register_point_in_time_oracle() -> None:
+    from hogflare_spark.operators.temporal import scd2_history_sql
+
+    hist = scd2_history_sql(
+        "events",
+        ("user_id", "user_id"),
+        [("CAST(json_extract(props, '$.k') AS BIGINT)", "k")],
+        "event_id",
+    )
+    ORACLES["hf_point_in_time_props"] = f"""
+    WITH hist AS ({hist})
+    SELECT e.event_id, e.user_id, hist.k AS k_at_event, hist.version
+    FROM events e JOIN hist ON hist.user_id = e.user_id
+      AND e.event_id >= hist.valid_from
+      AND (hist.valid_to IS NULL OR e.event_id < hist.valid_to)
+    ORDER BY e.event_id
+    """
+
+
+@query("hf_point_in_time_props", oracle=None)
+def hf_point_in_time_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature lookup (operators/temporal.
+    point_in_time_join over scd2_history): every event joined to the
+    person-property epoch valid AT that event — the leakage-free form
+    of 'enrich training examples with person state' (joining CURRENT
+    state onto past examples leaks the future). Exactly one epoch per
+    event by interval construction, so the row count must equal the
+    events table — any duplicate or dropped match breaks the hash."""
+    from hogflare_spark.operators.temporal import point_in_time_join, scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    hist = scd2_history(ev, "user_id", ["k"], "event_id").select(
+        "user_id", "valid_from", "valid_to", "k", "version"
+    )
+    facts = ev.select("user_id", "event_id")
+    return (
+        point_in_time_join(facts, hist, "user_id", "event_id")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("k").alias("k_at_event"),
+            "version",
+        )
+        .orderBy("event_id")
+    )
+
+
+_register_point_in_time_oracle()
+
+
 BENCH_EXTRA.update(
     {"hf_person_fold_state", "hf_flag_eval", "ev_stream_sessionization"}
 )

@@ -415,3 +415,30 @@ def test_topk_ngrams_counts_and_tiebreak(spark):
     # ties on occurrences=1 resolve alphabetically
     assert out[1] == ("fox the quick", 1, 1)
     assert out[2] == ("quick fox jumps", 1, 1)
+
+
+def test_point_in_time_join_no_leakage(spark):
+    """Each fact matches exactly the epoch containing its order key —
+    never the key's CURRENT value (leakage) — and facts before the
+    first epoch or with unknown keys drop out."""
+    from hogflare_spark.operators.temporal import (
+        point_in_time_join,
+        scd2_history,
+    )
+
+    stream = spark.createDataFrame([
+        Row(u=1, v=10, o=5), Row(u=1, v=20, o=10), Row(u=1, v=30, o=20),
+    ])
+    hist = scd2_history(stream, "u", ["v"], "o")
+    facts = spark.createDataFrame([
+        Row(u=1, o=5),   # exactly at epoch 1 open
+        Row(u=1, o=9),   # inside epoch 1 (NOT the later v=20/30)
+        Row(u=1, o=10),  # at epoch 2 boundary: [10, 20)
+        Row(u=1, o=19),
+        Row(u=1, o=99),  # open current epoch
+        Row(u=1, o=2),   # before first epoch: dropped
+        Row(u=2, o=5),   # unknown key: dropped
+    ])
+    out = {(r["u"], r["o"]): r["v"]
+           for r in point_in_time_join(facts, hist, "u", "o").collect()}
+    assert out == {(1, 5): 10, (1, 9): 10, (1, 10): 20, (1, 19): 20, (1, 99): 30}
