@@ -256,6 +256,11 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # filter over the SCD2 epochs; join and window families keep graded
     # representatives (q_range_join_seasons, ev_asof_last_touch).
     "hf_point_in_time_props",
+    # round 9: mergeable-sketch hypertable rollup — groupBy-agg shapes
+    # with graded representatives (ev_daily_event_stats,
+    # ev_skew_distinct_users); accuracy-boolean oracle pattern shared
+    # with the demoted ev_approx_distinct_users.
+    "ev_sketch_rollup",
 )
 
 

@@ -374,3 +374,30 @@ def ev_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_attribution_oracle()
+
+
+@query(
+    "ev_sketch_rollup",
+    oracle="""
+    SELECT date_trunc('week', ts)::DATE AS bucket, event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS est_within_tol,
+           TRUE AS rollup_matches_direct
+    FROM events GROUP BY 1, 2
+    ORDER BY bucket, event_type
+    """,
+)
+def ev_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (operators/rollup.
+    sketch_rollup): per-(day, event_type) Datasketches HLL sketches
+    rolled up to weekly distinct-user estimates by UNION MERGE — the
+    coarse answer never rescans raw events. Sketch images are
+    Spark-specific, so the gate emits exact distincts plus accuracy/
+    mergeability booleans the oracle asserts as literals (the
+    ev_approx_distinct_users pattern)."""
+    from hogflare_spark.operators.rollup import sketch_rollup_check
+
+    ev = load_table(spark, sf_dir, "events")
+    return sketch_rollup_check(
+        ev, "ts", ["event_type"], "user_id"
+    ).orderBy("bucket", "event_type")

@@ -33,9 +33,9 @@ accumulated corpus), exactly like the batch rebuild path.
 At scale: per batch this is one map-only assignment scan and one
 partitioned write of |batch| rows; nothing ever rewrites the
 accumulated index. Small files from many tiny batches are the known
-cost of the layout — the same compaction answer as the dedup state
-(roll batch dirs into a snapshot version) applies and is what
-`ivf_write_index` + pointer swing already implement for full rebuilds.
+cost of the layout — `compact()` rolls the batch dirs into a
+cell-partitioned snapshot version behind the same pointer swing, with
+the pointer's covered_max making absorbed-batch re-deliveries no-ops.
 """
 
 from __future__ import annotations
@@ -80,6 +80,11 @@ class StreamingIvfIndex:
         )
 
         ptr = self._pointer()
+        if ptr is not None and batch_id <= ptr.get("covered_max", -1):
+            # this batch id was absorbed into a compacted snapshot — its
+            # rows are already in the data; a re-delivery is a no-op
+            # (the batch=<id> dir it would overwrite no longer exists)
+            return
         if ptr is None:
             centroids = ivf_train_centroids(
                 batch_df,
@@ -120,6 +125,63 @@ class StreamingIvfIndex:
                     fh,
                 )
             os.replace(tmp, self._pointer_path)
+
+    def compact(self, spark: SparkSession, keep_old: bool = False) -> bool:
+        """Roll the accumulated batch=<id>/cell=<c>/ dirs into one
+        snapshot — the same small-files answer as the dedup state's
+        roll-up: 10^5 micro-batches otherwise mean 10^5 dirs per probed
+        cell. The snapshot lands under `batch=-1/cell=<c>/` so the
+        layout keeps a uniform (batch, cell) partition depth and later
+        appends coexist with it; replay protection needs no per-row
+        provenance (unlike the dedup state, whose prior-state reads are
+        batch-ordered) — the pointer's `covered_max` is the whole
+        contract: process_batch treats any batch id at or below it as
+        already absorbed. Crash-safe ordering: write snapshot under a
+        claimed new version -> swing pointer (os.replace) -> drop the
+        superseded version. Returns False when there is nothing to
+        compact."""
+        import shutil
+
+        ptr = self._pointer()
+        if ptr is None:
+            return False
+        old_rel = ptr["data"]
+        old_path = os.path.join(self.index_dir, old_rel)
+        batches = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(old_path)
+            if d.startswith("batch=")
+        ]
+        if not [b for b in batches if b >= 0]:
+            return False  # only a prior snapshot: nothing new to absorb
+        version = int(old_rel.split("=", 1)[1]) + 1
+        while True:
+            new_rel = f"data.v={version}"
+            try:
+                os.mkdir(os.path.join(self.index_dir, new_rel))
+                break
+            except FileExistsError:
+                version += 1
+        merged = (
+            spark.read.option("basePath", old_path)
+            .parquet(old_path)
+            .select("vec_id", "embedding", "cell")
+        )
+        merged.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(self.index_dir, new_rel, "batch=-1")
+        )
+        new_ptr = dict(
+            ptr,
+            data=new_rel,
+            covered_max=max(max(batches), ptr.get("covered_max", -1)),
+        )
+        tmp = self._pointer_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(new_ptr, fh)
+        os.replace(tmp, self._pointer_path)
+        if not keep_old:
+            shutil.rmtree(old_path, ignore_errors=True)
+        return True
 
     def query_topk(
         self,

@@ -442,3 +442,89 @@ def test_point_in_time_join_no_leakage(spark):
     out = {(r["u"], r["o"]): r["v"]
            for r in point_in_time_join(facts, hist, "u", "o").collect()}
     assert out == {(1, 5): 10, (1, 9): 10, (1, 10): 20, (1, 19): 20, (1, 99): 30}
+
+
+def test_sketch_rollup_mergeable_and_exact_at_small_cardinality(spark):
+    """The continuous-aggregate property: weekly estimates computed by
+    UNION-MERGING daily sketches equal (within the gate's tolerance)
+    both the exact distinct and the direct weekly sketch — including
+    users spanning multiple days of the same week (the case a naive
+    sum-of-daily-distincts double-counts)."""
+    from datetime import datetime
+
+    from hogflare_spark.operators.rollup import sketch_rollup, sketch_rollup_check
+
+    rows = []
+    eid = 0
+    # week of 2025-01-06..12: users 0..49 on Monday, 25..74 on Friday
+    # -> weekly distinct = 75, sum of daily distincts = 100
+    for day, users in ((6, range(0, 50)), (10, range(25, 75))):
+        for u in users:
+            rows.append(Row(event_id=eid, ts=datetime(2025, 1, day, 12),
+                            user_id=u, event_type="view"))
+            eid += 1
+    ev = spark.createDataFrame(rows)
+
+    fine, rollup = sketch_rollup(ev, "ts", ["event_type"], "user_id")
+    assert fine.count() == 2  # two daily sketch rows
+    weekly = rollup.collect()
+    assert len(weekly) == 1
+    # small cardinality: datasketches HLL is exact in sparse mode
+    assert weekly[0]["est_users"] == 75
+
+    chk = sketch_rollup_check(ev, "ts", ["event_type"], "user_id").collect()
+    assert len(chk) == 1
+    r = chk[0]
+    assert r["exact_users"] == 75
+    assert r["est_within_tol"] and r["rollup_matches_direct"]
+
+
+def test_streaming_ivf_compact_preserves_queries_and_fences_replays(spark, tmp_path):
+    """compact() rolls batch dirs into a batch=-1 snapshot: query
+    results are unchanged, a re-delivery of an ABSORBED batch id is a
+    no-op (covered_max fence), and a genuinely new batch still appends
+    and is queryable alongside the snapshot."""
+    import json
+    import os
+
+    import numpy as np
+
+    from hogflare_spark.streaming.ann_index import StreamingIvfIndex
+
+    rng = np.random.RandomState(11)
+    dirs = rng.randn(3, 8)
+    def mk(ids):
+        return spark.createDataFrame([
+            Row(vec_id=i, embedding=[float(x) for x in dirs[i % 3] + 0.05 * rng.randn(8)])
+            for i in ids
+        ])
+
+    idx = StreamingIvfIndex(str(tmp_path / "idx"), n_centroids=3)
+    idx.process_batch(mk(range(0, 10)), 0)
+    idx.process_batch(mk(range(10, 16)), 1)
+    q = mk(range(0, 3))
+    before = sorted(map(tuple, idx.query_topk(spark, q, 4, n_probe=3).collect()))
+
+    assert idx.compact(spark)
+    ptr = json.load(open(str(tmp_path / "idx" / "_CENTROIDS.json")))
+    assert ptr["covered_max"] == 1
+    data = str(tmp_path / "idx" / ptr["data"])
+    assert sorted(os.listdir(data))[0] == "batch=-1"
+    assert sorted(map(tuple, idx.query_topk(spark, q, 4, n_probe=3).collect())) == before
+
+    # absorbed replay: no-op (no batch=1 dir reappears, rows unchanged)
+    idx.process_batch(mk(range(10, 16)), 1)
+    assert not any(d == "batch=1" for d in os.listdir(data))
+    assert spark.read.parquet(data).count() == 16
+
+    # new batch appends next to the snapshot and is queryable
+    idx.process_batch(mk(range(16, 19)), 2)
+    assert spark.read.parquet(data).count() == 19
+    hits = {r["neighbor_id"]
+            for r in idx.query_topk(spark, mk(range(0, 16)), 18, n_probe=3).collect()}
+    assert hits == set(range(19))
+    # idempotent compact of a snapshot-plus-one-batch still works
+    assert idx.compact(spark)
+    assert spark.read.parquet(
+        str(tmp_path / "idx" / json.load(open(str(tmp_path / "idx" / "_CENTROIDS.json")))["data"])
+    ).count() == 19
