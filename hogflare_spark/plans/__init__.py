@@ -261,6 +261,10 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # ev_skew_distinct_users); accuracy-boolean oracle pattern shared
     # with the demoted ev_approx_distinct_users.
     "ev_sketch_rollup",
+    # round 9: GDPR-style targeted deletion — the lake family keeps
+    # hf_lake_roundtrip graded; this composes the same sink machinery
+    # with the pruned-probe + leaf-rewrite delete path.
+    "hf_lake_deletion",
 )
 
 

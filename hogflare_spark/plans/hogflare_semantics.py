@@ -1206,6 +1206,78 @@ def hf_point_in_time_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_point_in_time_oracle()
 
 
+@query(
+    "hf_lake_deletion",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           count(*) AS n,
+           count(DISTINCT user_id) AS users
+    FROM events
+    WHERE user_id % 13 <> 0
+    GROUP BY 1 ORDER BY event_date
+    """,
+)
+def hf_lake_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style targeted deletion (sinks/lake.delete_person_rows):
+    ingest the capture stream into the date-partitioned lake, delete
+    every row of the user_id % 13 == 0 subjects via the pruned-probe +
+    leaf-partition-rewrite path, read back and aggregate — the oracle
+    excludes the same subjects from the raw events table, so an
+    under-delete, over-delete, or partition lost in the swap breaks
+    parity."""
+    import shutil
+    import tempfile
+
+    from hogflare_spark.operators.ingest import ingest_raw_requests
+    from hogflare_spark.sinks.lake import (
+        append_events,
+        delete_person_rows,
+        read_events,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    body = F.concat(
+        F.lit('{"event":"ev","distinct_id":"'),
+        F.col("user_id").cast("string"),
+        F.lit('","timestamp":"'),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        F.lit('"}'),
+    )
+    raw = ev.select(
+        F.col("event_id").alias("request_seq"),
+        F.lit("capture").alias("endpoint"),
+        body.alias("body"),
+    )
+    events = ingest_raw_requests(raw)["events"]
+    subjects = [
+        str(r[0])
+        for r in ev.select("user_id")
+        .where(F.col("user_id") % 13 == 0)
+        .distinct()
+        .collect()
+    ]
+    lake_dir = tempfile.mkdtemp(prefix="hf_lake_del_")
+    try:
+        append_events(
+            events.withColumn("created_at", F.col("timestamp")), lake_dir
+        )
+        delete_person_rows(spark, lake_dir, subjects)
+        back = read_events(spark, lake_dir)
+        return (
+            back.groupBy(F.col("event_date"))
+            .agg(
+                F.count("*").alias("n"),
+                F.count_distinct(F.col("distinct_id").cast("long")).alias(
+                    "users"
+                ),
+            )
+            .orderBy("event_date")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+
+
 BENCH_EXTRA.update(
     {"hf_person_fold_state", "hf_flag_eval", "ev_stream_sessionization"}
 )

@@ -418,3 +418,69 @@ def compact_events(
         shutil.rmtree(backup)
         rewritten.append(pdir)
     return rewritten
+
+
+def delete_person_rows(
+    spark: SparkSession,
+    events_dir: str,
+    distinct_ids: list[str],
+    id_col: str = "distinct_id",
+) -> tuple[list[str], int]:
+    """Targeted (GDPR-style) deletion: remove every event row of the
+    given subjects, rewriting ONLY the leaf partitions that contain
+    them — at 100 TB a deletion request must not touch the other
+    99.99% of the lake.
+
+    Two phases:
+      1. probe — ONE scan of the table filtered to the subject ids,
+         projecting `input_file_name()`: the id predicate pushes into
+         the parquet reader, and because partitions are cluster-sorted
+         with the id in the sort key, row-group min/max stats skip
+         most files without reading data. The distinct file list (and
+         the exact delete count) come back as a tiny driver result.
+      2. rewrite — for each affected LEAF dir only: filtered rewrite
+         into a staged dir preserving the cluster sort, then the same
+         atomic swap discipline as compact_events (backup, replace,
+         drop). A crash mid-swap leaves either the old or the new dir,
+         never a mix; untouched partitions keep their bytes.
+
+    Callers deleting a PERSON (not a raw id) should first expand to
+    all of the person's distinct_ids via the persons table
+    (`array_contains(distinct_ids, ...)` — the S13 debug-lookup path).
+    Returns (rewritten partition dirs, rows deleted).
+    """
+    from urllib.parse import urlparse
+
+    ids = list(distinct_ids)
+    if not ids:
+        return [], 0
+    pred = F.col(id_col).isin(ids)
+    hits = (
+        read_events(spark, events_dir)
+        .where(pred)
+        .select(F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not hits:
+        return [], 0
+    rows_deleted = sum(r["n"] for r in hits)
+    pdirs = sorted({os.path.dirname(urlparse(r["f"]).path) for r in hits})
+    keep = ~F.coalesce(pred, F.lit(False))  # null ids are never subjects
+    for pdir in pdirs:
+        staged = pdir + ".delete"
+        (
+            spark.read.parquet(pdir)
+            .where(keep)
+            .sortWithinPartitions("team_id", "distinct_id", "created_at")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        backup = pdir + ".old"
+        os.replace(pdir, backup)
+        os.replace(staged, pdir)
+        import shutil
+
+        shutil.rmtree(backup)
+    return pdirs, int(rows_deleted)

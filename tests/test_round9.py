@@ -528,3 +528,43 @@ def test_streaming_ivf_compact_preserves_queries_and_fences_replays(spark, tmp_p
     assert spark.read.parquet(
         str(tmp_path / "idx" / json.load(open(str(tmp_path / "idx" / "_CENTROIDS.json")))["data"])
     ).count() == 19
+
+
+def test_delete_person_rows_rewrites_only_affected_partitions(spark, tmp_path):
+    """The subject's rows vanish; partitions without subject rows are
+    not rewritten (bytes and mtimes untouched); the delete count and
+    rewritten-dir list are exact; a no-match delete is a no-op."""
+    import os
+    from datetime import datetime
+
+    from hogflare_spark.sinks.lake import append_events, delete_person_rows, read_events
+
+    rows = []
+    for day, uids in ((1, [1, 2, 3]), (2, [4, 5]), (3, [1, 6])):
+        for i, u in enumerate(uids):
+            rows.append(Row(
+                uuid=f"e{day}-{i}", event="ev", distinct_id=str(u),
+                team_id="t", created_at=datetime(2025, 3, day, 10, i),
+                properties="{}"))
+    lake = str(tmp_path / "lake")
+    append_events(spark.createDataFrame(rows), lake)
+
+    def snap(day):
+        d = os.path.join(lake, f"event_date=2025-03-0{day}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)),
+             os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before_d2 = snap(2)
+    dirs, n = delete_person_rows(spark, lake, ["1"])
+    assert n == 2  # day 1 and day 3
+    assert sorted(os.path.basename(d) for d in dirs) == [
+        "event_date=2025-03-01", "event_date=2025-03-03"]
+    # day 2 untouched: identical files, sizes, mtimes
+    assert snap(2) == before_d2
+    back = read_events(spark, lake)
+    assert sorted(r["distinct_id"] for r in back.collect()) == [
+        "2", "3", "4", "5", "6"]
+    # no-match: no rewrites at all
+    assert delete_person_rows(spark, lake, ["99"]) == ([], 0)
