@@ -265,6 +265,10 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # hf_lake_roundtrip graded; this composes the same sink machinery
     # with the pruned-probe + leaf-rewrite delete path.
     "hf_lake_deletion",
+    # round 9: trailing-window volume anomaly insight — day-grain
+    # aggregate + one window; families graded via ev_daily_event_stats
+    # and the window gates.
+    "ev_volume_anomalies",
 )
 
 

@@ -401,3 +401,74 @@ def ev_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_rollup_check(
         ev, "ts", ["event_type"], "user_id"
     ).orderBy("bucket", "event_type")
+
+
+@query(
+    "ev_volume_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts)::DATE AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, day, n,
+             sum(n)   OVER win AS s,
+             sum(n*n) OVER win AS sq,
+             count(*) OVER win AS m
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n,
+           CASE WHEN m >= 4 AND m*sq - s*s > 0 THEN
+             round((n*m - s) / (m * sqrt((m*sq - s*s)::DOUBLE / (m*(m-1)))), 6)
+           END AS z,
+           CASE WHEN m >= 4 AND m*sq - s*s > 0 THEN
+             abs((n*m - s) / (m * sqrt((m*sq - s*s)::DOUBLE / (m*(m-1))))) > 3
+           WHEN m >= 4 THEN n*m <> s  -- flat history: any deviation
+           ELSE FALSE END AS is_anomaly
+    FROM w ORDER BY event_type, day
+    """,
+)
+def ev_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: per (event_type, day) counts z-scored
+    against the trailing 7-day window. Hash-gateable across engines
+    because the window statistics stay INTEGER (sum, sum of squares,
+    count) until one fixed-shape float expression — variance =
+    (m*sq - s*s) / (m*(m-1)) and z = (n*m - s) / (m*sqrt(var)) are the
+    same IEEE op sequence in Spark and DuckDB, so even the unrounded
+    booleans agree. Days with under 4 trailing observations or zero
+    variance emit null z / false flag. One day-grain aggregate (tiny)
+    + one window over it — the raw events shuffle once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(win).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(win).alias("sq"),
+        F.count(F.lit(1)).over(win).alias("m"),
+    )
+    n, s, sq, m = F.col("n"), F.col("s"), F.col("sq"), F.col("m")
+    var_ok = (m >= 4) & (m * sq - s * s > 0)
+    z = (n * m - s) / (
+        m * F.sqrt((m * sq - s * s).cast("double") / (m * (m - 1)))
+    )
+    return w.select(
+        "event_type",
+        "day",
+        "n",
+        F.when(var_ok, F.round(z, 6)).alias("z"),
+        F.when(var_ok, F.abs(z) > 3)
+        .when(m >= 4, n * m != s)  # flat history: any deviation
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    ).orderBy("event_type", "day")

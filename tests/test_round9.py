@@ -568,3 +568,38 @@ def test_delete_person_rows_rewrites_only_affected_partitions(spark, tmp_path):
         "2", "3", "4", "5", "6"]
     # no-match: no rewrites at all
     assert delete_person_rows(spark, lake, ["99"]) == ([], 0)
+
+
+def test_volume_anomalies_flags_planted_spike(spark, monkeypatch, tmp_path):
+    """A planted 10x spike after a flat week is flagged; the warm-up
+    days (under 4 trailing observations) and flat days are not."""
+    import os
+    from datetime import datetime
+
+    from hogflare_spark.plans import QUERIES, load_all
+
+    load_all()
+    rows, eid = [], 0
+    for day in range(1, 11):
+        count = 100 if day != 9 else 1000  # spike on day 9
+        for i in range(count):
+            rows.append(Row(event_id=eid, ts=datetime(2025, 2, day, 8),
+                            user_id=i, event_type="click",
+                            value=1.0, props="{}"))
+            eid += 1
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(rows).write.parquet(os.path.join(sf, "events.parquet"))
+
+    out = {str(r["day"]): r for r in QUERIES["ev_volume_anomalies"](spark, sf).collect()}
+    assert len(out) == 10
+    # warm-up: days 1-4 have < 4 trailing observations -> null z, no flag
+    for d in ("2025-02-01", "2025-02-04"):
+        assert out[d]["z"] is None and not out[d]["is_anomaly"]
+    # flat stretch: zero variance -> no flag
+    assert not out["2025-02-08"]["is_anomaly"]
+    # the spike is flagged...
+    assert out["2025-02-09"]["is_anomaly"]
+    # ...and day 10 is compared against a window CONTAINING the spike:
+    # huge variance, so a return to normal is not flagged
+    assert not out["2025-02-10"]["is_anomaly"]
