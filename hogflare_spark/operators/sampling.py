@@ -796,3 +796,91 @@ def mixture_interleave_sql(
                  * 1000000000 + 0.5) / 1000000000 AS okey
     FROM ranked
     """
+
+
+WEIGHTED_SALT = "weighted-sample:"
+WEIGHT_CAP = 128
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    weight_cap: int = WEIGHT_CAP,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the n
+    rows with the highest priority, where row i's inclusion odds are
+    proportional to its integer weight — quality-weighted corpus
+    selection (sample more from high-quality strata without hard
+    cutoffs) with a reproducible, engine-independent kept set.
+
+    This is Efraimidis-Spirakis A-ES with the transcendental removed:
+    A-ES keeps the top-n by u_i^(1/w_i), whose CDF is x^w — the SAME
+    law as the maximum of w independent uniforms. So the priority here
+    is max_{j=1..w} h60(salt||id||'#'||j): pure integer hashing, no
+    libm pow/ln whose last-ulp engine differences would flip hash
+    gates at per-row evaluation counts (the risk retrieval.py's idf
+    note quantifies — tolerable at O(|query|) evaluations, not at
+    O(corpus)). Weights are clamped to [0, weight_cap]; w = 0 rows are
+    excluded; ties (astronomically unlikely 60-bit collisions) break
+    by id.
+
+    Spark shape: a map-only O(w)-per-row projection (transform over a
+    sequence literal — JVM-side, no Python), then ONE global top-n via
+    orderBy+limit, which Catalyst executes as TakeOrderedAndProject —
+    per-partition heaps of n rows, no full sort, no full shuffle.
+    """
+    w = F.least(
+        F.greatest(F.col(weight_col).cast("long"), F.lit(0)),
+        F.lit(int(weight_cap)),
+    )
+    pri = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), w),
+            lambda j: h60(
+                F.concat(
+                    F.lit(WEIGHTED_SALT),
+                    F.col(id_col).cast("string"),
+                    F.lit("#"),
+                    j.cast("string"),
+                )
+            ),
+        )
+    )
+    return (
+        df.withColumn("_w", w)
+        .where(F.col("_w") > 0)
+        .withColumn("priority", pri)
+        .orderBy(F.desc("priority"), F.col(id_col))
+        .limit(n)
+        .drop("_w")
+    )
+
+
+def weighted_sample_sql(
+    table: str,
+    id_expr: str,
+    weight_expr: str,
+    n: int,
+    weight_cap: int = WEIGHT_CAP,
+) -> str:
+    """DuckDB mirror: same clamped weight, same max-of-w-hashes
+    priority, same (priority DESC, id) cut."""
+    from hogflare_spark.functions.hashing import h60_sql
+
+    h = h60_sql(
+        f"'{WEIGHTED_SALT}' || CAST({id_expr} AS VARCHAR) || '#' "
+        f"|| CAST(j AS VARCHAR)"
+    )
+    return f"""
+    SELECT * EXCLUDE (_w) FROM (
+      SELECT *,
+             LEAST(GREATEST(CAST({weight_expr} AS BIGINT), 0), {weight_cap}) AS _w,
+             list_max(list_transform(
+               generate_series(1, LEAST(GREATEST(CAST({weight_expr} AS BIGINT), 0), {weight_cap})),
+               j -> {h})) AS priority
+      FROM {table}
+    ) WHERE _w > 0
+    ORDER BY priority DESC, {id_expr} LIMIT {n}
+    """

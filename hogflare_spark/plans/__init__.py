@@ -269,6 +269,10 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # aggregate + one window; families graded via ev_daily_event_stats
     # and the window gates.
     "ev_volume_anomalies",
+    # round 9: deterministic weighted sampling — hash projection +
+    # TakeOrdered; the sampling family keeps llm_mixture_materialize
+    # graded.
+    "llm_weighted_sample",
 )
 
 

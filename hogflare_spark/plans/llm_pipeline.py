@@ -1930,6 +1930,49 @@ def _register_stream_near_dedup_oracle() -> None:
 _register_stream_near_dedup_oracle()
 
 
+_WSAMPLE_N = 500
+
+
+@query("llm_weighted_sample", oracle=None)
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.weighted_sample): inclusion odds proportional
+    to token count (capped) — quality/length-weighted corpus selection.
+    A-ES with the per-row transcendental replaced by the exact-law
+    equivalent max-of-w-hashes priority, so the gate is a full hash
+    oracle, not a distribution check."""
+    from hogflare_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(T.tokens(F.col("text"))).alias("n_tokens")
+    )
+    return (
+        weighted_sample(docs, "doc_id", "n_tokens", _WSAMPLE_N)
+        .select("doc_id", "n_tokens", "priority")
+        .orderBy(F.desc("priority"), "doc_id")
+    )
+
+
+def _register_weighted_sample_oracle() -> None:
+    from hogflare_spark.operators.sampling import weighted_sample_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = weighted_sample_sql(
+        f"(SELECT doc_id, len({T.tokens_sql('text')}) AS n_tokens "
+        f"FROM documents)",
+        "doc_id",
+        "n_tokens",
+        _WSAMPLE_N,
+    )
+    ORACLES["llm_weighted_sample"] = (
+        f"SELECT doc_id, n_tokens, priority FROM ({inner}) "
+        f"ORDER BY priority DESC, doc_id"
+    )
+
+
+_register_weighted_sample_oracle()
+
+
 @query(
     "llm_topk_ngrams",
     oracle=None,  # registered below from the shared SQL builder

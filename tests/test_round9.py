@@ -603,3 +603,26 @@ def test_volume_anomalies_flags_planted_spike(spark, monkeypatch, tmp_path):
     # ...and day 10 is compared against a window CONTAINING the spike:
     # huge variance, so a return to normal is not flagged
     assert not out["2025-02-10"]["is_anomaly"]
+
+
+def test_weighted_sample_proportional_deterministic_and_capped(spark):
+    from hogflare_spark.operators.sampling import WEIGHT_CAP, weighted_sample
+
+    rows = [Row(doc_id=i, w=(4 if i < 1000 else 1)) for i in range(2000)]
+    rows.append(Row(doc_id=9000, w=0))  # excluded outright
+    df = spark.createDataFrame(rows)
+    out = weighted_sample(df, "doc_id", "w", 500).collect()
+    assert len(out) == 500
+    assert all(r["doc_id"] != 9000 for r in out)
+    # inclusion odds ~ weight: the w=4 half should dominate ~4:1
+    # (deterministic draw; generous band around the ~400 expectation)
+    heavy = sum(1 for r in out if r["doc_id"] < 1000)
+    assert 340 <= heavy <= 460, heavy
+    # partitioning-independent
+    again = weighted_sample(df.repartition(17), "doc_id", "w", 500).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    # a huge weight behaves exactly like the cap
+    one = spark.createDataFrame([Row(doc_id=1, w=10**9)])
+    capped = spark.createDataFrame([Row(doc_id=1, w=WEIGHT_CAP)])
+    assert (weighted_sample(one, "doc_id", "w", 1).collect()[0]["priority"]
+            == weighted_sample(capped, "doc_id", "w", 1).collect()[0]["priority"])
