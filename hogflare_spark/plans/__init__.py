@@ -273,6 +273,10 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # TakeOrdered; the sampling family keeps llm_mixture_materialize
     # graded.
     "llm_weighted_sample",
+    # round 9: incremental BM25 corpus statistics — the additive-count
+    # streaming-model pattern graded via llm_stream_incremental_dedup /
+    # llm_stream_near_dedup; retrieval scoring graded via llm_bm25_topk.
+    "llm_stream_bm25_model",
 )
 
 

@@ -1930,6 +1930,58 @@ def _register_stream_near_dedup_oracle() -> None:
 _register_stream_near_dedup_oracle()
 
 
+@query(
+    "llm_stream_bm25_model",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {T.tokens_sql('text')} AS tok FROM documents
+    ), terms AS (
+      SELECT term, count(*) AS df,
+             CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS sdl
+      FROM (SELECT doc_id, unnest(list_distinct(tok)) AS term FROM toks)
+      GROUP BY term
+    ), scalars AS (
+      SELECT CAST(NULL AS VARCHAR) AS term, CAST(0 AS BIGINT) AS df,
+             count(*) AS n, CAST(sum(len(tok)) AS BIGINT) AS sdl
+      FROM toks
+    )
+    SELECT * FROM terms UNION ALL SELECT * FROM scalars
+    ORDER BY term NULLS LAST
+    """,
+)
+def llm_stream_bm25_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 corpus statistics (streaming/incremental_model.
+    IncrementalBm25Stats): the documents table arrives as three
+    id-range micro-batches with a mid-stream compaction; the
+    accumulated model — per-term document frequencies plus the
+    NULL-term corpus scalars (N, summed dl) — must equal the batch
+    statistics bit-for-bit, because every count is an additive integer.
+    The oracle computes the batch statistics directly."""
+    import shutil
+    import tempfile
+
+    from hogflare_spark.streaming.incremental_model import IncrementalBm25Stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    b1, b2 = n // 3, 2 * n // 3
+    work = tempfile.mkdtemp(prefix="llm_stream_bm25_")
+    try:
+        job = IncrementalBm25Stats(work, compact_every=2)
+        job.process_batch(docs.where(F.col("doc_id") < b1), 0)
+        job.process_batch(
+            docs.where((F.col("doc_id") >= b1) & (F.col("doc_id") < b2)), 1
+        )  # triggers a compaction (compact_every=2)
+        job.process_batch(docs.where(F.col("doc_id") >= b2), 2)
+        return (
+            job.model(spark)
+            .orderBy(F.asc_nulls_last("term"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _WSAMPLE_N = 500
 
 

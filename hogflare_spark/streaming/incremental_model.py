@@ -178,3 +178,125 @@ class IncrementalDsirModel:
         return dsir_score(
             self._feats(df), self.model(df.sparkSession), self.n_buckets
         )
+
+
+BM25_STATE_SCHEMA = "term string, df bigint, n bigint, sdl bigint"
+
+
+class IncrementalBm25Stats:
+    """Incremental BM25 corpus statistics on the same snapshot-state
+    pattern: per-term document frequencies plus the corpus scalars
+    (doc count N, summed doc length) — everything BM25 scoring needs
+    beyond the query — accumulated per micro-batch WITHOUT re-scanning
+    the corpus.
+
+    Like the DSIR model (and unlike k-means/BPE state), the whole
+    model is additive integer counts: sum of per-batch (term, df) rows
+    and per-batch (N, sdl) scalars IS the full-corpus statistic
+    bit-for-bit, for any batch shape. The corpus scalars ride a single
+    NULL-term row per batch dir so one schema and one sum-by-term read
+    cover both (a term never collides with NULL).
+
+    Scale shape per batch: one distinct-(doc, term) explode groupBy —
+    vocabulary-bounded shuffle output — plus a 1-row aggregate; the
+    accumulated read sums ≤ (n_dirs · |vocab|) rows and compaction
+    keeps n_dirs ≤ compact_every + 1. Replay idempotence: deterministic
+    per-batch overwrites keyed by batch id; snapshot pointer fences
+    absorbed batches (the IncrementalDsirModel contract verbatim).
+    """
+
+    def __init__(
+        self,
+        work_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        compact_every: int = 16,
+    ):
+        self.work_dir = work_dir
+        self.text_col = text_col
+        self.id_col = id_col
+        self.compact_every = compact_every
+        self.state_dir = os.path.join(work_dir, "state")
+        self._pointer_path = os.path.join(work_dir, "_SNAPSHOT")
+
+    _read_pointer = IncrementalDsirModel._read_pointer
+    _batch_dirs = IncrementalDsirModel._batch_dirs
+
+    def _batch_stats(self, df: DataFrame) -> DataFrame:
+        from hogflare_spark.functions import text as T
+
+        toks = T.tokens(F.col(self.text_col))
+        per_doc = df.select(
+            F.col(self.id_col).alias("id"), toks.alias("tok")
+        )
+        terms = (
+            per_doc.select(F.explode(F.array_distinct("tok")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .select(
+                "term", "df", F.lit(0).cast("long").alias("n"),
+                F.lit(0).cast("long").alias("sdl"),
+            )
+        )
+        scalars = per_doc.agg(
+            F.lit(None).cast("string").alias("term"),
+            F.lit(0).cast("long").alias("df"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size("tok")).cast("long").alias("sdl"),
+        )
+        return terms.unionByName(scalars)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._batch_stats(batch_df).write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, f"batch={batch_id}")
+        )
+        ptr = self._read_pointer() or {"version": -1, "through_batch": -1}
+        live = self._batch_dirs(after=int(ptr["through_batch"]))
+        if len(live) >= self.compact_every:
+            self._compact(batch_df.sparkSession, ptr, live)
+
+    def _sum_by_term(self, acc: DataFrame) -> DataFrame:
+        return acc.groupBy("term").agg(
+            F.sum("df").alias("df"),
+            F.sum("n").alias("n"),
+            F.sum("sdl").alias("sdl"),
+        )
+
+    def _compact(self, spark: SparkSession, ptr: dict, live: list[str]) -> None:
+        version = int(ptr["version"]) + 1
+        through = max(int(p.rsplit("=", 1)[1]) for p in live)
+        acc = spark.read.schema(BM25_STATE_SCHEMA).parquet(*live)
+        if int(ptr["version"]) >= 0:
+            acc = acc.unionByName(
+                spark.read.schema(BM25_STATE_SCHEMA).parquet(
+                    os.path.join(self.state_dir, f"snapshot={ptr['version']}")
+                )
+            )
+        out = os.path.join(self.state_dir, f"snapshot={version}")
+        self._sum_by_term(acc).coalesce(1).write.mode("overwrite").parquet(out)
+        tmp = self._pointer_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "through_batch": through}, fh)
+        os.replace(tmp, self._pointer_path)
+        for p in live:
+            shutil.rmtree(p, ignore_errors=True)
+        if int(ptr["version"]) >= 0:
+            shutil.rmtree(
+                os.path.join(self.state_dir, f"snapshot={ptr['version']}"),
+                ignore_errors=True,
+            )
+
+    def model(self, spark: SparkSession) -> DataFrame:
+        """(term, df, n, sdl) accumulated: per-term rows carry df; the
+        NULL-term row carries the corpus scalars."""
+        ptr = self._read_pointer() or {"version": -1, "through_batch": -1}
+        paths = self._batch_dirs(after=int(ptr["through_batch"]))
+        if int(ptr["version"]) >= 0:
+            paths.append(
+                os.path.join(self.state_dir, f"snapshot={ptr['version']}")
+            )
+        if not paths:
+            return spark.createDataFrame([], BM25_STATE_SCHEMA)
+        return self._sum_by_term(
+            spark.read.schema(BM25_STATE_SCHEMA).parquet(*paths)
+        )

@@ -626,3 +626,45 @@ def test_weighted_sample_proportional_deterministic_and_capped(spark):
     capped = spark.createDataFrame([Row(doc_id=1, w=WEIGHT_CAP)])
     assert (weighted_sample(one, "doc_id", "w", 1).collect()[0]["priority"]
             == weighted_sample(capped, "doc_id", "w", 1).collect()[0]["priority"])
+
+
+def test_incremental_bm25_stats_additive_replay_and_compaction(spark, tmp_path):
+    """The accumulated model equals the direct batch statistics after
+    arbitrary batching, a replayed batch id does not double-count
+    (including one already absorbed into a snapshot), and compaction
+    preserves the model exactly."""
+    from hogflare_spark.streaming.incremental_model import IncrementalBm25Stats
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="apple banana apple"),
+        Row(doc_id=1, text="banana cherry"),
+        Row(doc_id=2, text="apple"),
+        Row(doc_id=3, text="date banana date"),
+    ])
+
+    def direct(df):
+        job = IncrementalBm25Stats(str(tmp_path / "one"), compact_every=99)
+        return sorted(
+            map(tuple, job._batch_stats(df).collect()),
+            key=lambda t: (t[0] is None, t[0]),
+        )
+
+    want = direct(docs)
+    job = IncrementalBm25Stats(str(tmp_path / "inc"), compact_every=2)
+    job.process_batch(docs.where(F.col("doc_id") < 2), 0)
+    job.process_batch(docs.where(F.col("doc_id") == 2), 1)  # compacts
+    job.process_batch(docs.where(F.col("doc_id") == 3), 2)
+
+    def model():
+        return sorted(
+            map(tuple, job.model(spark).collect()),
+            key=lambda t: (t[0] is None, t[0]),
+        )
+
+    assert model() == want
+    # replay an ABSORBED batch id: fenced by the snapshot pointer
+    job.process_batch(docs.where(F.col("doc_id") < 2), 0)
+    assert model() == want
+    # replay a live batch id: deterministic overwrite, not double-count
+    job.process_batch(docs.where(F.col("doc_id") == 3), 2)
+    assert model() == want
