@@ -1279,5 +1279,15 @@ def hf_lake_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BENCH_EXTRA.update(
-    {"hf_person_fold_state", "hf_flag_eval", "ev_stream_sessionization"}
+    {
+        "hf_person_fold_state",
+        "hf_flag_eval",
+        "ev_stream_sessionization",
+        # round-9 second half: cheap new analytics/temporal classes
+        "hf_person_history",
+        "hf_point_in_time_props",
+        "ev_attribution_multitouch",
+        "ev_sketch_rollup",
+        "ev_volume_anomalies",
+    }
 )

@@ -1077,6 +1077,12 @@ BENCH_EXTRA.update(
         "llm_hybrid_rrf",
         "llm_ivfpq_rerank_topk",
         "llm_stream_near_dedup",
+        # round-9 second half: the cheap new operator classes join the
+        # bench so their cost is tracked round-over-round (the heavy
+        # compositions — stream IVF, lake deletion, cluster-balanced —
+        # stay out: their cost is their already-benched constituents)
+        "llm_weighted_sample",
+        "llm_topk_ngrams",
     }
 )
 

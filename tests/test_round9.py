@@ -668,3 +668,51 @@ def test_incremental_bm25_stats_additive_replay_and_compaction(spark, tmp_path):
     # replay a live batch id: deterministic overwrite, not double-count
     job.process_batch(docs.where(F.col("doc_id") == 3), 2)
     assert model() == want
+
+
+def test_scd2_history_matches_python_fold_property(spark):
+    """Differential property test: scd2_history over random ordered
+    streams equals a pure-Python epoch fold (change-on-any-column,
+    null-safe, lead bounds)."""
+    import random
+
+    from hogflare_spark.operators.temporal import scd2_history
+
+    rng = random.Random(42)
+    for trial in range(4):
+        rows = []
+        o = 0
+        for u in range(1, 5):
+            for _ in range(rng.randint(0, 12)):
+                o += rng.randint(1, 3)
+                rows.append(Row(
+                    u=u,
+                    a=rng.choice([None, 1, 2]),
+                    b=rng.choice([None, "x", "y"]),
+                    o=o,
+                ))
+        if not rows:
+            continue
+        got = sorted(
+            (r["u"], r["valid_from"], r["valid_to"], r["a"], r["b"],
+             r["version"], r["is_current"])
+            for r in scd2_history(
+                spark.createDataFrame(rows, "u long, a long, b string, o long"),
+                "u", ["a", "b"], "o",
+            ).collect()
+        )
+        want = []
+        by_u = {}
+        for r in sorted(rows, key=lambda r: (r.u, r.o)):
+            by_u.setdefault(r.u, []).append(r)
+        for u, rs in by_u.items():
+            starts = []
+            prev = None
+            for r in rs:
+                if prev is None or (r.a, r.b) != (prev.a, prev.b):
+                    starts.append(r)
+                prev = r
+            for i, s in enumerate(starts):
+                nxt = starts[i + 1].o if i + 1 < len(starts) else None
+                want.append((u, s.o, nxt, s.a, s.b, i + 1, nxt is None))
+        assert got == sorted(want), f"trial {trial}"
