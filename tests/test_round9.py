@@ -716,3 +716,58 @@ def test_scd2_history_matches_python_fold_property(spark):
                 nxt = starts[i + 1].o if i + 1 < len(starts) else None
                 want.append((u, s.o, nxt, s.a, s.b, i + 1, nxt is None))
         assert got == sorted(want), f"trial {trial}"
+
+
+def test_attribution_per_conversion_credit_invariants(spark):
+    """Invariants over a randomized stream: per conversion, first and
+    last credits each sum to exactly MICRO, linear sums to
+    MICRO - MICRO % n, and position sums to MICRO minus only the
+    middle-split integer-division remainder."""
+    import random
+    from datetime import datetime, timedelta
+
+    from hogflare_spark.operators.attribution import MICRO, multi_touch_attribution
+
+    rng = random.Random(7)
+    rows, eid = [], 0
+    base = datetime(2025, 1, 1)
+    for u in range(1, 9):
+        for _ in range(rng.randint(2, 25)):
+            eid += 1
+            rows.append(Row(
+                event_id=eid, user_id=u, ts=base + timedelta(minutes=eid),
+                event_type=rng.choice(["a", "b", "c", "purchase"]),
+            ))
+    df = spark.createDataFrame(rows)
+    out = multi_touch_attribution(df, "purchase").collect()
+
+    # python reference fold for the aggregate totals
+    convs = []
+    by_u = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        by_u.setdefault(r.user_id, []).append(r)
+    tot = {"lin": 0, "first": 0, "last": 0, "pos": 0, "touch": 0}
+    for rs in by_u.values():
+        cur = []
+        for r in rs:
+            if r.event_type == "purchase":
+                if cur:
+                    n = len(cur)
+                    tot["touch"] += n
+                    tot["lin"] += n * (MICRO // n)
+                    tot["first"] += MICRO
+                    tot["last"] += MICRO
+                    if n == 1:
+                        tot["pos"] += MICRO
+                    elif n == 2:
+                        tot["pos"] += MICRO
+                    else:
+                        tot["pos"] += 2 * (MICRO * 2 // 5) + (n - 2) * (MICRO // 5 // (n - 2))
+                cur = []
+            else:
+                cur.append(r)
+    assert sum(r["n_touches"] for r in out) == tot["touch"]
+    assert sum(r["linear_bp"] for r in out) == tot["lin"]
+    assert sum(r["first_bp"] for r in out) == tot["first"]
+    assert sum(r["last_bp"] for r in out) == tot["last"]
+    assert sum(r["position_bp"] for r in out) == tot["pos"]
