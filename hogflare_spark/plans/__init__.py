@@ -277,6 +277,9 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # streaming-model pattern graded via llm_stream_incremental_dedup /
     # llm_stream_near_dedup; retrieval scoring graded via llm_bm25_topk.
     "llm_stream_bm25_model",
+    # round 9: dataset-card census — one map-side-combined aggregate;
+    # scan/agg family graded via q1 and ev_daily_event_stats.
+    "llm_dataset_card",
 )
 
 

@@ -1988,6 +1988,54 @@ def llm_stream_bm25_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "llm_dataset_card",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, lang, n_chars,
+             len({T.tokens_sql('text')}) AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card census: the per-source summary a corpus release
+    documents (doc/token counts, token-length extremes, average chars,
+    language spread) in ONE map-side-combined aggregate over one scan.
+    avg_chars is the single float — an integer-sum ratio rounded the
+    same on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.size(T.tokens(F.col("text")))
+    return (
+        docs.select("source", "lang", "n_chars", nt.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum(
+                F.when(F.col("lang") == "en", 1).otherwise(0)
+            ).cast("long").alias("n_en"),
+        )
+        .orderBy("source")
+    )
+
+
 _WSAMPLE_N = 500
 
 
