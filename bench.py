@@ -112,18 +112,51 @@ def main() -> None:
             timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver captures only the LAST ~2000 bytes of stdout; round 9's
+    # line outgrew that when the timed list went 24 -> 33 queries and the
+    # driver recorded "parsed": null. Keep the driver-facing line compact
+    # (warm per-query map at 2 decimals, cold TOTAL only) and write the
+    # full 3-decimal detail — including the per-query cold map — to a
+    # sidecar file next to this script.
     out: dict = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "value_cold": round(sum(cold_timings.values()), 3),
+        "sf": sf_val,
+    }
+    if errors:
+        out["errors"] = {k: v[:80] for k, v in errors.items()}
+    detail: dict = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "value_cold": round(sum(cold_timings.values()), 3),
         "queries_cold": cold_timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(sidecar, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except Exception:
+        pass  # the sidecar is best-effort; the stdout line is the contract
+    line = json.dumps(out)
+    if len(line) > 1800:  # defensive: never outgrow the tail capture again
+        out["queries"] = {
+            k: round(v, 2)
+            for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:30]
+        }
+        out["queries_truncated"] = len(timings) - len(out["queries"])
+        line = json.dumps(out)
+    print(line)
     try:
         spark.stop()
     except Exception:

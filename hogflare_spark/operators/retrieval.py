@@ -192,7 +192,17 @@ def bm25_batch_topk(
         contract), groupBy (doc, term) → tf. The shuffle carries only
         matched tokens, a small fraction of the token stream; per-term
         document frequencies reduce from the same frame (≤ |terms| rows,
-        broadcast back).
+        broadcast back). The tf frame is CACHED (functions/caching.
+        cached — host drains at its quiescent point): both the scoring
+        join and the doc-freq reduction read it, and without the cache
+        Catalyst recomputes the explode lineage for the df branch
+        (column pruning makes the two subtrees non-identical, so
+        exchange reuse never fires) — a third corpus scan, found by the
+        round-10 plan-shape test. A term-partitioned window would also
+        avoid the rescan but moves every row of a hot term ("the") into
+        one partition — skew-unsafe at 100 TB; the map-side-combined
+        groupBy + tiny broadcast stays skew-free and the cached frame
+        is the frame we already shuffled.
       * scoring: matched-tf join × broadcast(query terms) × broadcast
         stats/df — pure arithmetic; per-(query, doc) scores fold in
         sorted-term order, exactly the order the single-query plan adds
@@ -223,7 +233,9 @@ def bm25_batch_topk(
     stats = docs.select(F.size(tok).alias("dl")).agg(
         F.count("*").alias("n"), F.sum("dl").alias("sdl")
     )
-    matched = (
+    from hogflare_spark.functions.caching import cached
+
+    matched = cached(
         docs.select(
             F.col(id_col).alias("id"),
             F.size(tok).alias("dl"),

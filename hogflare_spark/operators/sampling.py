@@ -866,7 +866,11 @@ def weighted_sample_sql(
     weight_cap: int = WEIGHT_CAP,
 ) -> str:
     """DuckDB mirror: same clamped weight, same max-of-w-hashes
-    priority, same (priority DESC, id) cut."""
+    priority, same (priority DESC, id) cut. The clamped weight is
+    computed ONCE in an inner subquery and referenced as `_w` by both
+    the series bound and the filter, so an expensive (or side-effecting)
+    `weight_expr` is evaluated a single time and the two uses can never
+    drift apart under future edits."""
     from hogflare_spark.functions.hashing import h60_sql
 
     h = h60_sql(
@@ -876,11 +880,14 @@ def weighted_sample_sql(
     return f"""
     SELECT * EXCLUDE (_w) FROM (
       SELECT *,
-             LEAST(GREATEST(CAST({weight_expr} AS BIGINT), 0), {weight_cap}) AS _w,
              list_max(list_transform(
-               generate_series(1, LEAST(GREATEST(CAST({weight_expr} AS BIGINT), 0), {weight_cap})),
+               generate_series(1, _w),
                j -> {h})) AS priority
-      FROM {table}
+      FROM (
+        SELECT *,
+               LEAST(GREATEST(CAST({weight_expr} AS BIGINT), 0), {weight_cap}) AS _w
+        FROM {table}
+      )
     ) WHERE _w > 0
     ORDER BY priority DESC, {id_expr} LIMIT {n}
     """

@@ -788,6 +788,7 @@ def topk_ngrams(
     id_col: str,
     n: int = 3,
     k: int = 50,
+    approx_rsd: float | None = None,
 ) -> DataFrame:
     """Corpus-wide top-k word n-grams: (ngram, occurrences, doc_freq) —
     the frequency census behind boilerplate detection (high doc_freq,
@@ -795,15 +796,22 @@ def topk_ngrams(
     n-grams carry benchmark text).
 
     Spark shape: explode ALL n-gram occurrences (not the per-doc
-    distinct set MinHash uses), then ONE hash aggregation computing
-    count(*) and count(DISTINCT id) together — Catalyst plans the
-    distinct via an Expand + two-phase aggregate, all map-side-combined,
-    which is exactly right for a zipfian key set: the head n-grams
-    partial-aggregate inside each task and the shuffle carries near-
-    distinct keys. The final top-k is a TakeOrdered (k rows to the
-    driver), never a global sort. At 100 TB the exact doc_freq is the
-    expensive half — swap count_distinct for approx_count_distinct when
-    a ±2% census is acceptable; occurrences stays exact either way.
+    distinct set MinHash uses), then one aggregation computing count(*)
+    and count(DISTINCT id) together. Catalyst 4.x rewrites the single
+    distinct as dedup-then-count: partial-aggregate by (ngram, id),
+    shuffle on that pair, THEN aggregate by ngram — a SECOND shuffle of
+    the gram stream (no Expand for one distinct; Expand appears only
+    with multiple distinct columns). Map-side combine still collapses
+    the zipfian head inside each task. The final top-k is a TakeOrdered
+    (k rows to the driver), never a global sort. At 100 TB the exact
+    doc_freq's second shuffle is the expensive half — pass `approx_rsd`
+    (e.g. 0.02) to swap count_distinct for approx_count_distinct when a
+    ±2% census is acceptable; occurrences stays exact either way. The
+    swap deletes the ENTIRE second exchange: HLL++ registers merge in
+    the same two-phase hash aggregate as the plain count, so the plan
+    collapses to one shuffle carrying one row per n-gram — asserted by
+    plan-shape pytest in tests/test_round10.py (exact = 2 Exchanges,
+    approx = 1) and executed by the llm_topk_ngrams_approx gate.
     """
     tok = T.tokens(F.col(text_col))
     idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
@@ -811,15 +819,71 @@ def topk_ngrams(
         F.size(tok) >= n,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, n))),
     ).otherwise(F.array().cast("array<string>"))
+    doc_freq = (
+        F.approx_count_distinct("id", approx_rsd)
+        if approx_rsd is not None
+        else F.countDistinct("id")
+    )
     return (
         df.select(F.col(id_col).alias("id"), F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(
             F.count(F.lit(1)).alias("occurrences"),
-            F.countDistinct("id").alias("doc_freq"),
+            doc_freq.alias("doc_freq"),
         )
         .orderBy(F.desc("occurrences"), "ngram")
         .limit(k)
+    )
+
+
+def topk_ngrams_approx_check(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 50,
+    approx_rsd: float = 0.02,
+    tol: float = 0.10,
+) -> DataFrame:
+    """Oracle-compatible gate for the approx census: run the PRODUCTION
+    plan (approx_count_distinct doc_freq — ONE shuffle, one row per
+    n-gram), then verify its doc_freq against an exact recount computed
+    ONLY for the k winning n-grams — a broadcast semi-join of the tiny
+    top-k set back into the gram stream, so the exact-distinct's extra
+    shuffle runs over k keys' rows, not the corpus.
+    Emits (ngram, occurrences, df_within_tol); occurrences is exact in
+    both paths, so the top-k SET and order hash-match an exact oracle,
+    and the boolean is what the oracle asserts as a literal (the
+    ev_sketch_rollup / ev_approx_distinct_users pattern). `tol` = 0.10
+    is ~5 sigma at rsd 0.02 — deterministic-green at any SF (per-key
+    exceedance P < 1e-6; see operators/rollup.sketch_rollup_check for
+    the sigma arithmetic).
+    """
+    census = topk_ngrams(df, text_col, id_col, n, k, approx_rsd=approx_rsd)
+    tok = T.tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    grams = F.when(
+        F.size(tok) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    exact = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("ngram"))
+        .join(F.broadcast(census.select("ngram")), "ngram")
+        .groupBy("ngram")
+        .agg(F.countDistinct("id").alias("_exact_df"))
+    )
+    ex = F.col("_exact_df").cast("double")
+    return (
+        census.join(F.broadcast(exact), "ngram")
+        .select(
+            "ngram",
+            "occurrences",
+            (
+                F.abs(F.col("doc_freq") - ex)
+                <= F.greatest(ex * F.lit(tol), F.lit(2.0))
+            ).alias("df_within_tol"),
+        )
+        .orderBy(F.desc("occurrences"), "ngram")
     )
 
 

@@ -216,11 +216,6 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # this round); the batch variant is pinned bit-identical per query
     # in tests/test_retrieval.py and sim-graded here.
     "llm_bm25_batch",
-    # round 9: /decide on live streaming state (r8 verdict #9) — both
-    # halves have graded representatives (hf_streaming_person_fold for
-    # the state, hf_flag_eval for the kernel); the composition is
-    # sim-graded here.
-    "hf_flags_on_streaming_state",
     # round 9: training-order operators — deterministic shard shuffle
     # and the weighted round-robin mixture schedule; pure
     # hash-projection + per-key rank-window shapes with graded
@@ -233,16 +228,6 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # llm_mixture_materialize), so it registers past the window from
     # birth with sim + pytest evidence.
     "llm_cluster_balanced_sample",
-    # round 9: SCD2 person-property history — lag/lead window passes
-    # over one per-key sort; the window family keeps graded
-    # representatives (q_window_top_orders_per_customer,
-    # ev_sessionization) and the persons family keeps four graded
-    # gates, so it registers past the window from birth.
-    "hf_person_history",
-    # round 9: multi-touch attribution — per-user window segmentation +
-    # a |channels|-row aggregate; the events-analytics family keeps
-    # seven graded gates, so it registers past the window from birth.
-    "ev_attribution_multitouch",
     # round 9: incremental IVF index maintenance — the streaming-state
     # pattern has graded representatives (llm_stream_incremental_dedup,
     # llm_stream_near_dedup) and the IVF query path is graded via
@@ -252,15 +237,6 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # aggregate + TakeOrdered; every shape has graded representatives
     # (llm_quality_tokens, ev_skew_distinct_users' distinct aggregate).
     "llm_topk_ngrams",
-    # round 9: point-in-time feature lookup — equi-join + interval
-    # filter over the SCD2 epochs; join and window families keep graded
-    # representatives (q_range_join_seasons, ev_asof_last_touch).
-    "hf_point_in_time_props",
-    # round 9: mergeable-sketch hypertable rollup — groupBy-agg shapes
-    # with graded representatives (ev_daily_event_stats,
-    # ev_skew_distinct_users); accuracy-boolean oracle pattern shared
-    # with the demoted ev_approx_distinct_users.
-    "ev_sketch_rollup",
     # round 9: GDPR-style targeted deletion — the lake family keeps
     # hf_lake_roundtrip graded; this composes the same sink machinery
     # with the pruned-probe + leaf-rewrite delete path.
@@ -280,6 +256,38 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # round 9: dataset-card census — one map-side-combined aggregate;
     # scan/agg family graded via q1 and ev_daily_event_stats.
     "llm_dataset_card",
+    # round 10 rotation (r9 verdict #2): the five genuinely-new round-9
+    # operator classes — SCD2 temporal history + point-in-time lookup
+    # (a new TEMPORAL class with no graded representative), multi-touch
+    # attribution, mergeable-sketch hypertable rollup (pre-aggregation
+    # class), and /decide-on-live-streaming-state (closes the read-path
+    # loop, reference lib.rs:1284-1345) — move INSIDE the 50-entry
+    # window so the driver's hard signal executes them at least once.
+    # Five transitively-covered gates cede their slots:
+    #  - ev_event_pivot: pivot projection; the events family keeps six
+    #    graded gates and the pivot expressions stay pinned by
+    #    tests/test_oracle_parity.py + the full-registry sim.
+    #  - q_grouping_sets_revenue: the grouping family keeps
+    #    q_rollup_revenue graded (one grouping-extension gate suffices,
+    #    per the r9 verdict).
+    #  - ev_json_prop_buckets: get_json_object bucketing — JSON
+    #    extraction stays graded through every hf_* ingest gate.
+    #  - llm_embedding_near_dups: the LSH-banded near-dup family keeps
+    #    llm_lsh_near_dups + llm_minhash_near_dups graded.
+    #  - hf_flags_batch_responses: flags keep four graded gates
+    #    (eval/multivariate/rollout and the promoted
+    #    flags-on-streaming-state composition covers response shaping
+    #    end-to-end).
+    "ev_event_pivot",
+    "q_grouping_sets_revenue",
+    "ev_json_prop_buckets",
+    "llm_embedding_near_dups",
+    "hf_flags_batch_responses",
+    # round 10: the approx (100 TB) variant of the n-gram census —
+    # bounded-error accuracy-boolean gate past the window from birth
+    # (r9 verdict #6); the exact census keeps llm_topk_ngrams sim-green
+    # and the approx family keeps the sketch-rollup pattern graded.
+    "llm_topk_ngrams_approx",
 )
 
 

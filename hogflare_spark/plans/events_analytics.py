@@ -421,7 +421,8 @@ def ev_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, day, n,
            CASE WHEN m >= 4 AND m*sq - s*s > 0 THEN
-             round((n*m - s) / (m * sqrt((m*sq - s*s)::DOUBLE / (m*(m-1)))), 6)
+             floor(((n*m - s) / (m * sqrt((m*sq - s*s)::DOUBLE / (m*(m-1)))))
+                   * 1000000 + 0.5) / 1000000
            END AS z,
            CASE WHEN m >= 4 AND m*sq - s*s > 0 THEN
              abs((n*m - s) / (m * sqrt((m*sq - s*s)::DOUBLE / (m*(m-1))))) > 3
@@ -462,11 +463,16 @@ def ev_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (n * m - s) / (
         m * F.sqrt((m * sq - s * s).cast("double") / (m * (m - 1)))
     )
+    # floor(z*1e6+0.5)/1e6 instead of round(z, 6): Spark F.round is exact
+    # BigDecimal HALF_UP while DuckDB round() scales in double arithmetic,
+    # so values near a 6th-decimal boundary could disagree; the floor form
+    # is the same IEEE op sequence on both engines (for negative z it is
+    # round-half-toward-+inf, but identically so on both sides).
     return w.select(
         "event_type",
         "day",
         "n",
-        F.when(var_ok, F.round(z, 6)).alias("z"),
+        F.when(var_ok, F.floor(z * 1e6 + 0.5) / F.lit(1e6)).alias("z"),
         F.when(var_ok, F.abs(z) > 3)
         .when(m >= 4, n * m != s)  # flat history: any deviation
         .otherwise(F.lit(False))

@@ -2107,6 +2107,41 @@ def _register_topk_ngrams_oracle() -> None:
 _register_topk_ngrams_oracle()
 
 
+@query(
+    "llm_topk_ngrams_approx",
+    oracle=None,  # registered below from the shared SQL builder
+)
+def llm_topk_ngrams_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path of the n-gram census (operators/text_analysis.
+    topk_ngrams_approx_check): doc_freq via approx_count_distinct
+    (rsd 2%) — the census collapses to ONE shuffle carrying one row per
+    n-gram, where the exact distinct pays a second corpus-stream
+    exchange (plan-shape pytest in tests/test_round10.py) — verified
+    here against an exact recount restricted to the 50 winners
+    (broadcast semi-join, the exact recount touches 50 keys only). The
+    occurrence counts and the top-k set are exact, so they hash-match
+    the exact oracle; doc_freq accuracy lands as a boolean the oracle
+    asserts TRUE."""
+    from hogflare_spark.operators.text_analysis import topk_ngrams_approx_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    return topk_ngrams_approx_check(docs, "text", "doc_id", n=3, k=50)
+
+
+def _register_topk_ngrams_approx_oracle() -> None:
+    from hogflare_spark.operators.text_analysis import topk_ngrams_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = topk_ngrams_sql("documents", "text", "doc_id", n=3, k=50)
+    ORACLES["llm_topk_ngrams_approx"] = (
+        f"SELECT ngram, occurrences, TRUE AS df_within_tol FROM ({inner}) "
+        f"ORDER BY occurrences DESC, ngram"
+    )
+
+
+_register_topk_ngrams_approx_oracle()
+
+
 @query("llm_stream_ivf_index", oracle=_ANN_TOPK_ORACLE)
 def llm_stream_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index maintenance (streaming/ann_index.

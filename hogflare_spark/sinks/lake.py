@@ -384,6 +384,36 @@ def compaction_candidates(
     return out
 
 
+def _staged_paths(pdir: str) -> tuple[str, str]:
+    """(staged, backup) sibling names for an atomic partition-dir swap.
+    Both start with '_' so Spark's partition discovery and read_events'
+    `event_date=` globbing never match them mid-swap — a `<pdir>.delete`
+    suffix sibling WOULD still carry the `event_date=` prefix and a
+    concurrent reader could double-read it or mis-parse the partition
+    value."""
+    parent, base = os.path.split(pdir.rstrip("/"))
+    return (
+        os.path.join(parent, "_staged_" + base),
+        os.path.join(parent, "_old_" + base),
+    )
+
+
+def _swap_partition_dir(pdir: str, staged: str, backup: str) -> None:
+    """Two-rename swap: live -> backup, staged -> live, drop backup.
+
+    Crash windows: before the first os.replace nothing changed (staged
+    is invisible to readers); between the two replaces ONLY the backup
+    exists — no live dir — which is recoverable by renaming
+    `_old_<base>` back to the partition name (the backup is never
+    deleted until the new dir is in place); after the second replace
+    the new data is live and the backup drop is best-effort cleanup."""
+    import shutil
+
+    os.replace(pdir, backup)
+    os.replace(staged, pdir)
+    shutil.rmtree(backup)
+
+
 def compact_events(
     spark: SparkSession,
     events_dir: str,
@@ -403,19 +433,14 @@ def compact_events(
             if f.endswith(".parquet")
         )
         n_files = max(1, round(total / target_file_bytes))
-        staged = pdir + ".compact"
+        staged, backup = _staged_paths(pdir)
         (
             df.repartition(n_files)
             .sortWithinPartitions("team_id", "distinct_id", "created_at")
             .write.mode("overwrite")
             .parquet(staged)
         )
-        backup = pdir + ".old"
-        os.replace(pdir, backup)
-        os.replace(staged, pdir)
-        import shutil
-
-        shutil.rmtree(backup)
+        _swap_partition_dir(pdir, staged, backup)
         rewritten.append(pdir)
     return rewritten
 
@@ -439,10 +464,13 @@ def delete_person_rows(
          most files without reading data. The distinct file list (and
          the exact delete count) come back as a tiny driver result.
       2. rewrite — for each affected LEAF dir only: filtered rewrite
-         into a staged dir preserving the cluster sort, then the same
-         atomic swap discipline as compact_events (backup, replace,
-         drop). A crash mid-swap leaves either the old or the new dir,
-         never a mix; untouched partitions keep their bytes.
+         into a staged `_`-prefixed sibling (invisible to concurrent
+         readers) preserving the cluster sort, then the same two-rename
+         swap as compact_events. A crash never leaves a MIX of old and
+         new rows; the one window between the two renames leaves only
+         the `_old_<date>` backup (no live dir), recoverable by
+         renaming it back — see _swap_partition_dir. Untouched
+         partitions keep their bytes.
 
     Callers deleting a PERSON (not a raw id) should first expand to
     all of the person's distinct_ids via the persons table
@@ -469,7 +497,7 @@ def delete_person_rows(
     pdirs = sorted({os.path.dirname(urlparse(r["f"]).path) for r in hits})
     keep = ~F.coalesce(pred, F.lit(False))  # null ids are never subjects
     for pdir in pdirs:
-        staged = pdir + ".delete"
+        staged, backup = _staged_paths(pdir)
         (
             spark.read.parquet(pdir)
             .where(keep)
@@ -477,10 +505,5 @@ def delete_person_rows(
             .write.mode("overwrite")
             .parquet(staged)
         )
-        backup = pdir + ".old"
-        os.replace(pdir, backup)
-        os.replace(staged, pdir)
-        import shutil
-
-        shutil.rmtree(backup)
+        _swap_partition_dir(pdir, staged, backup)
     return pdirs, int(rows_deleted)
