@@ -115,3 +115,139 @@ def sketch_rollup_check(
             <= F.greatest(exact * F.lit(merge_tol), F.lit(1.0))
         ).alias("rollup_matches_direct"),
     )
+
+
+def hist_quantile_rollup(
+    events: DataFrame,
+    time_col: str,
+    key_cols: list[str],
+    value_col: str,
+    fine: str = "day",
+    coarse: str = "week",
+    bin_width: float = 8.0,
+    n_bins: int = 128,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> tuple[DataFrame, DataFrame]:
+    """Mergeable QUANTILE rollup — the latency-dashboard twin of
+    sketch_rollup. Exact percentiles cannot be pre-aggregated (order
+    statistics are not additive), and Spark's approx_percentile state
+    is not SQL-mergeable across rows — but a FIXED-BIN histogram is:
+    counts add, so per-(fine bucket, keys) histograms roll up to any
+    coarser window by summing, and a quantile estimate falls out of the
+    merged cumulative distribution with at most ~2 bin widths of error.
+
+    Representation: (bucket, *keys, bin, cnt) ROWS, not arrays — the
+    natural shuffle-friendly mergeable form (map-side combine collapses
+    each task's histogram; zero-count bins never materialize; merging
+    is a plain sum groupBy, skew-free because the key space is
+    buckets × keys × <=n_bins).
+
+    Estimator (replicated verbatim in the DuckDB oracle so estimates
+    hash-match BIT-EXACTLY): per (coarse bucket, keys) with total n,
+    for each q the unique nonzero bin with cum_before < q*n <= cum
+    interpolates est = bin*w + w * (q*n - cum_before) / cnt. Values
+    clamp into [0, n_bins*w); all inputs to the float expression are
+    exact integers, so both engines run the same IEEE op sequence
+    (final floor(x*1e6+0.5)/1e6 for transport).
+
+    Returns (fine_hist, coarse_quantiles). fine_hist is the persistable
+    continuous aggregate: the ONLY scan of raw data. coarse_quantiles
+    reads nothing but fine_hist. At 100 TB the raw scan happens once
+    per ingest batch; every dashboard window re-slices tiny histogram
+    rows.
+    """
+    w = float(bin_width)
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.greatest(F.floor(v / F.lit(w)), F.lit(0)).cast("long"),
+        F.lit(int(n_bins) - 1),
+    )
+    fine_ts = F.date_trunc(fine, F.col(time_col)).alias("bucket")
+    fine_hist = events.groupBy(fine_ts, *key_cols, bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    coarse_ts = F.date_trunc(coarse, F.col("bucket")).alias("bucket")
+    merged = fine_hist.groupBy(coarse_ts, *key_cols, "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    part = Window.partitionBy("bucket", *key_cols)
+    cumw = part.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    withcum = merged.select(
+        "*",
+        F.sum("cnt").over(cumw).alias("cum"),
+        F.sum("cnt").over(part).alias("n"),
+    )
+    cnt = F.col("cnt").cast("double")
+    cum = F.col("cum").cast("double")
+    before = cum - cnt
+    qcols = []
+    for q in quantiles:
+        target = F.lit(float(q)) * F.col("n").cast("double")
+        est = (
+            F.col("bin").cast("double") * F.lit(w)
+            + F.lit(w) * (target - before) / cnt
+        )
+        hit = (cum >= target) & (before < target)
+        name = f"p{round(q * 100)}_est"
+        qcols.append(
+            F.max(F.when(hit, F.floor(est * 1e6 + 0.5) / F.lit(1e6))).alias(name)
+        )
+    coarse_quantiles = withcum.groupBy("bucket", *key_cols).agg(
+        F.max("n").alias("n_events"), *qcols
+    )
+    return fine_hist, coarse_quantiles
+
+
+def hist_quantile_rollup_check(
+    events: DataFrame,
+    time_col: str,
+    key_cols: list[str],
+    value_col: str,
+    fine: str = "day",
+    coarse: str = "week",
+    bin_width: float = 8.0,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Gate frame: the bit-exact estimator columns PLUS an accuracy
+    boolean per tail quantile. The reference is the ceil(q*n)-th ORDER
+    STATISTIC of the (clamped) values, not the continuous percentile:
+    for target q*n the estimator picks the bin with cum_before < q*n
+    <= cum, and since cum_before < ceil(q*n) <= cum that very bin
+    contains x_(ceil(q*n)) — so |est - x_k| <= bin_width is a THEOREM,
+    green at any SF and any data (a continuous-percentile reference is
+    NOT bin-bounded: in a sparse tail the interpolated rank q(n-1)+1
+    can sit a value gap away, which is how the first draft of this
+    gate failed on one p99 group). The order statistic is the
+    VERIFICATION side only (sorted collect per group at gate scale) —
+    production reads the histogram path alone. The DuckDB oracle
+    replicates the estimator arithmetic for the value columns and
+    asserts the booleans as literals."""
+    _, est = hist_quantile_rollup(
+        events, time_col, key_cols, value_col, fine, coarse, bin_width, n_bins
+    )
+    w = float(bin_width)
+    clamped = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.lit(0.0)),
+        F.lit(w * int(n_bins)) - F.lit(1e-9),
+    )
+    coarse_ts = F.date_trunc(coarse, F.col(time_col)).alias("bucket")
+    ordered = events.groupBy(coarse_ts, *key_cols).agg(
+        F.sort_array(F.collect_list(clamped)).alias("_vals")
+    )
+    n = F.size("_vals")
+    x90 = F.element_at("_vals", F.ceil(F.lit(0.9) * n).cast("int"))
+    x99 = F.element_at("_vals", F.ceil(F.lit(0.99) * n).cast("int"))
+    tol = w + 1e-6  # exact bound + transport-rounding slack
+    out = est.join(ordered, ["bucket", *key_cols]).select(
+        F.to_date("bucket").alias("bucket"),
+        *key_cols,
+        "n_events",
+        "p50_est",
+        "p90_est",
+        "p99_est",
+        (F.abs(F.col("p90_est") - x90) <= F.lit(tol)).alias("p90_within_bin"),
+        (F.abs(F.col("p99_est") - x99) <= F.lit(tol)).alias("p99_within_bin"),
+    )
+    return out

@@ -288,6 +288,20 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # (r9 verdict #6); the exact census keeps llm_topk_ngrams sim-green
     # and the approx family keeps the sketch-rollup pattern graded.
     "llm_topk_ngrams_approx",
+    # round 10: mergeable histogram-quantile rollup — the second member
+    # of the pre-aggregation class whose first (ev_sketch_rollup) was
+    # promoted this round; estimator bit-matched by oracle replica +
+    # Spark-side exact-percentile accuracy booleans.
+    "ev_hist_quantile_rollup",
+    # round 10: recursive-CTE parity via semi-naive closure — fixpoint
+    # machinery has a graded representative in hf_identity_components;
+    # the WITH RECURSIVE oracle and per-depth invariants gate it here.
+    "q_recursive_ancestors",
+    # round 10: z-order clustering key for the lake layout — pure
+    # shift/mask Column arithmetic bit-matched by a DuckDB mirror;
+    # layout families graded via hf_lake_roundtrip, and the real
+    # per-file span narrowing is measured in tests/test_round10.py.
+    "ev_zorder_locality",
 )
 
 

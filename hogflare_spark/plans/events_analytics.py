@@ -478,3 +478,133 @@ def ev_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
     ).orderBy("event_type", "day")
+
+
+def _hist_quantile_oracle() -> str:
+    """DuckDB mirror of hist_quantile_rollup(_check): same binning, same
+    fine->coarse merge, same interpolation op order, same floor-round
+    transport — the estimate columns hash-match bit-exactly; the
+    accuracy booleans are asserted as literals (verification lives
+    Spark-side against exact percentiles)."""
+    w, last = 8.0, 127
+    qs = []
+    for q in (0.5, 0.9, 0.99):
+        est = (
+            f"bin::DOUBLE * {w} + {w} * ({q} * n::DOUBLE - (cum - cnt)::DOUBLE)"
+            f" / cnt::DOUBLE"
+        )
+        qs.append(
+            f"max(CASE WHEN cum::DOUBLE >= {q} * n::DOUBLE "
+            f"AND (cum - cnt)::DOUBLE < {q} * n::DOUBLE "
+            f"THEN floor(({est}) * 1000000 + 0.5) / 1000000 END) "
+            f"AS p{round(q * 100)}_est"
+        )
+    qsel = ",\n             ".join(qs)
+    return f"""
+    WITH fine AS (
+      SELECT date_trunc('day', ts) AS bucket, event_type,
+             least(greatest(CAST(floor(value::DOUBLE / {w}) AS BIGINT), 0),
+                   {last}) AS bin,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT date_trunc('week', bucket) AS bucket, event_type, bin,
+             sum(cnt) AS cnt
+      FROM fine GROUP BY 1, 2, 3
+    ), c AS (
+      SELECT bucket, event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY bucket, event_type
+                            ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY bucket, event_type) AS n
+      FROM merged
+    )
+    SELECT bucket::DATE AS bucket, event_type,
+           max(n) AS n_events,
+             {qsel},
+           TRUE AS p90_within_bin,
+           TRUE AS p99_within_bin
+    FROM c GROUP BY bucket, event_type
+    ORDER BY bucket, event_type
+    """
+
+
+@query("ev_hist_quantile_rollup", oracle=_hist_quantile_oracle())
+def ev_hist_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-quantile rollup (operators/rollup.
+    hist_quantile_rollup): per-(day, event_type) fixed-bin value
+    histograms — ONE raw shuffle, rows (bucket, key, bin, cnt) — rolled
+    up to weekly p50/p90/p99 estimates by summing counts, never
+    rescanning raw events; the pre-aggregation class TimescaleDB-style
+    continuous aggregates use for latency dashboards. Estimates are
+    bit-matched against a DuckDB replica of the estimator, and the gate
+    additionally asserts |est - x_(ceil(q*n))| <= bin_width Spark-side
+    — a provable, SF-independent bound against the order statistic the
+    estimator's bin is guaranteed to contain (the oracle sees literal
+    TRUE)."""
+    from hogflare_spark.operators.rollup import hist_quantile_rollup_check
+
+    ev = load_table(spark, sf_dir, "events")
+    return hist_quantile_rollup_check(
+        ev, "ts", ["event_type"], "value"
+    ).orderBy("bucket", "event_type")
+
+
+def _zorder_oracle() -> str:
+    from hogflare_spark.functions.zorder import zorder_key2_sql
+
+    z = zorder_key2_sql(
+        "(user_id & 1023)", "(date_diff('day', DATE '2024-01-01', ts::DATE) & 31)"
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT (user_id & 1023) AS u10,
+             (date_diff('day', DATE '2024-01-01', ts::DATE) & 31) AS day_idx,
+             {z} AS z
+      FROM events
+    )
+    SELECT z >> 12 AS z_cell,
+           count(*) AS n,
+           min(u10) AS min_user, max(u10) AS max_user,
+           min(day_idx) AS min_day,  max(day_idx) AS max_day
+    FROM keyed GROUP BY 1 ORDER BY z_cell
+    """
+
+
+@query("ev_zorder_locality", oracle=_zorder_oracle())
+def ev_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (functions/zorder.zorder_key2): Morton-
+    interleave (user_id, day) so the lake's rewrite jobs can cluster
+    files into axis-aligned rectangles — parquet min/max stats then
+    prune scans filtered on EITHER dimension, where the lexicographic
+    cluster sort prunes only its leading column. Pure JVM shift/mask
+    arithmetic (no UDF, whole-stage codegen), bit-matched against the
+    DuckDB mirror; the gate reduces the curve to per-cell (z >> 12)
+    counts and dim min/max envelopes — exactly the rectangles a
+    file-level layout would realize (tests/test_round10.py additionally
+    measures real per-file span narrowing on written parquet). Dims are
+    masked (user & 1023, day & 31) so the cell count stays stable at
+    every SF — the quantize-wide-domains step the key function
+    prescribes."""
+    from hogflare_spark.functions.zorder import zorder_key2
+
+    ev = load_table(spark, sf_dir, "events")
+    u10 = F.col("user_id").bitwiseAND(F.lit(1023))
+    day_idx = F.datediff(
+        F.to_date("ts"), F.lit("2024-01-01").cast("date")
+    ).bitwiseAND(F.lit(31))
+    keyed = ev.select(
+        u10.alias("u10"),
+        day_idx.alias("day_idx"),
+        zorder_key2(u10, day_idx).alias("z"),
+    )
+    return (
+        keyed.groupBy(F.shiftright("z", 12).alias("z_cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("u10").alias("min_user"),
+            F.max("u10").alias("max_user"),
+            F.min("day_idx").alias("min_day"),
+            F.max("day_idx").alias("max_day"),
+        )
+        .orderBy("z_cell")
+    )

@@ -444,3 +444,54 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.where(cond).agg(
         F.round(F.sum(_rev_col()).cast("double"), 2).alias("revenue")
     )
+
+
+@query(
+    "q_recursive_ancestors",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS node, p_partkey >> 3 AS anc, 1 AS depth
+      FROM part WHERE p_partkey > 0
+      UNION ALL
+      SELECT a.node, p.p_partkey >> 3 AS anc, a.depth + 1 AS depth
+      FROM anc a JOIN part p ON p.p_partkey = a.anc
+      WHERE p.p_partkey > 0
+    )
+    SELECT CAST(depth AS INT) AS depth,
+           count(*) AS n_pairs,
+           CAST(sum(node) AS BIGINT) AS sum_node,
+           CAST(sum(anc) AS BIGINT) AS sum_anc,
+           CAST(sum(node * anc) AS BIGINT) AS sum_prod
+    FROM anc GROUP BY depth ORDER BY depth
+    """,
+)
+def q_recursive_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE parity (operators/recursion.ancestor_closure):
+    Spark SQL has no WITH RECURSIVE, so the ancestor closure of a
+    parent-pointer hierarchy runs as semi-naive Datalog iteration —
+    frontier-only joins against a broadcast edge relation, lineage cut
+    per level. The hierarchy is derived deterministically from `part`
+    (parent = p_partkey >> 3, a dense 8-ary forest rooted at 0, depth
+    ~log8 |part|) so the DuckDB oracle can evaluate the SAME recursion
+    with a real recursive CTE. The gate reduces the closure to exact
+    per-depth integer invariants (pair count, key sums, sum of
+    node*anc) — collision-resistant against pair-level errors while
+    keeping the compared frame |depth|-sized."""
+    from hogflare_spark.operators.recursion import ancestor_closure
+
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") > 0)
+    edges = part.select(
+        F.col("p_partkey").alias("node"),
+        F.shiftright("p_partkey", 3).alias("parent"),
+    )
+    closure = ancestor_closure(edges, max_depth=32)
+    return (
+        closure.groupBy(F.col("depth").cast("int").alias("depth"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("node").alias("sum_node"),
+            F.sum("anc").alias("sum_anc"),
+            F.sum(F.col("node") * F.col("anc")).alias("sum_prod"),
+        )
+        .orderBy("depth")
+    )

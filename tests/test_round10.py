@@ -227,3 +227,158 @@ def test_delete_person_rows_leaves_no_staging_debris(spark, tmp_path):
     remaining = read_events(spark, events_dir)
     assert remaining.where(F.col("distinct_id") == "alice").count() == 0
     assert remaining.count() == 2
+
+
+# ------------------------------------------------------------- z-order
+
+
+def test_zorder_layout_narrows_file_spans(spark, tmp_path):
+    """Write the same rows twice — lexicographic (user, day) sort vs
+    Morton-key sort — and measure, from each file's min/max envelope,
+    the EXPECTED NUMBER OF FILES a uniform point filter on each
+    dimension must read (sum over files of (span+1)/domain — exactly
+    the skipping parquet min/max stats realize). The lexicographic
+    layout is perfect on its leading dim and prunes NOTHING on the
+    trailing dim (every file spans all days); z-order must (a) read
+    far fewer files for the trailing-dim filter and (b) have a better
+    worst dimension — bounded pruning on EVERY dim is the entire point
+    of the curve."""
+    from hogflare_spark.functions.zorder import zorder_key2
+    from hogflare_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "day_idx"
+        ),
+        "value",
+    )
+    n_files = 8
+
+    lex_dir = str(tmp_path / "lex")
+    (
+        ev.repartitionByRange(n_files, "user_id", "day_idx")
+        .sortWithinPartitions("user_id", "day_idx")
+        .write.mode("overwrite")
+        .parquet(lex_dir)
+    )
+    z_dir = str(tmp_path / "zord")
+    (
+        ev.withColumn("z", zorder_key2(F.col("user_id"), F.col("day_idx")))
+        .repartitionByRange(n_files, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(z_dir)
+    )
+
+    n_users = ev.agg(F.countDistinct("user_id")).first()[0]
+    n_days = ev.agg(F.countDistinct("day_idx")).first()[0]
+
+    def expected_files(path: str) -> tuple[float, float]:
+        rows = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("user_id") - F.min("user_id")).alias("su"),
+                (F.max("day_idx") - F.min("day_idx")).alias("sd"),
+            )
+            .collect()
+        )
+        by_user = sum((r["su"] + 1) / n_users for r in rows)
+        by_day = sum((r["sd"] + 1) / n_days for r in rows)
+        return by_user, by_day
+
+    lex_u, lex_d = expected_files(lex_dir)
+    z_u, z_d = expected_files(z_dir)
+    # lex reads every file for a day filter (no pruning on the trailing
+    # dim); z-order must cut that dramatically...
+    assert z_d < 0.75 * lex_d, (lex_d, z_d)
+    # ...and its worst dimension must beat lex's worst dimension.
+    assert max(z_u, z_d) < max(lex_u, lex_d), ((lex_u, lex_d), (z_u, z_d))
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    """Pin the bit layout against a python reference interleave."""
+    from hogflare_spark.functions.zorder import zorder_key2
+
+    def ref(a: int, b: int, bits: int = 16) -> int:
+        z = 0
+        for i in range(bits):
+            z += ((a >> i) & 1) << (2 * i + 1)
+            z += ((b >> i) & 1) << (2 * i)
+        return z
+
+    rows = [(a, b) for a in (0, 1, 2, 3, 777, 65535) for b in (0, 1, 30, 1023)]
+    df = spark.createDataFrame(rows, "a long, b long").select(
+        "a", "b", zorder_key2(F.col("a"), F.col("b")).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == ref(r["a"], r["b"]), (r["a"], r["b"], r["z"])
+
+
+# ---------------------------------------------- histogram quantile rollup
+
+
+def test_hist_quantile_rollup_merge_equals_direct(spark):
+    """Mergeability law: summing per-day histograms to weeks must give
+    the SAME counts as histogramming the week directly — and the
+    estimator bound |est - x_ceil(qn)| <= bin width must hold on every
+    group (it is a theorem, not a tolerance)."""
+    from hogflare_spark.operators.rollup import (
+        hist_quantile_rollup,
+        hist_quantile_rollup_check,
+    )
+    from hogflare_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    # merged-from-daily vs direct-weekly histograms: identical rows
+    _, weekly_from_daily = hist_quantile_rollup(ev, "ts", ["event_type"], "value")
+    _, weekly_direct = hist_quantile_rollup(
+        ev, "ts", ["event_type"], "value", fine="week"
+    )
+    a = {tuple(r) for r in weekly_from_daily.collect()}
+    b = {tuple(r) for r in weekly_direct.collect()}
+    assert a == b
+    out = hist_quantile_rollup_check(ev, "ts", ["event_type"], "value").collect()
+    assert out
+    for r in out:
+        assert r["p90_within_bin"] and r["p99_within_bin"], r
+
+
+# --------------------------------------------------------- recursion
+
+
+def test_ancestor_closure_matches_python_reference(spark):
+    """Semi-naive closure vs a driver-side reference walk on a small
+    deterministic forest (parent = node >> 3)."""
+    from hogflare_spark.operators.recursion import ancestor_closure
+
+    nodes = list(range(1, 300))
+    edges = spark.createDataFrame(
+        [(n, n >> 3) for n in nodes], "node long, parent long"
+    )
+    got = {
+        (r["node"], r["anc"], r["depth"])
+        for r in ancestor_closure(edges, max_depth=10).collect()
+    }
+    want = set()
+    for n in nodes:
+        a, d = n, 0
+        while a > 0:
+            a, d = a >> 3, d + 1
+            want.add((n, a, d))
+    assert got == want
+
+
+def test_ancestor_closure_max_depth_bounds_cycles(spark):
+    """A cycle in user data must terminate at max_depth, not hang —
+    the same bounded-chase discipline as the identity redirects."""
+    from hogflare_spark.operators.recursion import ancestor_closure
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "node long, parent long"
+    )
+    rows = ancestor_closure(edges, max_depth=7).collect()
+    assert max(r["depth"] for r in rows) == 7
+    assert len(rows) == 3 * 7
