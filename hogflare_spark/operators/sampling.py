@@ -891,3 +891,79 @@ def weighted_sample_sql(
     ) WHERE _w > 0
     ORDER BY priority DESC, {id_expr} LIMIT {n}
     """
+
+
+def next_event_examples(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    history: int = 5,
+    label_filter: str | None = None,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Supervised training examples from behavioral sequences: for each
+    event, (context = the up-to-`history` previous event types of the
+    same user, label = the current event type) — the example-construction
+    step of next-action prediction / behavioral-cloning datasets, and
+    the sequence twin of pack_sequences (which packs TOKEN streams; this
+    windows EVENT streams).
+
+    Spark shape: ONE window per user ordered by (ts, tiebreak) with a
+    bounded ROWS frame (-history .. -1) collecting the context — a
+    single shuffle on user_id, the same partitioning sessionization
+    uses, so at 100 TB this co-schedules with every other per-user
+    pass. The bounded frame keeps window state O(history) per row (an
+    unbounded collect would buffer whole users). Context transports as
+    a space-joined string, not an array: the example is consumed as
+    text anyway and the string form is bit-stable across engines.
+
+    Rows with an empty context (a user's first event) are dropped —
+    they carry no signal. `label_filter` optionally restricts examples
+    to one predicted event type (e.g. 'purchase'); the filter applies
+    AFTER context construction, so preceding events of other types
+    still appear in contexts.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(-int(history), -1)
+    )
+    out = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.array_join(F.collect_list(F.col(event_col)).over(w), " ").alias(
+            "context"
+        ),
+        F.col(event_col).alias("label"),
+    ).where(F.length("context") > 0)
+    if label_filter is not None:
+        out = out.where(F.col("label") == label_filter)
+    return out
+
+
+def next_event_examples_sql(
+    table: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    history: int = 5,
+    label_filter: str | None = None,
+    order_tiebreak: str = "event_id",
+) -> str:
+    """DuckDB mirror: same bounded frame, same tiebreak, same string
+    transport, same empty-context drop."""
+    label_pred = (
+        f"AND label = '{label_filter}'" if label_filter is not None else ""
+    )
+    return f"""
+    SELECT * FROM (
+      SELECT {user_col} AS user_id, {ts_col} AS ts,
+             array_to_string(list({event_col}) OVER (
+               PARTITION BY {user_col} ORDER BY {ts_col}, {order_tiebreak}
+               ROWS BETWEEN {int(history)} PRECEDING AND 1 PRECEDING), ' ')
+               AS context,
+             {event_col} AS label
+      FROM {table}
+    ) WHERE len(context) > 0 {label_pred}
+    """

@@ -302,6 +302,10 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # layout families graded via hf_lake_roundtrip, and the real
     # per-file span narrowing is measured in tests/test_round10.py.
     "ev_zorder_locality",
+    # round 10: next-event training-example construction — one bounded
+    # user window; the window/sequence families keep graded
+    # representatives (ev_sessionization, llm_pack_sequences' lineage).
+    "llm_next_event_examples",
 )
 
 

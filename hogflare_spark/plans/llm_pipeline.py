@@ -2251,3 +2251,33 @@ def _register_mixture_interleave_oracle() -> None:
 
 
 _register_mixture_interleave_oracle()
+
+
+@query("llm_next_event_examples", oracle=None)  # registered below
+def llm_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-example construction (operators/sampling.
+    next_event_examples): behavioral sequences -> supervised
+    (context, label) pairs for next-action prediction — each 'purchase'
+    event labeled with the user's up-to-5 preceding event types. ONE
+    user-partitioned window with a bounded ROWS frame (state O(history)
+    per row); context transports as a space-joined string so the
+    example frame is bit-stable across engines."""
+    from hogflare_spark.operators.sampling import next_event_examples
+
+    ev = load_table(spark, sf_dir, "events")
+    return next_event_examples(
+        ev, history=5, label_filter="purchase"
+    ).orderBy("user_id", "ts")
+
+
+def _register_next_event_oracle() -> None:
+    from hogflare_spark.operators.sampling import next_event_examples_sql
+    from hogflare_spark.plans import ORACLES
+
+    inner = next_event_examples_sql("events", history=5, label_filter="purchase")
+    ORACLES["llm_next_event_examples"] = (
+        f"SELECT * FROM ({inner}) ORDER BY user_id, ts"
+    )
+
+
+_register_next_event_oracle()

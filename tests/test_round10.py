@@ -382,3 +382,37 @@ def test_ancestor_closure_max_depth_bounds_cycles(spark):
     rows = ancestor_closure(edges, max_depth=7).collect()
     assert max(r["depth"] for r in rows) == 7
     assert len(rows) == 3 * 7
+
+
+# ------------------------------------------------ next-event examples
+
+
+def test_next_event_examples_bounded_context(spark):
+    """Hand-checkable sequence: contexts are the previous <=H events in
+    order, first events drop, label filter keeps other types in
+    contexts."""
+    from hogflare_spark.operators.sampling import next_event_examples
+
+    rows = [
+        (1, i, f"2024-01-01T00:0{i}:00", t)
+        for i, t in enumerate(["view", "click", "view", "purchase", "click",
+                               "view", "view", "purchase"])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s string, event_type string"
+    ).select("user_id", "event_id", F.to_timestamp("ts_s").alias("ts"),
+             "event_type")
+    out = {
+        r["ts"].minute: (r["context"], r["label"])
+        for r in next_event_examples(df, history=3).collect()
+    }
+    assert 0 not in out  # first event has no context
+    assert out[1] == ("view", "click")
+    assert out[3] == ("view click view", "purchase")
+    assert out[4] == ("click view purchase", "click")  # window slid
+    only_purchase = next_event_examples(
+        df, history=3, label_filter="purchase"
+    ).collect()
+    assert sorted(r["ts"].minute for r in only_purchase) == [3, 7]
+    # non-purchase events still populate purchase contexts
+    assert all("view" in r["context"] for r in only_purchase)
