@@ -1289,5 +1289,9 @@ BENCH_EXTRA.update(
         "ev_attribution_multitouch",
         "ev_sketch_rollup",
         "ev_volume_anomalies",
+        # round-10: the new pre-aggregation / recursion / layout classes
+        "ev_hist_quantile_rollup",
+        "q_recursive_ancestors",
+        "ev_zorder_locality",
     }
 )

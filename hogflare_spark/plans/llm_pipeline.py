@@ -1083,6 +1083,11 @@ BENCH_EXTRA.update(
         # stay out: their cost is their already-benched constituents)
         "llm_weighted_sample",
         "llm_topk_ngrams",
+        # round-10: the approx census (so the one-shuffle swap's win is
+        # measured against the exact twin round-over-round) and the
+        # example-construction window
+        "llm_topk_ngrams_approx",
+        "llm_next_event_examples",
     }
 )
 
