@@ -804,14 +804,27 @@ def topk_ngrams(
     with multiple distinct columns). Map-side combine still collapses
     the zipfian head inside each task. The final top-k is a TakeOrdered
     (k rows to the driver), never a global sort. At 100 TB the exact
-    doc_freq's second shuffle is the expensive half — pass `approx_rsd`
-    (e.g. 0.02) to swap count_distinct for approx_count_distinct when a
-    ±2% census is acceptable; occurrences stays exact either way. The
-    swap deletes the ENTIRE second exchange: HLL++ registers merge in
-    the same two-phase hash aggregate as the plain count, so the plan
-    collapses to one shuffle carrying one row per n-gram — asserted by
-    plan-shape pytest in tests/test_round10.py (exact = 2 Exchanges,
-    approx = 1) and executed by the llm_topk_ngrams_approx gate.
+    doc_freq's second shuffle is the threatened half — pass `approx_rsd`
+    to swap count_distinct for approx_count_distinct; occurrences stays
+    exact either way. The swap deletes the ENTIRE second exchange
+    (HLL++ registers merge inside the same two-phase hash aggregate, so
+    the plan collapses to one shuffle carrying one row per n-gram —
+    plan-shape pytest in tests/test_round10.py pins exact=2/approx=1
+    exchanges; executed by the llm_topk_ngrams_approx gate), but it is
+    NOT free: each live n-gram key holds 2^p 4-bit-ish registers of
+    partial-aggregation state (p=12 at rsd 0.02 ~ 4 KB/key), and the
+    n-gram key space is huge and tail-heavy, where a tail key's few
+    (ngram, id) dedup rows are CHEAPER than its sketch. Measured at
+    sf0.1 local[32], warm: exact 4.6 s; approx rsd 0.02 5.1 s (a
+    LOSS — sketch state dominates), rsd 0.05 3.7 s, rsd 0.1 3.4 s. So
+    the swap wins when (a) precision is relaxed to rsd >= 0.05 and/or
+    (b) the corpus is head-heavy (boilerplate n-grams with millions of
+    distinct docs are exactly where the deduped (ngram, id) stream —
+    what the second exchange carries — explodes while the sketch stays
+    4 KB). The 100 TB guidance is therefore conditional, not a slogan:
+    keep exact for tail-dominated vocab studies; sketch at rsd 0.05+
+    for head-heavy boilerplate/contamination censuses over massive
+    corpora.
     """
     tok = T.tokens(F.col(text_col))
     idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
@@ -859,7 +872,16 @@ def topk_ngrams_approx_check(
     exceedance P < 1e-6; see operators/rollup.sketch_rollup_check for
     the sigma arithmetic).
     """
-    census = topk_ngrams(df, text_col, id_col, n, k, approx_rsd=approx_rsd)
+    from hogflare_spark.functions.caching import cached
+
+    # the census (k rows) feeds BOTH the gate output and the winners
+    # semi-join; uncached it would recompute the one-shuffle census —
+    # i.e. a third corpus scan — exactly the defect the bm25 batch
+    # plan-shape test caught (host drains the cache at its quiescent
+    # point).
+    census = cached(
+        topk_ngrams(df, text_col, id_col, n, k, approx_rsd=approx_rsd)
+    )
     tok = T.tokens(F.col(text_col))
     idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
     grams = F.when(

@@ -1083,10 +1083,13 @@ BENCH_EXTRA.update(
         # stay out: their cost is their already-benched constituents)
         "llm_weighted_sample",
         "llm_topk_ngrams",
-        # round-10: the approx census (so the one-shuffle swap's win is
-        # measured against the exact twin round-over-round) and the
-        # example-construction window
-        "llm_topk_ngrams_approx",
+        # round-10: the example-construction window joins the bench.
+        # llm_topk_ngrams_approx stays OUT: the registered gate is the
+        # audit composition (approx census + exact recount of the
+        # winners — two gram scans by design); benching it would track
+        # verification cost, not the production operator, whose
+        # exact-vs-approx trade is measured and documented in the
+        # operator docstring + PLANS.md.
         "llm_next_event_examples",
     }
 )
@@ -2090,10 +2093,14 @@ _register_weighted_sample_oracle()
 )
 def llm_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram census (operators/text_analysis.topk_ngrams): the
-    top-50 trigrams by occurrence with document frequency — boilerplate
-    and contamination triage. One explode + one map-side-combined
-    aggregate + a TakeOrdered; the oracle mirrors the explode, counts
-    and deterministic (occurrences DESC, ngram) tiebreak."""
+    top-50 trigrams by occurrence with EXACT document frequency —
+    boilerplate and contamination triage. One explode + map-side-
+    combined aggregation + a TakeOrdered; the exact count-distinct
+    costs a second exchange of the gram stream (Catalyst's dedup-then-
+    count rewrite — see the operator), which is what the graded-family
+    sibling llm_topk_ngrams_approx removes for the 100 TB path. Oracle
+    mirrors the explode, counts and the deterministic (occurrences
+    DESC, ngram) tiebreak."""
     from hogflare_spark.operators.text_analysis import topk_ngrams
 
     docs = load_table(spark, sf_dir, "documents")
