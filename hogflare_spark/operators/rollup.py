@@ -163,8 +163,14 @@ def hist_quantile_rollup(
         F.lit(int(n_bins) - 1),
     )
     fine_ts = F.date_trunc(fine, F.col(time_col)).alias("bucket")
-    fine_hist = events.groupBy(fine_ts, *key_cols, bin_.alias("bin")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    # NULL values are excluded up front (quantiles of nulls are
+    # undefined anyway) — also removes the engines' one representational
+    # divergence: a NULL bin would sort NULLS FIRST in Spark's window
+    # but NULLS LAST in DuckDB's, silently shifting every cum.
+    fine_hist = (
+        events.where(v.isNotNull())
+        .groupBy(fine_ts, *key_cols, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     coarse_ts = F.date_trunc(coarse, F.col("bucket")).alias("bucket")
     merged = fine_hist.groupBy(coarse_ts, *key_cols, "bin").agg(

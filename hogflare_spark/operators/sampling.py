@@ -929,6 +929,11 @@ def next_event_examples(
         .orderBy(ts_col, order_tiebreak)
         .rowsBetween(-int(history), -1)
     )
+    # NULL event names are dropped BEFORE windowing (they carry no
+    # signal as label or context, and Spark's collect_list silently
+    # skips NULLs while DuckDB's list() keeps them — filtering first
+    # makes the two frames see identical sequences).
+    events = events.where(F.col(event_col).isNotNull())
     out = events.select(
         F.col(user_col).alias("user_id"),
         F.col(ts_col).alias("ts"),
@@ -964,6 +969,6 @@ def next_event_examples_sql(
                ROWS BETWEEN {int(history)} PRECEDING AND 1 PRECEDING), ' ')
                AS context,
              {event_col} AS label
-      FROM {table}
+      FROM {table} WHERE {event_col} IS NOT NULL
     ) WHERE len(context) > 0 {label_pred}
     """

@@ -506,7 +506,7 @@ def _hist_quantile_oracle() -> str:
              least(greatest(CAST(floor(value::DOUBLE / {w}) AS BIGINT), 0),
                    {last}) AS bin,
              count(*) AS cnt
-      FROM events GROUP BY 1, 2, 3
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
     ), merged AS (
       SELECT date_trunc('week', bucket) AS bucket, event_type, bin,
              sum(cnt) AS cnt
