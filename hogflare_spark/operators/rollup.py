@@ -156,6 +156,30 @@ def hist_quantile_rollup(
     per ingest batch; every dashboard window re-slices tiny histogram
     rows.
     """
+    fine_hist = fine_histogram(
+        events, time_col, key_cols, value_col, fine, bin_width, n_bins
+    )
+    coarse_quantiles = hist_quantiles(
+        fine_hist, key_cols, coarse, bin_width, quantiles
+    )
+    return fine_hist, coarse_quantiles
+
+
+def fine_histogram(
+    events: DataFrame,
+    time_col: str,
+    key_cols: list[str],
+    value_col: str,
+    fine: str = "day",
+    bin_width: float = 8.0,
+    n_bins: int = 128,
+) -> DataFrame:
+    """The persistable continuous aggregate: (bucket, *keys, bin, cnt)
+    rows — the only stage that scans raw data. NULL values are excluded
+    up front (quantiles of nulls are undefined anyway) — also removes
+    the engines' one representational divergence: a NULL bin would sort
+    NULLS FIRST in Spark's window but NULLS LAST in DuckDB's, silently
+    shifting every cum."""
     w = float(bin_width)
     v = F.col(value_col).cast("double")
     bin_ = F.least(
@@ -163,21 +187,30 @@ def hist_quantile_rollup(
         F.lit(int(n_bins) - 1),
     )
     fine_ts = F.date_trunc(fine, F.col(time_col)).alias("bucket")
-    # NULL values are excluded up front (quantiles of nulls are
-    # undefined anyway) — also removes the engines' one representational
-    # divergence: a NULL bin would sort NULLS FIRST in Spark's window
-    # but NULLS LAST in DuckDB's, silently shifting every cum.
-    fine_hist = (
+    return (
         events.where(v.isNotNull())
         .groupBy(fine_ts, *key_cols, bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def hist_quantiles(
+    fine_hist: DataFrame,
+    key_cols: list[str],
+    coarse: str = "week",
+    bin_width: float = 8.0,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile estimates per (coarse bucket, *keys) from histogram rows
+    alone — never touches raw data, so it serves equally over the batch
+    fine aggregate and the streaming state's accumulated histogram."""
+    from pyspark.sql import Window
+
+    w = float(bin_width)
     coarse_ts = F.date_trunc(coarse, F.col("bucket")).alias("bucket")
     merged = fine_hist.groupBy(coarse_ts, *key_cols, "bin").agg(
         F.sum("cnt").alias("cnt")
     )
-    from pyspark.sql import Window
-
     part = Window.partitionBy("bucket", *key_cols)
     cumw = part.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     withcum = merged.select(
@@ -200,10 +233,9 @@ def hist_quantile_rollup(
         qcols.append(
             F.max(F.when(hit, F.floor(est * 1e6 + 0.5) / F.lit(1e6))).alias(name)
         )
-    coarse_quantiles = withcum.groupBy("bucket", *key_cols).agg(
+    return withcum.groupBy("bucket", *key_cols).agg(
         F.max("n").alias("n_events"), *qcols
     )
-    return fine_hist, coarse_quantiles
 
 
 def hist_quantile_rollup_check(

@@ -306,6 +306,11 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # user window; the window/sequence families keep graded
     # representatives (ev_sessionization, llm_pack_sequences' lineage).
     "llm_next_event_examples",
+    # round 10: the streaming twin of the histogram-quantile rollup —
+    # additive-count state on the snapshot pattern (graded relatives:
+    # llm_stream_incremental_dedup / llm_stream_near_dedup), estimates
+    # bit-equal to the batch rollup by additivity.
+    "ev_stream_hist_rollup",
 )
 
 

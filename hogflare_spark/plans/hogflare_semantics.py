@@ -1295,3 +1295,93 @@ BENCH_EXTRA.update(
         "ev_zorder_locality",
     }
 )
+
+
+def _stream_hist_oracle() -> str:
+    """The ev_hist_quantile_rollup estimator replica (same binning,
+    merge, interpolation, rounding) — valid for the STREAMING state too
+    because histogram counts are additive: after the three micro-batches
+    the accumulated state IS the batch fine histogram bit-for-bit."""
+    w, last = 8.0, 127
+    qs = []
+    for q in (0.5, 0.9, 0.99):
+        est = (
+            f"bin::DOUBLE * {w} + {w} * ({q} * n::DOUBLE - (cum - cnt)::DOUBLE)"
+            f" / cnt::DOUBLE"
+        )
+        qs.append(
+            f"max(CASE WHEN cum::DOUBLE >= {q} * n::DOUBLE "
+            f"AND (cum - cnt)::DOUBLE < {q} * n::DOUBLE "
+            f"THEN floor(({est}) * 1000000 + 0.5) / 1000000 END) "
+            f"AS p{round(q * 100)}_est"
+        )
+    qsel = ",\n             ".join(qs)
+    return f"""
+    WITH fine AS (
+      SELECT date_trunc('day', ts) AS bucket, event_type AS key,
+             least(greatest(CAST(floor(value::DOUBLE / {w}) AS BIGINT), 0),
+                   {last}) AS bin,
+             count(*) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT date_trunc('week', bucket) AS bucket, key, bin, sum(cnt) AS cnt
+      FROM fine GROUP BY 1, 2, 3
+    ), c AS (
+      SELECT bucket, key, bin, cnt,
+             sum(cnt) OVER (PARTITION BY bucket, key ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY bucket, key) AS n
+      FROM merged
+    )
+    SELECT bucket::DATE AS bucket, key,
+           max(n) AS n_events,
+             {qsel}
+    FROM c GROUP BY bucket, key
+    ORDER BY bucket, key
+    """
+
+
+@query("ev_stream_hist_rollup", oracle=_stream_hist_oracle())
+def ev_stream_hist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous aggregate (streaming/incremental_model.
+    IncrementalHistQuantiles): the events table arrives as three
+    event_id-range micro-batches with a mid-stream compaction; the
+    weekly p50/p90/p99 estimates read from the ACCUMULATED histogram
+    state must equal the batch rollup bit-for-bit (additive integer
+    counts), so the oracle is the batch estimator replica. This is the
+    deployment shape of the histogram-quantile class: ingest folds
+    bin-bounded rows per trigger, dashboards never rescan raw events."""
+    import shutil
+    import tempfile
+
+    from hogflare_spark.streaming.incremental_model import (
+        IncrementalHistQuantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    n = ev.agg(F.max("event_id")).first()[0] + 1
+    b1, b2 = n // 3, 2 * n // 3
+    work = tempfile.mkdtemp(prefix="ev_stream_hist_")
+    try:
+        job = IncrementalHistQuantiles(work, compact_every=2)
+        job.process_batch(ev.where(F.col("event_id") < b1), 0)
+        job.process_batch(
+            ev.where((F.col("event_id") >= b1) & (F.col("event_id") < b2)), 1
+        )  # triggers a compaction (compact_every=2)
+        job.process_batch(ev.where(F.col("event_id") >= b2), 2)
+        return (
+            job.quantiles(spark)
+            .select(
+                F.to_date("bucket").alias("bucket"),
+                "key",
+                "n_events",
+                "p50_est",
+                "p90_est",
+                "p99_est",
+            )
+            .orderBy("bucket", "key")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

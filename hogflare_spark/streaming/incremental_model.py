@@ -300,3 +300,139 @@ class IncrementalBm25Stats:
         return self._sum_by_term(
             spark.read.schema(BM25_STATE_SCHEMA).parquet(*paths)
         )
+
+
+HIST_STATE_SCHEMA = "bucket timestamp, key string, bin bigint, cnt bigint"
+
+
+class IncrementalHistQuantiles:
+    """Incremental continuous aggregate for the histogram-quantile
+    rollup (operators/rollup.py): per-(fine bucket, key, bin) counts
+    accumulated per micro-batch — the streaming twin of the batch
+    fine_histogram, on the same snapshot-state pattern as the DSIR and
+    BM25 models.
+
+    Histogram counts are the textbook additive model: the sum of
+    per-batch bin counts IS the full-corpus histogram bit-for-bit for
+    any batch shape (pinned in tests/test_streaming_model.py), so the
+    weekly p50/p90/p99 read — operators/rollup.hist_quantiles over the
+    accumulated state — EQUALS the batch rollup exactly. This is what
+    a latency dashboard over a 100 TB event stream actually deploys:
+    each ingest micro-batch folds (buckets x keys x <=n_bins)-bounded
+    rows into state, and no dashboard window ever rescans raw events.
+
+    Scale shape per batch: one map-side-combined groupBy whose shuffle
+    output is bin-bounded, written as one tiny parquet dir; compaction
+    keeps the dir count <= compact_every + 1. Replay idempotence:
+    deterministic per-batch overwrites keyed by batch id; the snapshot
+    pointer fences absorbed batches (IncrementalDsirModel contract
+    verbatim)."""
+
+    def __init__(
+        self,
+        work_dir: str,
+        time_col: str = "ts",
+        key_col: str = "event_type",
+        value_col: str = "value",
+        fine: str = "day",
+        bin_width: float = 8.0,
+        n_bins: int = 128,
+        compact_every: int = 16,
+    ):
+        self.work_dir = work_dir
+        self.time_col = time_col
+        self.key_col = key_col
+        self.value_col = value_col
+        self.fine = fine
+        self.bin_width = bin_width
+        self.n_bins = n_bins
+        self.compact_every = compact_every
+        self.state_dir = os.path.join(work_dir, "state")
+        self._pointer_path = os.path.join(work_dir, "_SNAPSHOT")
+
+    _read_pointer = IncrementalDsirModel._read_pointer
+    _batch_dirs = IncrementalDsirModel._batch_dirs
+
+    def _batch_hist(self, df: DataFrame) -> DataFrame:
+        from hogflare_spark.operators.rollup import fine_histogram
+
+        return fine_histogram(
+            df,
+            self.time_col,
+            [self.key_col],
+            self.value_col,
+            self.fine,
+            self.bin_width,
+            self.n_bins,
+        ).select(
+            F.col("bucket").cast("timestamp").alias("bucket"),
+            F.col(self.key_col).cast("string").alias("key"),
+            "bin",
+            "cnt",
+        )
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._batch_hist(batch_df).write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, f"batch={batch_id}")
+        )
+        ptr = self._read_pointer() or {"version": -1, "through_batch": -1}
+        live = self._batch_dirs(after=int(ptr["through_batch"]))
+        if len(live) >= self.compact_every:
+            self._compact(batch_df.sparkSession, ptr, live)
+
+    @staticmethod
+    def _sum_bins(acc: DataFrame) -> DataFrame:
+        return acc.groupBy("bucket", "key", "bin").agg(F.sum("cnt").alias("cnt"))
+
+    def _compact(self, spark: SparkSession, ptr: dict, live: list[str]) -> None:
+        version = int(ptr["version"]) + 1
+        through = max(int(p.rsplit("=", 1)[1]) for p in live)
+        acc = spark.read.schema(HIST_STATE_SCHEMA).parquet(*live)
+        if int(ptr["version"]) >= 0:
+            acc = acc.unionByName(
+                spark.read.schema(HIST_STATE_SCHEMA).parquet(
+                    os.path.join(self.state_dir, f"snapshot={ptr['version']}")
+                )
+            )
+        out = os.path.join(self.state_dir, f"snapshot={version}")
+        self._sum_bins(acc).coalesce(1).write.mode("overwrite").parquet(out)
+        tmp = self._pointer_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "through_batch": through}, fh)
+        os.replace(tmp, self._pointer_path)
+        for p in live:
+            shutil.rmtree(p, ignore_errors=True)
+        if int(ptr["version"]) >= 0:
+            shutil.rmtree(
+                os.path.join(self.state_dir, f"snapshot={ptr['version']}"),
+                ignore_errors=True,
+            )
+
+    def histogram(self, spark: SparkSession) -> DataFrame:
+        """The accumulated fine histogram (bucket, key, bin, cnt)."""
+        ptr = self._read_pointer() or {"version": -1, "through_batch": -1}
+        paths = self._batch_dirs(after=int(ptr["through_batch"]))
+        if int(ptr["version"]) >= 0:
+            paths.append(
+                os.path.join(self.state_dir, f"snapshot={ptr['version']}")
+            )
+        if not paths:
+            return spark.createDataFrame([], HIST_STATE_SCHEMA)
+        return self._sum_bins(
+            spark.read.schema(HIST_STATE_SCHEMA).parquet(*paths)
+        )
+
+    def quantiles(
+        self,
+        spark: SparkSession,
+        coarse: str = "week",
+        qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    ) -> DataFrame:
+        """Coarse quantile estimates from state alone — the exact batch
+        hist_quantiles arithmetic, so once the state has absorbed the
+        same rows the estimates equal the batch rollup bit-for-bit."""
+        from hogflare_spark.operators.rollup import hist_quantiles
+
+        return hist_quantiles(
+            self.histogram(spark), ["key"], coarse, self.bin_width, qs
+        )

@@ -87,3 +87,64 @@ def test_incremental_model_compaction_bounds_dirs_and_replays(spark, tmp_path):
     # replaying a batch ALREADY ABSORBED by a snapshot must not double-count
     job.process_batch(batches[0], 0)
     assert _model_rows(job.model(spark)) == want
+
+
+# ------------------------------------------- IncrementalHistQuantiles
+
+
+def _hist_events(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, f"2024-01-{(i % 28) + 1:02d}T12:00:00", "t" + str(i % 2),
+         float((i * 37) % 500) / 2.0)
+        for i in range(200)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, value double"
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "event_type",
+             "value")
+
+
+def test_incremental_hist_equals_batch_and_replays(spark, tmp_path):
+    """Additivity: three micro-batches (with a mid-stream compaction)
+    accumulate to the EXACT batch fine histogram, quantile estimates
+    equal the batch rollup bit-for-bit, and a replayed batch id does
+    not double-count."""
+    from pyspark.sql import functions as F
+
+    from hogflare_spark.operators.rollup import hist_quantile_rollup
+    from hogflare_spark.streaming.incremental_model import (
+        IncrementalHistQuantiles,
+    )
+
+    ev = _hist_events(spark)
+    job = IncrementalHistQuantiles(str(tmp_path / "hq"), compact_every=2)
+    job.process_batch(ev.where(F.col("event_id") < 70), 0)
+    job.process_batch(
+        ev.where((F.col("event_id") >= 70) & (F.col("event_id") < 140)), 1
+    )  # compaction fires here
+    job.process_batch(ev.where(F.col("event_id") >= 140), 2)
+
+    fine_batch, quant_batch = hist_quantile_rollup(
+        ev, "ts", ["event_type"], "value"
+    )
+    got_hist = {
+        (r["bucket"], r["key"], r["bin"], r["cnt"])
+        for r in job.histogram(spark).collect()
+    }
+    want_hist = {
+        (r["bucket"], r["event_type"], r["bin"], r["cnt"])
+        for r in fine_batch.collect()
+    }
+    assert got_hist == want_hist
+    got_q = {tuple(r) for r in job.quantiles(spark).collect()}
+    want_q = {tuple(r) for r in quant_batch.collect()}
+    assert got_q == want_q
+
+    # replay: re-deliver an absorbed-or-not batch id — state unchanged
+    job.process_batch(ev.where(F.col("event_id") >= 140), 2)
+    assert {
+        (r["bucket"], r["key"], r["bin"], r["cnt"])
+        for r in job.histogram(spark).collect()
+    } == want_hist
