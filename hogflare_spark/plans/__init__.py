@@ -311,6 +311,10 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # llm_stream_incremental_dedup / llm_stream_near_dedup), estimates
     # bit-equal to the batch rollup by additivity.
     "ev_stream_hist_rollup",
+    # round 10: snapshot time travel — the lake family keeps
+    # hf_lake_roundtrip graded; this gates the version-pinned read path
+    # (every committed snapshot readable until expiration).
+    "hf_lake_time_travel",
 )
 
 

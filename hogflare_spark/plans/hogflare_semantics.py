@@ -1385,3 +1385,77 @@ def ev_stream_hist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "hf_lake_time_travel",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 100 = 0
+    ), v1 AS (
+      SELECT k, CASE WHEN k % 3 = 0 THEN cents * 2 ELSE cents END AS cents
+      FROM base
+    ), v2 AS (
+      SELECT k, CASE WHEN k % 5 = 0 THEN cents + 100000 ELSE cents END AS cents
+      FROM v1
+    )
+    SELECT 0 AS version, count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents FROM base
+    UNION ALL
+    SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM v1
+    UNION ALL
+    SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v2
+    ORDER BY version
+    """,
+)
+def hf_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (sinks/lake.read_table(version=...)): three
+    MERGE commits build version history — base prices, a 2x reprice of
+    every 3rd key, then +1000.00 on every 5th key — and the gate reads
+    ALL THREE versions back by version number, reducing each to exact
+    integer invariants (cents, floor-rounded identically on both
+    engines, so the floating source column can't drift the sums). The
+    Iceberg contract being stood in for: every committed snapshot stays
+    readable until expiration (reference sink: Iceberg-on-R2,
+    /root/reference/src/pipeline.rs:57-143; versioned-commit mapping in
+    CATALOG.md)."""
+    import shutil
+    import tempfile
+
+    from hogflare_spark.sinks.lake import read_table, upsert_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("k"), cents.alias("cents")
+    )
+    root = tempfile.mkdtemp(prefix="hf_lake_tt_")
+    try:
+        v0 = upsert_table(spark, base, root, ["k"])
+        upd1 = base.where(F.col("k") % 3 == 0).select(
+            "k", (F.col("cents") * 2).alias("cents")
+        )
+        v1 = upsert_table(spark, upd1, root, ["k"])
+        # v2 updates apply ON TOP of v1 state, so reprice reads v1 back
+        v1_state = read_table(spark, root, version=v1)
+        upd2 = v1_state.where(F.col("k") % 5 == 0).select(
+            "k", (F.col("cents") + 100000).alias("cents")
+        )
+        v2 = upsert_table(spark, upd2, root, ["k"])
+        frames = []
+        for out_ver, v in ((0, v0), (1, v1), (2, v2)):
+            frames.append(
+                read_table(spark, root, version=v).agg(
+                    F.lit(out_ver).cast("long").alias("version"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("cents").alias("sum_cents"),
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.orderBy("version").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

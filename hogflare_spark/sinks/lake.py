@@ -423,7 +423,20 @@ def compact_events(
 ) -> list[str]:
     """Rewrite small-file partitions into ~target-size files, preserving the
     cluster sort. Per-partition rewrite keeps the blast radius of a failed
-    compaction to one partition. Returns the rewritten partition dirs."""
+    compaction to one partition. Returns the rewritten partition dirs.
+
+    Layout note: the preserved sort is lexicographic (team, id, time) —
+    perfect pruning on the leading column, none on the others. For
+    tables filtered on MULTIPLE dims, the same rewrite machinery takes a
+    Morton key instead: sortWithinPartitions(zorder_key2(dim_a, dim_b))
+    (functions/zorder.py — hash string dims to ints first, quantize but
+    do NOT hash time dims, or range filters lose locality). The per-dim
+    expected-files-read win is measured on real written parquet in
+    tests/test_round10.py; the ev_zorder_locality gate pins the key
+    arithmetic cross-engine. Not the default because the events read
+    path filters almost exclusively by the leading partition/cluster
+    columns — z-order is the documented option for dashboard-style
+    mixed-dim tables, the Iceberg Z-ORDER rewrite equivalent."""
     rewritten = []
     for pdir in compaction_candidates(events_dir, small_file_bytes, min_small_files):
         df = spark.read.parquet(pdir)
