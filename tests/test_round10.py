@@ -176,15 +176,19 @@ def test_topk_ngrams_approx_check_green_and_topk_exact(spark):
 def test_lake_staging_names_invisible_to_partition_globs(tmp_path):
     """ADVICE r9: staged/backup dirs must NOT carry the `event_date=`
     prefix, or a concurrent read_events glob can double-read mid-swap.
-    The helper must emit '_'-prefixed siblings (ignored by Spark's file
-    listing) in the partition's parent dir."""
+    The helper must emit LEADING-DOT siblings in the partition's parent
+    dir — measured on Spark 4.1: a '.'-dir is skipped by partition
+    inference even with '=' in its name, while a '_'-dir containing '='
+    fails the whole read with CONFLICTING_PARTITION_COLUMN_NAMES (see
+    test_swap_survives_orphaned_backup, which reads THROUGH a stale
+    sibling)."""
     from hogflare_spark.sinks.lake import _staged_paths
 
     pdir = str(tmp_path / "events" / "event_date=2024-01-15")
     staged, backup = _staged_paths(pdir)
     assert os.path.dirname(staged) == os.path.dirname(pdir)
-    assert os.path.basename(staged).startswith("_")
-    assert os.path.basename(backup).startswith("_")
+    assert os.path.basename(staged).startswith(".")
+    assert os.path.basename(backup).startswith(".")
     assert not os.path.basename(staged).startswith("event_date=")
     assert not os.path.basename(backup).startswith("event_date=")
     # distinct names so a staged dir can never collide with its backup
@@ -193,7 +197,7 @@ def test_lake_staging_names_invisible_to_partition_globs(tmp_path):
 
 def test_delete_person_rows_leaves_no_staging_debris(spark, tmp_path):
     """End-to-end: delete a subject, then assert the lake contains ONLY
-    `event_date=` leaf dirs (no _staged_/_old_ remnants) and the rows
+    `event_date=` leaf dirs (no staged/backup remnants) and the rows
     are gone while other subjects' rows survive."""
     from pyspark.sql import Row
 
@@ -223,7 +227,7 @@ def test_delete_person_rows_leaves_no_staging_debris(spark, tmp_path):
     assert len(pdirs) == 2 and n_deleted == 2
     for _root, dirs, _files in os.walk(events_dir):
         for d in dirs:
-            assert not d.startswith("_staged_") and not d.startswith("_old_"), d
+            assert not d.startswith(".staged_") and not d.startswith(".old_"), d
     remaining = read_events(spark, events_dir)
     assert remaining.where(F.col("distinct_id") == "alice").count() == 0
     assert remaining.count() == 2
@@ -416,3 +420,39 @@ def test_next_event_examples_bounded_context(spark):
     assert sorted(r["ts"].minute for r in only_purchase) == [3, 7]
     # non-purchase events still populate purchase contexts
     assert all("view" in r["context"] for r in only_purchase)
+
+
+def test_swap_survives_orphaned_backup(spark, tmp_path):
+    """A backup dir orphaned by a crash AFTER its swap completed must
+    not wedge the next rewrite of the same partition (os.replace cannot
+    rename onto a non-empty dir)."""
+    import shutil
+
+    from pyspark.sql import Row
+
+    from hogflare_spark.sinks.lake import (
+        _staged_paths,
+        append_events,
+        delete_person_rows,
+        read_events,
+    )
+
+    events_dir = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [
+            Row(uuid="u0", team_id=1, distinct_id="alice", event="ev",
+                created_at="2025-03-01T10:00:00Z"),
+            Row(uuid="u1", team_id=1, distinct_id="bob", event="ev",
+                created_at="2025-03-01T11:00:00Z"),
+        ]
+    ).withColumn("created_at", F.to_timestamp("created_at"))
+    append_events(df, events_dir)
+    pdir = os.path.join(events_dir, "event_date=2025-03-01")
+    _, backup = _staged_paths(pdir)
+    # simulate the orphan: a stale non-empty backup next to a live dir
+    shutil.copytree(pdir, backup)
+    pdirs, n = delete_person_rows(spark, events_dir, ["alice"])
+    assert pdirs == [pdir] and n == 1
+    assert not os.path.isdir(backup)
+    back = read_events(spark, events_dir)
+    assert back.count() == 1 and back.first()["distinct_id"] == "bob"
