@@ -315,6 +315,10 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # hf_lake_roundtrip graded; this gates the version-pinned read path
     # (every committed snapshot readable until expiration).
     "hf_lake_time_travel",
+    # round 10: exact distributed k-selection — the exact-order-statistic
+    # complement of the graded percentile/sketch gates; row_number
+    # oracle, narrowing levels forced in pytest.
+    "q_exact_quantile_value",
 )
 
 

@@ -608,3 +608,40 @@ def ev_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_cell")
     )
+
+
+@query(
+    "q_exact_quantile_value",
+    oracle="""
+    WITH v AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+    n AS (SELECT count(*) AS n FROM v),
+    r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+    SELECT CAST(0.5 AS DOUBLE) AS q,
+           (SELECT CAST(ceil(0.5 * n) AS BIGINT) FROM n) AS k,
+           v AS value
+    FROM r WHERE rn = (SELECT CAST(ceil(0.5 * n) AS BIGINT) FROM n)
+    UNION ALL
+    SELECT CAST(0.99 AS DOUBLE),
+           (SELECT CAST(ceil(0.99 * n) AS BIGINT) FROM n),
+           v
+    FROM r WHERE rn = (SELECT CAST(ceil(0.99 * n) AS BIGINT) FROM n)
+    ORDER BY q
+    """,
+)
+def q_exact_quantile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed selection (operators/selection.kth_smallest):
+    the EXACT p50/p99 order statistics of events.value via iterative
+    histogram narrowing — per level one stats aggregate + one <=4096-row
+    histogram, recursing into only the rank-holding bucket (a
+    parquet-pushable predicate), finished by a TakeOrdered. Never a
+    global sort, never more than the histogram on the driver; the
+    oracle is the literal row_number() order statistic. The values are
+    raw parquet doubles (no arithmetic), so the hash match is exact by
+    construction."""
+    from hogflare_spark.operators.selection import exact_quantile_values
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = exact_quantile_values(ev, "value", qs=(0.5, 0.99))
+    return spark.createDataFrame(
+        rows, "q double, k long, value double"
+    ).orderBy("q")

@@ -456,3 +456,51 @@ def test_swap_survives_orphaned_backup(spark, tmp_path):
     assert not os.path.isdir(backup)
     back = read_events(spark, events_dir)
     assert back.count() == 1 and back.first()["distinct_id"] == "bob"
+
+
+# ------------------------------------------------- exact k-selection
+
+
+def test_kth_smallest_forced_narrowing_matches_python(spark):
+    """Force multiple histogram-narrowing levels (tiny direct_threshold,
+    small bucket count) and check every rank class against a python
+    sort: first, last, median, duplicates, and a duplicate-mass column
+    where a bucket stops shrinking (min==max early-exit)."""
+    from hogflare_spark.operators.selection import kth_smallest
+    from hogflare_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select("value")
+    vals = sorted(r["value"] for r in ev.collect() if r["value"] is not None)
+    n = len(vals)
+    for k in (1, 2, n // 2, n - 1, n):
+        got = kth_smallest(
+            ev, "value", k, buckets=16, max_levels=6, direct_threshold=25
+        )
+        assert got == vals[k - 1], (k, got, vals[k - 1])
+
+    # duplicate mass: every row the same value -> min==max early exit
+    const = ev.select((F.col("value") * 0 + 7.25).alias("value"))
+    assert kth_smallest(const, "value", n // 2, direct_threshold=25) == 7.25
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kth_smallest(ev, "value", n + 1, direct_threshold=25)
+    with _pytest.raises(ValueError):
+        kth_smallest(ev, "value", 0)
+
+
+def test_exact_quantile_values_rank_convention(spark):
+    """(q, k, value): k = ceil(q*n) over non-null rows, value = the k-th
+    smallest — pinned against a python sort."""
+    import math
+
+    from hogflare_spark.operators.selection import exact_quantile_values
+    from hogflare_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    vals = sorted(r["value"] for r in ev.select("value").collect()
+                  if r["value"] is not None)
+    for q, k, v in exact_quantile_values(ev, "value", qs=(0.1, 0.5, 0.99)):
+        assert k == max(1, math.ceil(q * len(vals)))
+        assert v == vals[k - 1]
