@@ -1289,10 +1289,13 @@ BENCH_EXTRA.update(
         "ev_attribution_multitouch",
         "ev_sketch_rollup",
         "ev_volume_anomalies",
-        # round-10: the new pre-aggregation / recursion / layout classes
+        # round-10: the new pre-aggregation / recursion / layout /
+        # selection classes (the stream-hist and time-travel gates stay
+        # out: their cost is tmp-dir write machinery, not query plans)
         "ev_hist_quantile_rollup",
         "q_recursive_ancestors",
         "ev_zorder_locality",
+        "q_exact_quantile_value",
     }
 )
 

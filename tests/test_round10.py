@@ -504,3 +504,62 @@ def test_exact_quantile_values_rank_convention(spark):
     for q, k, v in exact_quantile_values(ev, "value", qs=(0.1, 0.5, 0.99)):
         assert k == max(1, math.ceil(q * len(vals)))
         assert v == vals[k - 1]
+
+
+def test_swap_crash_window_recovery(spark, tmp_path, monkeypatch):
+    """Simulate a crash BETWEEN the two renames: the live dir is gone,
+    only '.old_<base>' remains — then verify the documented recovery
+    (rename the backup back) restores the table byte-identically."""
+    import os as _os
+
+    from pyspark.sql import Row
+
+    from hogflare_spark.sinks.lake import (
+        _staged_paths,
+        append_events,
+        delete_person_rows,
+        read_events,
+    )
+
+    events_dir = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [
+            Row(uuid="u0", team_id=1, distinct_id="alice", event="ev",
+                created_at="2025-03-01T10:00:00Z"),
+            Row(uuid="u1", team_id=1, distinct_id="bob", event="ev",
+                created_at="2025-03-01T11:00:00Z"),
+        ]
+    ).withColumn("created_at", F.to_timestamp("created_at"))
+    append_events(df, events_dir)
+    pdir = os.path.join(events_dir, "event_date=2025-03-01")
+    staged, backup = _staged_paths(pdir)
+
+    real_replace = _os.replace
+    calls = {"n": 0}
+
+    def crashing_replace(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # after live->backup, before staged->live
+            raise OSError("simulated crash between the two renames")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr("hogflare_spark.sinks.lake.os.replace", crashing_replace)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="simulated crash"):
+        delete_person_rows(spark, events_dir, ["alice"])
+    monkeypatch.undo()
+
+    # the documented crash state: backup only, no live dir
+    assert os.path.isdir(backup) and not os.path.isdir(pdir)
+    # documented recovery: rename the backup back
+    _os.replace(backup, pdir)
+    import shutil
+
+    shutil.rmtree(staged, ignore_errors=True)
+    back = read_events(spark, events_dir)
+    assert back.count() == 2  # original bytes, nothing lost
+    # and the retried delete now succeeds cleanly
+    pdirs, n = delete_person_rows(spark, events_dir, ["alice"])
+    assert pdirs == [pdir] and n == 1
+    assert read_events(spark, events_dir).count() == 1
