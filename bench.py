@@ -128,7 +128,13 @@ def main() -> None:
         "sf": sf_val,
     }
     if errors:
-        out["errors"] = {k: v[:80] for k, v in errors.items()}
+        # the stdout line must survive the driver's ~2000-byte tail capture
+        # even when MANY queries fail: cap to the first few errors and count
+        # the rest (full messages go to the sidecar detail file)
+        shown = dict(list(errors.items())[:4])
+        out["errors"] = {k: v[:80] for k, v in shown.items()}
+        if len(errors) > len(shown):
+            out["errors_truncated"] = len(errors) - len(shown)
     detail: dict = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),

@@ -24,8 +24,12 @@ iterative Spark job needs:
   barrier between levels).
 * the parent relation is broadcast when dimension-sized (the common
   hierarchy case: the EDGE table is small even when the FACT table
-  being grouped by the closure is 100 TB); pass broadcast_edges=False
-  to fall back to a shuffle join for edge sets beyond broadcast size.
+  being grouped by the closure is 100 TB). The default is "auto": one
+  count() of the edge relation decides — beyond
+  BROADCAST_EDGE_ROW_LIMIT rows the iteration falls back to a shuffle
+  join, because broadcasting a fact-sized edge frame once per level
+  is exactly the autoBroadcastJoinThreshold / driver-memory failure
+  mode a 100 TB hierarchy would hit. Pass True/False to force.
 * depth is bounded by `max_depth` — a cycle in user data must not hang
   the job (the reference's identity redirects cap chases at 10 hops
   for the same reason, /root/reference/src/persons.rs:240-247).
@@ -43,10 +47,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# ~16 raw bytes/edge (two longs): 1M rows lands well inside the default
+# 10 MB autoBroadcastJoinThreshold even with row overhead
+BROADCAST_EDGE_ROW_LIMIT = 1_000_000
+
+
 def ancestor_closure(
     edges: DataFrame,
     max_depth: int = 32,
-    broadcast_edges: bool = True,
+    broadcast_edges: bool | str = "auto",
 ) -> DataFrame:
     """All (node, anc, depth) ancestor pairs reachable by following
     `edges` (columns: node, parent) up to `max_depth` hops.
@@ -55,11 +64,18 @@ def ancestor_closure(
     iteration joins a strictly-shrinking frontier (in a forest) against
     the edge relation. Terminates when the frontier empties or at
     max_depth, whichever first.
+
+    broadcast_edges="auto" (default) counts the edge relation once and
+    broadcasts only below BROADCAST_EDGE_ROW_LIMIT — one cheap extra job
+    against levels of re-scans, and it keeps a fact-sized hierarchy off
+    the driver.
     """
     if "node" not in edges.columns or "parent" not in edges.columns:
         raise ValueError("edges must have columns (node, parent)")
     base = edges.select("node", "parent")
     hop = base.select(F.col("node").alias("anc"), F.col("parent").alias("_next"))
+    if broadcast_edges == "auto":
+        broadcast_edges = base.count() <= BROADCAST_EDGE_ROW_LIMIT
     if broadcast_edges:
         hop = F.broadcast(hop)
 

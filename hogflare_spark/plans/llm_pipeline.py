@@ -2277,9 +2277,13 @@ def llm_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hogflare_spark.operators.sampling import next_event_examples
 
     ev = load_table(spark, sf_dir, "events")
+    # (user_id, ts) is NOT unique — the window itself needs an event_id
+    # tiebreak — so the presentation order includes every output column:
+    # rows with tied (user_id, ts) would otherwise interleave
+    # nondeterministically between engines under an order-sensitive hash.
     return next_event_examples(
         ev, history=5, label_filter="purchase"
-    ).orderBy("user_id", "ts")
+    ).orderBy("user_id", "ts", "label", "context")
 
 
 def _register_next_event_oracle() -> None:
@@ -2288,7 +2292,7 @@ def _register_next_event_oracle() -> None:
 
     inner = next_event_examples_sql("events", history=5, label_filter="purchase")
     ORACLES["llm_next_event_examples"] = (
-        f"SELECT * FROM ({inner}) ORDER BY user_id, ts"
+        f"SELECT * FROM ({inner}) ORDER BY user_id, ts, label, context"
     )
 
 

@@ -469,7 +469,10 @@ def q_recursive_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive-CTE parity (operators/recursion.ancestor_closure):
     Spark SQL has no WITH RECURSIVE, so the ancestor closure of a
     parent-pointer hierarchy runs as semi-naive Datalog iteration —
-    frontier-only joins against a broadcast edge relation, lineage cut
+    frontier-only joins against the edge relation (auto-broadcast only
+    while it is dimension-sized: this gate's edges are one row per part
+    row, so at large SF the iteration switches to a shuffle join
+    instead of broadcasting a fact-sized frame per level), lineage cut
     per level. The hierarchy is derived deterministically from `part`
     (parent = p_partkey >> 3, a dense 8-ary forest rooted at 0, depth
     ~log8 |part|) so the DuckDB oracle can evaluate the SAME recursion

@@ -339,6 +339,37 @@ def upsert_table(
 # ---------------------------------------------------------------------------
 
 
+def repair_partitions(events_dir: str) -> list[str]:
+    """Restore partitions orphaned by a crash inside _swap_partition_dir's
+    two-rename window: if a `.old_<base>` backup exists with NO live
+    `<base>` sibling, the crash happened between the two os.replace calls
+    and the backup IS the data — rename it back. Runs automatically at
+    the top of every partition listing so the documented crash window
+    heals on the next compaction/deletion pass instead of requiring a
+    manual rename. A backup WITH a live sibling is superseded data and is
+    left for _swap_partition_dir's own pre-clear. Returns repaired dirs."""
+    repaired: list[str] = []
+    if not os.path.isdir(events_dir):
+        return repaired
+
+    def _heal(parent: str) -> None:
+        for d in sorted(os.listdir(parent)):
+            if not d.startswith(".old_"):
+                continue
+            backup = os.path.join(parent, d)
+            live = os.path.join(parent, d[len(".old_"):])
+            if os.path.isdir(backup) and not os.path.exists(live):
+                os.replace(backup, live)
+                repaired.append(live)
+
+    _heal(events_dir)
+    for d in sorted(os.listdir(events_dir)):
+        p = os.path.join(events_dir, d)
+        if d.startswith("batch=") and os.path.isdir(p):
+            _heal(p)
+    return repaired
+
+
 def _partition_dirs(events_dir: str) -> list[str]:
     """Leaf `event_date=` partition dirs in both layouts: directly under
     the table (batch appends) and nested under the streaming sink's
@@ -348,6 +379,7 @@ def _partition_dirs(events_dir: str) -> list[str]:
     overwrite stays a correct rewrite even after compaction)."""
     if not os.path.isdir(events_dir):
         return []
+    repair_partitions(events_dir)
     out: list[str] = []
     for d in sorted(os.listdir(events_dir)):
         p = os.path.join(events_dir, d)
@@ -411,8 +443,10 @@ def _swap_partition_dir(pdir: str, staged: str, backup: str) -> None:
     is invisible to readers); between the two replaces ONLY the backup
     exists — no live dir — which is recoverable by renaming
     `.old_<base>` back to the partition name (the backup is never
-    deleted until the new dir is in place); after the second replace
-    the new data is live and the backup drop is best-effort cleanup.
+    deleted until the new dir is in place; repair_partitions() performs
+    that rename automatically at the top of every partition listing);
+    after the second replace the new data is live and the backup drop
+    is best-effort cleanup.
 
     A PRE-EXISTING backup dir is cleared first: os.replace cannot
     rename onto a non-empty directory, so a backup orphaned by a crash
@@ -420,8 +454,8 @@ def _swap_partition_dir(pdir: str, staged: str, backup: str) -> None:
     wedge every later rewrite of the same partition. Clearing is safe
     precisely because the live dir exists here — the backup is
     superseded data; the backup-only crash state (no live dir) never
-    reaches this function, since the caller's read of `pdir` fails
-    first and recovery is the manual rename documented above."""
+    reaches this function, since repair_partitions() heals it during
+    the caller's partition listing before any swap is attempted."""
     import shutil
 
     if os.path.isdir(backup):
@@ -498,9 +532,9 @@ def delete_person_rows(
          readers) preserving the cluster sort, then the same two-rename
          swap as compact_events. A crash never leaves a MIX of old and
          new rows; the one window between the two renames leaves only
-         the `.old_<date>` backup (no live dir), recoverable by
-         renaming it back — see _swap_partition_dir. Untouched
-         partitions keep their bytes.
+         the `.old_<date>` backup (no live dir), healed automatically
+         by repair_partitions() on the next listing pass — see
+         _swap_partition_dir. Untouched partitions keep their bytes.
 
     Callers deleting a PERSON (not a raw id) should first expand to
     all of the person's distinct_ids via the persons table
@@ -509,6 +543,10 @@ def delete_person_rows(
     """
     from urllib.parse import urlparse
 
+    # heal any crash-orphaned partition FIRST: rows hidden behind a
+    # backup-only dir would otherwise be invisible to the probe scan and
+    # the deletion would silently miss them
+    repair_partitions(events_dir)
     ids = list(distinct_ids)
     if not ids:
         return [], 0

@@ -552,14 +552,44 @@ def test_swap_crash_window_recovery(spark, tmp_path, monkeypatch):
 
     # the documented crash state: backup only, no live dir
     assert os.path.isdir(backup) and not os.path.isdir(pdir)
-    # documented recovery: rename the backup back
-    _os.replace(backup, pdir)
     import shutil
 
     shutil.rmtree(staged, ignore_errors=True)
-    back = read_events(spark, events_dir)
-    assert back.count() == 2  # original bytes, nothing lost
-    # and the retried delete now succeeds cleanly
+    # the retried delete heals the orphan automatically (its probe calls
+    # repair_partitions first), sees the hidden rows, and succeeds — no
+    # manual rename required
     pdirs, n = delete_person_rows(spark, events_dir, ["alice"])
     assert pdirs == [pdir] and n == 1
     assert read_events(spark, events_dir).count() == 1
+    assert not os.path.isdir(backup)
+
+
+def test_repair_partitions_heals_orphan_and_keeps_superseded(tmp_path):
+    """repair_partitions restores a backup-only orphan (both layouts) and
+    leaves a backup that HAS a live sibling alone."""
+    import os as _os
+
+    from hogflare_spark.sinks.lake import repair_partitions
+
+    lake = tmp_path / "lake"
+    # orphan at table level: backup only
+    (lake / ".old_event_date=2025-03-01").mkdir(parents=True)
+    # orphan under a streaming batch dir
+    (lake / "batch=3" / ".old_event_date=2025-03-02").mkdir(parents=True)
+    # superseded backup: live sibling present — must be left in place
+    (lake / ".old_event_date=2025-03-03").mkdir()
+    (lake / "event_date=2025-03-03").mkdir()
+
+    repaired = repair_partitions(str(lake))
+    assert sorted(_os.path.basename(p) for p in repaired) == [
+        "event_date=2025-03-01",
+        "event_date=2025-03-02",
+    ]
+    assert (lake / "event_date=2025-03-01").is_dir()
+    assert (lake / "batch=3" / "event_date=2025-03-02").is_dir()
+    assert not (lake / ".old_event_date=2025-03-01").exists()
+    # superseded pair untouched
+    assert (lake / ".old_event_date=2025-03-03").is_dir()
+    assert (lake / "event_date=2025-03-03").is_dir()
+    # idempotent
+    assert repair_partitions(str(lake)) == []
