@@ -217,3 +217,208 @@ def batch_flag_responses(
             yield pd.DataFrame(rows, columns=["canonical_id", "response"])
 
     return persons.mapInPandas(run, "canonical_id string, response string")
+
+
+# ---------------------------------------------------------------------------
+# native batch serving: the same /flags body as pure Column expressions
+# ---------------------------------------------------------------------------
+
+
+def _escape_json_str(c):
+    """Escape a string column for embedding inside a JSON string literal.
+    Backslash first, then quote. Control characters and non-ASCII are
+    assumed absent (ids and flag values in this engine are ASCII
+    identifiers; same documented-edge class as the compiler's regex
+    dialect note — the kernel twin remains the oracle for exotic input)."""
+    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    return F.replace(c, F.lit('"'), F.lit('\\"'))
+
+
+def _payload_text_map(flag, sort_keys: bool):
+    """Driver-side mapping config-order payload text -> final body text.
+
+    The kernel serializes the SAME payload object two ways: key-sorted as
+    a JSON value in featureFlagPayloads (the body dump is sort_keys=True,
+    which recurses into it) and config-order compact INSIDE a JSON string
+    in flags.*.metadata.payload (pre-serialized before the body dump, so
+    sort_keys cannot reach it). The compiled Column carries the
+    config-order text; both final forms are literal rewrites of a finite,
+    driver-known payload set (flag.payload + variant payloads)."""
+    out = {}
+    candidates = [flag.payload] + list(flag.variant_payload_map().values())
+    for p in candidates:
+        if p is None:
+            continue
+        cfg = json.dumps(p, ensure_ascii=False, separators=(",", ":"))
+        if sort_keys:
+            out[cfg] = json.dumps(p, sort_keys=True, separators=(",", ":"))
+        else:
+            # the escaped JSON-string form the kernel produces: an inner
+            # ensure_ascii dump of the payload, wrapped as a JSON string
+            out[cfg] = json.dumps(json.dumps(p, separators=(",", ":")))
+    return out
+
+
+def _rewrite_payload(col, text_map: dict[str, str], as_string: bool):
+    """When-chain over the finite payload-text set; identity fallback."""
+    expr = None
+    for cfg, final in text_map.items():
+        cond = col == F.lit(cfg)
+        expr = F.when(cond, F.lit(final)) if expr is None else expr.when(cond, F.lit(final))
+    fallback = (
+        F.concat(F.lit('"'), _escape_json_str(col), F.lit('"')) if as_string else col
+    )
+    return expr.otherwise(fallback) if expr is not None else fallback
+
+
+def batch_flag_responses_native(
+    persons: DataFrame,
+    flags: list[FlagDefinition],
+    version: int = 2,
+) -> DataFrame:
+    """persons table → the SAME /flags-shaped JSON body as
+    batch_flag_responses, built entirely from compiled Column expressions
+    (flags/compiler.py) + string assembly — zero Python in the hot path,
+    one whole-stage-codegen'd projection per row. The per-row kernel twin
+    stays as the differential oracle (tests/test_round11.py pins the two
+    bit-identical).
+
+    The body is assembled by string concatenation rather than to_json()
+    because json.dumps(sort_keys=True) semantics — key-sorted maps whose
+    VALUES are heterogeneous pre-serialized JSON (bool flag values,
+    string variants, object payloads) — have no struct schema; the flag
+    key set is driver-side config, so the sorted skeleton is all literals
+    and only the values are per-row columns."""
+    from hogflare_spark.flags.compiler import _Ctx, compile_flag
+
+    ordered = sorted(flags, key=lambda f: f.key)
+
+    merged = F.map_concat(
+        F.col("properties"),
+        F.map_filter(
+            F.col("properties_set_once"),
+            lambda k, v: ~F.array_contains(F.map_keys(F.col("properties")), k),
+        ),
+    )
+    person_json = F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(
+                F.map_entries(merged),
+                lambda e: F.concat(F.lit('"'), e["key"], F.lit('":'), e["value"]),
+            ),
+            ",",
+        ),
+        F.lit("}"),
+    )
+    ctxed = persons.select(
+        F.col("canonical_id"),
+        person_json.alias("person_properties"),
+    ).withColumn("_pv", F.parse_json(F.coalesce("person_properties", F.lit("{}"))))
+
+    ctx = _Ctx(
+        F.col("canonical_id"),
+        F.col("person_properties"),
+        F.create_map().cast("map<string,string>"),
+        F.lit("{}"),
+    )
+    ctx.person_variant = F.col("_pv")  # parse once per row, shared by all flags
+
+    res_cols = {f"_res_{i}": compile_flag(f, ctx) for i, f in enumerate(ordered)}
+    ctxed = ctxed.withColumns(res_cols)
+
+    def res(i: int, field: str):
+        return F.col(f"_res_{i}")[field]
+
+    # featureFlags / featureFlagPayloads: v2 drops INACTIVE flags (a
+    # driver-side config constant) from both maps
+    visible = [
+        (i, f) for i, f in enumerate(ordered) if version != 2 or f.active
+    ]
+    ff_entries = [
+        F.concat(F.lit(json.dumps(f.key) + ":"), res(i, "value"))
+        for i, f in visible
+    ]
+    ffp_entries = [
+        F.when(
+            res(i, "payload").isNotNull(),
+            F.concat(
+                F.lit(json.dumps(f.key) + ":"),
+                _rewrite_payload(
+                    res(i, "payload"), _payload_text_map(f, sort_keys=True), False
+                ),
+            ),
+        )
+        for i, f in visible
+    ]
+
+    # flags.<key> detail objects: ALL flags, fields in sort_keys order
+    # (enabled, key, metadata, reason, variant)
+    detail_entries = []
+    for i, f in enumerate(ordered):
+        enabled = F.when(res(i, "value") == F.lit("false"), F.lit('"enabled":false')).otherwise(
+            F.lit('"enabled":true')
+        )
+        key_piece = F.lit(f'"key":{json.dumps(f.key)}')
+
+        meta_parts = []
+        if f.description is not None:
+            meta_parts.append(F.lit(f'"description":{json.dumps(f.description)}'))
+        if f.id is not None:
+            meta_parts.append(F.lit(f'"id":{json.dumps(f.id)}'))
+        meta_parts.append(
+            F.when(
+                res(i, "payload").isNotNull(),
+                F.concat(
+                    F.lit('"payload":'),
+                    _rewrite_payload(
+                        res(i, "payload"), _payload_text_map(f, sort_keys=False), True
+                    ),
+                ),
+            )
+        )
+        if f.version is not None:
+            meta_parts.append(F.lit(f'"version":{json.dumps(f.version)}'))
+        meta_join = F.array_join(F.array(*meta_parts), ",")  # nulls skipped
+        metadata = F.when(
+            meta_join != F.lit(""),
+            F.concat(F.lit('"metadata":{'), meta_join, F.lit("}")),
+        )
+
+        reason = F.concat(
+            F.lit('"reason":{"code":"'),
+            res(i, "reason"),
+            F.lit('"'),
+            F.when(
+                res(i, "condition_index").isNotNull(),
+                F.concat(
+                    F.lit(',"condition_index":'),
+                    res(i, "condition_index").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("}"),
+        )
+        variant = F.when(
+            F.startswith(res(i, "value"), F.lit('"')),
+            F.concat(F.lit('"variant":'), res(i, "value")),
+        )
+        detail = F.concat(
+            F.lit(json.dumps(f.key) + ':{'),
+            F.array_join(F.array(enabled, key_piece, metadata, reason, variant), ","),
+            F.lit("}"),
+        )
+        detail_entries.append(detail)
+
+    body = F.concat(
+        F.lit('{"errorsWhileComputingFlags":false,"evaluatedAt":0,'),
+        F.lit('"featureFlagPayloads":{'),
+        F.array_join(F.array(*ffp_entries), ",") if ffp_entries else F.lit(""),
+        F.lit('},"featureFlags":{'),
+        F.concat_ws(",", *ff_entries) if ff_entries else F.lit(""),
+        F.lit('},"flags":{'),
+        F.concat_ws(",", *detail_entries) if detail_entries else F.lit(""),
+        F.lit('},"requestId":"req-'),
+        _escape_json_str(F.col("canonical_id")),
+        F.lit('"}'),
+    )
+    return ctxed.select(F.col("canonical_id"), body.alias("response"))

@@ -1092,9 +1092,12 @@ def hf_event_group_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hf_flags_batch_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-serve the /flags response for every customer-derived person —
     response shaping per lib.rs:1089-1147, evaluated table-wide (the
-    reference can only do one request at a time)."""
+    reference can only do one request at a time). Runs the NATIVE path
+    (compiled Columns + string assembly, one codegen'd projection); the
+    per-row Arrow kernel (batch_flag_responses) stays as the differential
+    oracle, pinned bit-identical in tests/test_round11.py."""
     from hogflare_spark.flags.model import parse_flag_config
-    from hogflare_spark.flags.response import batch_flag_responses
+    from hogflare_spark.flags.response import batch_flag_responses_native
 
     cust = load_table(spark, sf_dir, "customer")
     persons = cust.select(
@@ -1107,7 +1110,7 @@ def hf_flags_batch_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map().cast("map<string,string>").alias("properties_set_once"),
     )
     flags = parse_flag_config(_FLAG_CONFIG)
-    return batch_flag_responses(persons, flags).orderBy("canonical_id")
+    return batch_flag_responses_native(persons, flags).orderBy("canonical_id")
 
 
 def _register_person_history_oracle() -> None:

@@ -68,6 +68,117 @@ def test_ancestor_closure_auto_shuffles_fact_sized_edges(spark, monkeypatch):
     assert auto == big
 
 
+# ------------------------------------- native /flags response shaping (F8)
+
+
+def _rich_flags():
+    from hogflare_spark.flags.model import FlagDefinition
+
+    mk = FlagDefinition.from_dict
+    return [
+        mk({
+            "key": "pro-only", "id": 7, "version": 3,
+            "description": "pro plan gate",
+            "conditions": [{"properties": [{"key": "plan", "value": "pro"}]}],
+            # multi-key payload: exercises BOTH serializations (key-sorted
+            # object in featureFlagPayloads, config-order escaped string in
+            # flags.*.metadata.payload)
+            "payload": {"zeta": 1, "alpha": "two"},
+        }),
+        mk({
+            "key": "variant-test", "type": "multivariate",
+            "variants": [
+                {"key": "control", "rollout_percentage": 40.0},
+                {"key": "treat", "rollout_percentage": 60.0},
+            ],
+            "variant_payloads": {"treat": {"b": 2, "a": 1}, "control": "plain"},
+        }),
+        mk({"key": "dead-flag", "active": False}),
+        mk({"key": "half", "rollout_percentage": 50.0}),
+        mk({
+            "key": "cond-rollout",
+            "conditions": [{
+                "properties": [{"key": "tier", "value": ["gold", "silver"],
+                                "operator": "in"}],
+                "rollout_percentage": 30.0,
+            }],
+        }),
+    ]
+
+
+def _persons_df(spark, n=60):
+    from pyspark.sql import Row
+
+    rows = []
+    for i in range(n):
+        props = {"plan": '"pro"' if i % 3 == 0 else '"free"'}
+        if i % 4 == 0:
+            props["tier"] = '"gold"' if i % 8 == 0 else '"silver"'
+        set_once = {"plan": '"trial"'} if i % 5 == 0 else {}
+        if i % 7 == 0:
+            set_once["region"] = '"eu"'
+        rows.append(Row(canonical_id=f"user-{i:03d}", properties=props,
+                        properties_set_once=set_once))
+    return spark.createDataFrame(rows)
+
+
+def _diff_responses(spark, persons, flags, version=2):
+    from hogflare_spark.flags.response import (
+        batch_flag_responses,
+        batch_flag_responses_native,
+    )
+
+    kernel = {r["canonical_id"]: r["response"]
+              for r in batch_flag_responses(persons, flags, version=version).collect()}
+    native = {r["canonical_id"]: r["response"]
+              for r in batch_flag_responses_native(persons, flags, version=version).collect()}
+    assert kernel.keys() == native.keys()
+    for cid in kernel:
+        assert native[cid] == kernel[cid], (
+            f"{cid}\nkernel: {kernel[cid]}\nnative: {native[cid]}"
+        )
+
+
+def test_native_flag_responses_bit_identical_rich_config(spark):
+    _diff_responses(spark, _persons_df(spark), _rich_flags())
+
+
+def test_native_flag_responses_bit_identical_v1(spark):
+    # v1 keeps inactive flags in the maps — exercises the version branch
+    _diff_responses(spark, _persons_df(spark, n=25), _rich_flags(), version=1)
+
+
+def test_native_flag_responses_bit_identical_gate_config(spark):
+    """The demoted hf_flags_batch_responses gate's exact config + person
+    shape, kernel vs native."""
+    from hogflare_spark.flags.model import parse_flag_config
+    from hogflare_spark.plans.hogflare_semantics import _FLAG_CONFIG
+    from hogflare_spark.sources.readers import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    cust = load_table(spark, SF_SMOKE, "customer").limit(200)
+    persons = cust.select(
+        F.col("c_custkey").cast("string").alias("canonical_id"),
+        F.create_map(
+            F.lit("segment"), F.concat(F.lit('"'), F.col("c_mktsegment"), F.lit('"')),
+            F.lit("balance"), F.concat(F.lit('"'), F.col("c_acctbal").cast("string"), F.lit('"')),
+        ).alias("properties"),
+        F.create_map().cast("map<string,string>").alias("properties_set_once"),
+    )
+    _diff_responses(spark, persons, parse_flag_config(_FLAG_CONFIG))
+
+
+def test_native_flag_responses_plan_is_udf_free(spark):
+    """The native path must be one codegen'd projection — no Python
+    evaluation nodes in the physical plan."""
+    from hogflare_spark.flags.response import batch_flag_responses_native
+
+    plan = _plan(batch_flag_responses_native(_persons_df(spark, n=5), _rich_flags()))
+    assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 # ------------------------------------------------------- bench error capping
 
 
