@@ -326,6 +326,12 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     "q_set_ops_segments",
     "hf_flag_multivariate",
     "llm_lsh_near_dups",
+    # round 11: deterministic Misra-Gries heavy-hitter census (r10
+    # verdict #7) — registers past the window from birth; the
+    # bounded-error-sketch family keeps both promoted histogram rollup
+    # gates graded and the MG guarantee is pinned by pytest properties +
+    # the exact-recount oracle here.
+    "ev_heavy_hitter_entities",
 )
 
 

@@ -1299,6 +1299,9 @@ BENCH_EXTRA.update(
         "q_recursive_ancestors",
         "ev_zorder_locality",
         "q_exact_quantile_value",
+        # round-11: the Misra-Gries census (bounded map-side state +
+        # candidate recount — the 100 TB one-pass census shape)
+        "ev_heavy_hitter_entities",
     }
 )
 

@@ -312,6 +312,83 @@ def test_tws_fold_twin_seeds_from_versioned_state(spark, tmp_path):
     assert got["tws"][0] == 6  # continues the stored version counter
 
 
+# ----------------------------------------------- Misra-Gries heavy hitters
+
+
+def _skewed_items(spark, n_heavy=3, heavy_each=400, n_tail=3000):
+    """3 heavy items + a singleton tail, shuffled deterministically and
+    spread over many partitions to force per-partition eviction."""
+    rows = [(f"hot_{i % n_heavy}",) for i in range(n_heavy * heavy_each)]
+    rows += [(f"tail_{i}",) for i in range(n_tail)]
+    # deterministic interleave (no Date/random): stride by a coprime
+    order = sorted(range(len(rows)), key=lambda i: (i * 2654435761) % len(rows))
+    rows = [rows[i] for i in order]
+    return spark.createDataFrame(rows, "item string").repartition(16)
+
+
+def test_misra_gries_guarantees(spark):
+    """Deterministic MG contract on an eviction-heavy stream: (a) est is
+    a lower bound, (b) underestimate <= N/(capacity+1), (c) every item
+    with true count > N/(capacity+1) is present, (d) candidate set is
+    bounded by partitions x capacity."""
+    from hogflare_spark.operators.heavy_hitters import misra_gries
+
+    cap = 16
+    df = _skewed_items(spark)
+    exact = {r["item"]: r["n"] for r in
+             df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_total = sum(exact.values())
+    out = misra_gries(df, "item", cap).collect()
+    total_row = [r for r in out if r["item"] is None]
+    cands = {r["item"]: r["est"] for r in out if r["item"] is not None}
+
+    assert total_row and total_row[0]["est"] == n_total
+    bound = n_total / (cap + 1)
+    for item, est in cands.items():
+        assert est <= exact[item]
+        assert exact[item] - est <= bound
+    for item, c in exact.items():
+        if c > bound:
+            assert item in cands, f"guaranteed heavy hitter {item} missing"
+    assert len(cands) <= 16 * cap  # partitions x capacity
+
+
+def test_heavy_hitters_verified_matches_exact_census(spark):
+    from hogflare_spark.operators.heavy_hitters import heavy_hitters_verified
+
+    cap = 16
+    df = _skewed_items(spark)
+    exact = {r["item"]: r["n"] for r in
+             df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_total = sum(exact.values())
+    out = heavy_hitters_verified(df, "item", cap).collect()
+    want = sorted(
+        [(k, v) for k, v in exact.items() if v * (cap + 1) > n_total],
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert [(r["item"], r["occurrences"]) for r in out] == want
+    assert all(r["est_within_bound"] for r in out)
+
+
+def test_misra_gries_capacity_one_and_empty(spark):
+    from hogflare_spark.operators.heavy_hitters import misra_gries
+
+    # empty stream: only the total rows, summing to zero
+    empty = spark.createDataFrame([], "item string")
+    rows = misra_gries(empty, "item", 4).collect()
+    assert all(r["item"] is None for r in rows)
+    assert sum(r["est"] for r in rows) == 0
+
+    # capacity=1 degenerates to the majority-candidate sketch
+    df = spark.createDataFrame(
+        [("a",)] * 30 + [("b",)] * 10, "item string"
+    ).coalesce(1)
+    cands = {r["item"]: r["est"]
+             for r in misra_gries(df, "item", 1).collect() if r["item"]}
+    assert set(cands) <= {"a", "b"} and "a" in cands
+    assert cands["a"] <= 30 and 30 - cands["a"] <= 40 / 2
+
+
 # ------------------------------------------------------- bench error capping
 
 
