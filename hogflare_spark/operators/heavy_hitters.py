@@ -87,25 +87,21 @@ def misra_gries(df: DataFrame, item_col: str, capacity: int) -> DataFrame:
     return cands.groupBy("item").agg(F.sum("est").alias("est"))
 
 
-def heavy_hitters_verified(
-    df: DataFrame, item_col: str, capacity: int
+def verified_from_summary(
+    summary: DataFrame, stream: DataFrame, item_col: str, capacity: int
 ) -> DataFrame:
-    """The guaranteed-recall set with EXACT counts + the MG error-bound
-    boolean: every item whose exact count clears the deterministic
-    threshold N/(capacity+1) (integer arithmetic: occurrences x
-    (capacity+1) > N), which Misra-Gries provably cannot miss.
-
-    Output (item, occurrences, est_within_bound) is exactly
-    reproducible by an exact SQL census with the same HAVING clause —
-    the accuracy boolean asserts est <= exact <= est + N/(capacity+1)
-    and is deterministically true (the ev_sketch_rollup oracle pattern).
-    Two scans by construction (candidates, then the winners' recount);
-    the production census is the ONE-scan misra_gries above.
+    """Turn a merged MG summary (item/est rows + item=NULL total rows)
+    into the guaranteed-recall census verified against `stream`: exact
+    recount of ONLY the candidate items (broadcast semi-join — the
+    second scan's shuffle is bounded by |candidates| keys), filtered to
+    the deterministic threshold occurrences x (capacity+1) > N that
+    Misra-Gries provably cannot miss, with the error-bound boolean.
+    Shared by the batch operator and the incremental-state twin (whose
+    accumulated summaries obey the SAME bound: every reduction —
+    per-batch or at compaction — subtracts s from >= capacity+1 entries,
+    so total subtracted weight <= N/(capacity+1) over any merge tree).
     """
-    from hogflare_spark.functions.caching import cached
-
     cap = int(capacity)
-    summary = cached(misra_gries(df, item_col, cap))
     totals = (
         summary.where(F.col("item").isNull())
         .groupBy()
@@ -113,7 +109,7 @@ def heavy_hitters_verified(
     )
     cands = summary.where(F.col("item").isNotNull())
     exact = (
-        df.select(F.col(item_col).cast("string").alias("item"))
+        stream.select(F.col(item_col).cast("string").alias("item"))
         .join(F.broadcast(cands.select("item")), "item")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("occurrences"))
@@ -135,3 +131,25 @@ def heavy_hitters_verified(
         )
         .orderBy(F.desc("occurrences"), "item")
     )
+
+
+def heavy_hitters_verified(
+    df: DataFrame, item_col: str, capacity: int
+) -> DataFrame:
+    """The guaranteed-recall set with EXACT counts + the MG error-bound
+    boolean: every item whose exact count clears the deterministic
+    threshold N/(capacity+1) (integer arithmetic: occurrences x
+    (capacity+1) > N), which Misra-Gries provably cannot miss.
+
+    Output (item, occurrences, est_within_bound) is exactly
+    reproducible by an exact SQL census with the same HAVING clause —
+    the accuracy boolean asserts est <= exact <= est + N/(capacity+1)
+    and is deterministically true (the ev_sketch_rollup oracle pattern).
+    Two scans by construction (candidates, then the winners' recount);
+    the production census is the ONE-scan misra_gries above.
+    """
+    from hogflare_spark.functions.caching import cached
+
+    cap = int(capacity)
+    summary = cached(misra_gries(df, item_col, cap))
+    return verified_from_summary(summary, df, item_col, cap)

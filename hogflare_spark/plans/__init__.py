@@ -332,6 +332,12 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # gates graded and the MG guarantee is pinned by pytest properties +
     # the exact-recount oracle here.
     "ev_heavy_hitter_entities",
+    # round 11: its incremental-state twin (snapshot pattern, compaction
+    # re-applies the MG reduction so state stays capacity-bounded) —
+    # streaming-state family keeps graded representatives
+    # (llm_stream_incremental_dedup, llm_stream_near_dedup,
+    # ev_stream_hist_rollup after this round's rotation).
+    "ev_stream_heavy_hitters",
 )
 
 

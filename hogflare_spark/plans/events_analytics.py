@@ -687,3 +687,64 @@ def ev_heavy_hitter_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("item")
     )
     return heavy_hitters_verified(stream, "item", capacity=64)
+
+
+@query(
+    "ev_stream_heavy_hitters",
+    oracle="""
+    WITH stream AS (
+      SELECT CASE WHEN event_id % 5 <> 0 THEN event_type
+                  ELSE 'evt_' || CAST(event_id AS VARCHAR) END AS item
+      FROM events
+    ), c AS (SELECT item, count(*) AS occurrences FROM stream GROUP BY item)
+    SELECT item, occurrences, TRUE AS est_within_bound
+    FROM c, (SELECT count(*) AS n FROM stream) t
+    WHERE occurrences * 65 > t.n
+    ORDER BY occurrences DESC, item
+    """,
+)
+def ev_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ev_heavy_hitter_entities (streaming/
+    incremental_model.IncrementalHeavyHitters): the same entity stream
+    arrives as three event_id-range micro-batches with a mid-stream
+    compaction that re-applies the MG reduction; the accumulated
+    capacity-64 state keeps the exact deterministic guarantee (total
+    subtracted weight <= N/65 across the whole merge tree), so the
+    guaranteed-recall set read from STATE — winners recounted exactly,
+    like the batch gate — hash-matches the same exact-census oracle.
+    Bounded state per trigger; the census read never rescans raw
+    events."""
+    import shutil
+    import tempfile
+
+    from hogflare_spark.operators.heavy_hitters import verified_from_summary
+    from hogflare_spark.streaming.incremental_model import (
+        IncrementalHeavyHitters,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    stream = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 5 != 0, F.col("event_type"))
+        .otherwise(F.concat(F.lit("evt_"), F.col("event_id").cast("string")))
+        .alias("item"),
+    )
+    n = ev.agg(F.max("event_id")).first()[0] + 1
+    b1, b2 = n // 3, 2 * n // 3
+    work = tempfile.mkdtemp(prefix="ev_stream_hh_")
+    try:
+        job = IncrementalHeavyHitters(work, capacity=64, compact_every=2)
+        job.process_batch(stream.where(F.col("event_id") < b1), 0)
+        job.process_batch(
+            stream.where((F.col("event_id") >= b1) & (F.col("event_id") < b2)),
+            1,
+        )  # triggers a compaction (compact_every=2)
+        job.process_batch(stream.where(F.col("event_id") >= b2), 2)
+        return verified_from_summary(
+            job.summary(spark).localCheckpoint(eager=True),
+            stream,
+            "item",
+            capacity=64,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -436,3 +436,113 @@ class IncrementalHistQuantiles:
         return hist_quantiles(
             self.histogram(spark), ["key"], coarse, self.bin_width, qs
         )
+
+
+MG_STATE_SCHEMA = "item string, est bigint"
+
+
+class IncrementalHeavyHitters:
+    """Incremental Misra-Gries census (operators/heavy_hitters.py) on
+    the snapshot-state pattern: each micro-batch folds its own
+    capacity-bounded MG summary (plus an item=NULL stream-total row)
+    into a `state/batch=<n>` dir; compaction sums summaries by item and
+    re-applies the MG reduction so the snapshot stays <= capacity
+    candidate rows. Every reduction — inside a batch's scan, or at
+    compaction — subtracts its s from >= capacity+1 entries, so the
+    total subtracted weight over the WHOLE merge tree is
+    <= N/(capacity+1): the accumulated state keeps the exact batch
+    guarantee (est <= true, error <= N/(capacity+1), guaranteed recall
+    above the threshold) after any number of micro-batches and
+    compactions. This is what a URL/user-agent/n-gram census over a
+    100 TB event stream deploys: bounded state per trigger, and the
+    dashboard read never rescans raw events.
+
+    Replay idempotence: deterministic per-batch MG summaries overwrite
+    their own batch dir; the snapshot pointer fences absorbed batches
+    (IncrementalDsirModel contract verbatim).
+    """
+
+    def __init__(
+        self,
+        work_dir: str,
+        item_col: str = "item",
+        capacity: int = 64,
+        compact_every: int = 16,
+    ):
+        self.work_dir = work_dir
+        self.item_col = item_col
+        self.capacity = int(capacity)
+        self.compact_every = compact_every
+        self.state_dir = os.path.join(work_dir, "state")
+        self._pointer_path = os.path.join(work_dir, "_SNAPSHOT")
+
+    _read_pointer = IncrementalDsirModel._read_pointer
+    _batch_dirs = IncrementalDsirModel._batch_dirs
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from hogflare_spark.operators.heavy_hitters import misra_gries
+
+        misra_gries(batch_df, self.item_col, self.capacity).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.state_dir, f"batch={batch_id}"))
+        ptr = self._read_pointer() or {"version": -1, "through_batch": -1}
+        live = self._batch_dirs(after=int(ptr["through_batch"]))
+        if len(live) >= self.compact_every:
+            self._compact(batch_df.sparkSession, ptr, live)
+
+    @staticmethod
+    def _merge_summaries(acc: DataFrame, capacity: int) -> DataFrame:
+        """Sum by item, then the Agarwal merge reduction back down to
+        <= capacity candidates (state-sized frames only — two tiny
+        jobs). The NULL-total row is summed but never reduced."""
+        summed = acc.groupBy("item").agg(F.sum("est").alias("est"))
+        cands = summed.where(F.col("item").isNotNull())
+        top = cands.orderBy(F.desc("est"), "item").limit(capacity + 1).collect()
+        s = int(top[-1]["est"]) if len(top) == capacity + 1 else 0
+        reduced = cands.where(F.col("est") > s).select(
+            "item", (F.col("est") - F.lit(s)).alias("est")
+        )
+        return reduced.unionByName(summed.where(F.col("item").isNull()))
+
+    def _compact(self, spark: SparkSession, ptr: dict, live: list[str]) -> None:
+        version = int(ptr["version"]) + 1
+        through = max(int(p.rsplit("=", 1)[1]) for p in live)
+        acc = spark.read.schema(MG_STATE_SCHEMA).parquet(*live)
+        if int(ptr["version"]) >= 0:
+            acc = acc.unionByName(
+                spark.read.schema(MG_STATE_SCHEMA).parquet(
+                    os.path.join(self.state_dir, f"snapshot={ptr['version']}")
+                )
+            )
+        out = os.path.join(self.state_dir, f"snapshot={version}")
+        self._merge_summaries(acc, self.capacity).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out)
+        tmp = self._pointer_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "through_batch": through}, fh)
+        os.replace(tmp, self._pointer_path)
+        for p in live:
+            shutil.rmtree(p, ignore_errors=True)
+        if int(ptr["version"]) >= 0:
+            shutil.rmtree(
+                os.path.join(self.state_dir, f"snapshot={ptr['version']}"),
+                ignore_errors=True,
+            )
+
+    def summary(self, spark: SparkSession) -> DataFrame:
+        """The accumulated MG summary (item/est + NULL-total rows),
+        merged WITHOUT a reduction (summing only adds no error); at
+        most (compact_every x capacity) candidate rows before the next
+        compaction absorbs them."""
+        ptr = self._read_pointer() or {"version": -1, "through_batch": -1}
+        paths = self._batch_dirs(after=int(ptr["through_batch"]))
+        if int(ptr["version"]) >= 0:
+            paths.append(
+                os.path.join(self.state_dir, f"snapshot={ptr['version']}")
+            )
+        if not paths:
+            return spark.createDataFrame([], MG_STATE_SCHEMA)
+        return spark.read.schema(MG_STATE_SCHEMA).parquet(*paths).groupBy(
+            "item"
+        ).agg(F.sum("est").alias("est"))

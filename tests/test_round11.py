@@ -389,6 +389,64 @@ def test_misra_gries_capacity_one_and_empty(spark):
     assert cands["a"] <= 30 and 30 - cands["a"] <= 40 / 2
 
 
+# ------------------------------------------ incremental heavy-hitter state
+
+
+def test_incremental_heavy_hitters_keeps_guarantees_and_replays(spark, tmp_path):
+    """The accumulated MG state must keep the deterministic batch
+    guarantees across micro-batches + compaction, be capacity-bounded
+    after compaction, and be replay-idempotent."""
+    import os
+
+    from hogflare_spark.operators.heavy_hitters import verified_from_summary
+    from hogflare_spark.streaming.incremental_model import IncrementalHeavyHitters
+
+    cap = 16
+    df = _skewed_items(spark).withColumn(
+        "part", F.abs(F.xxhash64("item")) % 3
+    )
+    exact = {r["item"]: r["n"] for r in
+             df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_total = sum(exact.values())
+
+    job = IncrementalHeavyHitters(str(tmp_path / "hh"), capacity=cap,
+                                  compact_every=2)
+    for b in range(3):
+        job.process_batch(df.where(F.col("part") == b), b)
+
+    state = {r["item"]: r["est"] for r in job.summary(spark).collect()}
+    assert state.pop(None) == n_total
+    bound = n_total / (cap + 1)
+    for item, est in state.items():
+        assert est <= exact[item] and exact[item] - est <= bound
+    for item, c in exact.items():
+        if c > bound:
+            assert item in state
+
+    # compaction happened (batch 0+1 absorbed) and bounded the snapshot
+    snap_dirs = [d for d in os.listdir(job.state_dir) if d.startswith("snapshot=")]
+    assert snap_dirs
+    snap = spark.read.parquet(os.path.join(job.state_dir, snap_dirs[-1]))
+    assert snap.where(F.col("item").isNotNull()).count() <= cap
+
+    # replay of an absorbed batch AND the latest batch changes nothing
+    before = sorted(state.items())
+    job.process_batch(df.where(F.col("part") == 0), 0)  # absorbed: fenced
+    job.process_batch(df.where(F.col("part") == 2), 2)  # live: overwrites
+    after = {r["item"]: r["est"] for r in job.summary(spark).collect()}
+    assert after.pop(None) == n_total
+    assert sorted(after.items()) == before
+
+    # and the verified read over state equals the exact census threshold set
+    out = verified_from_summary(job.summary(spark), df, "item", cap).collect()
+    want = sorted(
+        [(k, v) for k, v in exact.items() if v * (cap + 1) > n_total],
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert [(r["item"], r["occurrences"]) for r in out] == want
+    assert all(r["est_within_bound"] for r in out)
+
+
 # ------------------------------------------------------- bench error capping
 
 
