@@ -338,6 +338,11 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # (llm_stream_incremental_dedup, llm_stream_near_dedup,
     # ev_stream_hist_rollup after this round's rotation).
     "ev_stream_heavy_hitters",
+    # round 11: KMV/theta distinct sketches with set algebra (audience
+    # overlap via sketch INTERSECTION — the query HLL can't answer);
+    # the sketch-accuracy-boolean family keeps ev_hist_quantile_rollup +
+    # ev_stream_hist_rollup graded.
+    "ev_kmv_audience_overlap",
 )
 
 

@@ -447,6 +447,63 @@ def test_incremental_heavy_hitters_keeps_guarantees_and_replays(spark, tmp_path)
     assert all(r["est_within_bound"] for r in out)
 
 
+# --------------------------------------------- KMV / theta sketch algebra
+
+
+def _segments_df(spark):
+    """Two overlapping segments with known exact cardinalities: A = keys
+    0..1999, B = keys 1000..3499 (overlap 1000..1999 = 1000 keys), with
+    duplicate rows to exercise the distinct."""
+    rows = [("A", i) for i in range(2000)] + [("B", i) for i in range(1000, 3500)]
+    rows += rows[::7]  # duplicates
+    return spark.createDataFrame(rows, "segment string, key long").repartition(8)
+
+
+def test_kmv_estimates_and_intersection(spark):
+    from hogflare_spark.operators.theta_sketch import (
+        kmv_distinct_estimates,
+        kmv_intersection_estimate,
+        kmv_sketches,
+    )
+
+    k = 256
+    df = _segments_df(spark)
+    sk = kmv_sketches(df, ["key"], "segment", k).localCheckpoint()
+    # sketch shape: exactly k rows per segment (cardinalities exceed k)
+    sizes = {r["segment"]: r["n"] for r in
+             sk.groupBy("segment").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {"A": k, "B": k}
+    ests = {r["segment"]: r["est"] for r in
+            kmv_distinct_estimates(sk, k).collect()}
+    # 4 sigma at RSE ~ 1/sqrt(k-2) ~ 6.3% -> 25%
+    assert abs(ests["A"] - 2000) <= 2000 * 0.25
+    assert abs(ests["B"] - 2500) <= 2500 * 0.25
+    inter = kmv_intersection_estimate(sk, "A", "B", k).first()["est"]
+    assert abs(inter - 1000) <= 1000 * 0.45  # intersection RSE is wider
+
+    # prefilter parity: the pruned scan must produce the IDENTICAL sketch
+    sk_full = kmv_sketches(df, ["key"], "segment", k, prefilter=False)
+    assert sorted(map(tuple, sk.collect())) == sorted(map(tuple, sk_full.collect()))
+
+
+def test_kmv_exact_below_k_and_disjoint(spark):
+    from hogflare_spark.operators.theta_sketch import (
+        kmv_distinct_estimates,
+        kmv_intersection_estimate,
+        kmv_sketches,
+    )
+
+    k = 64
+    rows = [("A", i) for i in range(30)] + [("B", i) for i in range(100, 140)]
+    df = spark.createDataFrame(rows, "segment string, key long")
+    sk = kmv_sketches(df, ["key"], "segment", k).localCheckpoint()
+    ests = {r["segment"]: r["est"] for r in
+            kmv_distinct_estimates(sk, k).collect()}
+    assert ests == {"A": 30.0, "B": 40.0}  # below k: exact
+    inter = kmv_intersection_estimate(sk, "A", "B", k).first()["est"]
+    assert inter == 0.0  # disjoint + both under k: exactly zero
+
+
 # ------------------------------------------------------- bench error capping
 
 
