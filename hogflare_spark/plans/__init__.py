@@ -343,6 +343,11 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # the sketch-accuracy-boolean family keeps ev_hist_quantile_rollup +
     # ev_stream_hist_rollup graded.
     "ev_kmv_audience_overlap",
+    # round 11: exact distributed triangle counting (degree-orientation
+    # plan) over the co-purchase graph — the graph family keeps
+    # hf_identity_components (CC) and q_recursive_ancestors (closure)
+    # graded; the 3-way-join oracle pins the count bit-exact.
+    "q_triangle_count",
 )
 
 

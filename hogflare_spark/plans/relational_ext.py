@@ -498,3 +498,51 @@ def q_recursive_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("depth")
     )
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH nodes AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0
+    ), edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM nodes a JOIN nodes b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT count(*) FROM edges e1
+              JOIN edges e2 ON e2.u = e1.v
+              JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed triangle counting (operators/graph.
+    triangle_count) over the co-purchase graph: parts co-occurring in
+    the same order are edges (vertex-sampled to partkey % 4 = 0 so the
+    sf1 wedge set stays oracle-checkable; the filter is part of the
+    graph definition on both engines, so the count is EXACT on the
+    subgraph). Spark runs the degree-orientation plan — wedges only
+    from the low-(deg,id) endpoint, O(m^1.5) total, reversed wedges
+    dropped pre-shuffle — while the oracle's 3-way self-join enumerates
+    the same triangles by the u<v convention; any acyclic orientation
+    counts each triangle exactly once, so the two totals match
+    bit-for-bit."""
+    from hogflare_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 4 == 0)
+    nodes = li.select("l_orderkey", "l_partkey")
+    a = nodes.alias("a")
+    b = nodes.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    return triangle_count(edges)

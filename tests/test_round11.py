@@ -504,6 +504,48 @@ def test_kmv_exact_below_k_and_disjoint(spark):
     assert inter == 0.0  # disjoint + both under k: exactly zero
 
 
+# ------------------------------------------------------- triangle counting
+
+
+def test_triangle_count_matches_python_reference(spark):
+    """Degree-orientation count == brute-force enumeration on a graph
+    with hubs (skewed degrees — the case orientation exists for),
+    including degree ties."""
+    from itertools import combinations
+
+    from hogflare_spark.operators.graph import triangle_count
+
+    # hub 0 connected to everyone; ring among 1..12; a clique on 1..5
+    edges = set()
+    for i in range(1, 13):
+        edges.add((0, i))
+        edges.add(tuple(sorted((i, i % 12 + 1))))
+    for a, b in combinations(range(1, 6), 2):
+        edges.add((a, b))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = sum(
+        1
+        for a, b, c in combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    row = triangle_count(df).first()
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == want and want > 12
+
+
+def test_triangle_count_triangle_free(spark):
+    from hogflare_spark.operators.graph import triangle_count
+
+    # bipartite graph: no triangles by construction
+    edges = [(i, 100 + j) for i in range(5) for j in range(6)]
+    row = triangle_count(spark.createDataFrame(edges, "u long, v long")).first()
+    assert row["n_edges"] == 30 and row["n_triangles"] == 0
+
+
 # ------------------------------------------------------- bench error capping
 
 
