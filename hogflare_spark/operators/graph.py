@@ -81,3 +81,62 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     n_tri = closed.groupBy().agg(F.count(F.lit(1)).alias("n_triangles"))
     n_edges = edges.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
     return n_edges.crossJoin(n_tri)
+
+
+PAGERANK_SCALE = 10**12
+PAGERANK_BASE = 150_000_000_000  # 0.15 * SCALE
+
+
+def pagerank_fixed_point(
+    directed_edges: DataFrame, iterations: int = 8
+) -> DataFrame:
+    """PageRank in pure BIGINT fixed-point — (node, rank) after
+    `iterations` synchronous updates of
+
+        rank'(v) = BASE + (85 * sum_{u->v} (rank(u) div outdeg(u))) div 100
+
+    with rank_0 = SCALE (1e12). Every operation is integral (div =
+    integer division), so the result is bit-identical on ANY engine —
+    including a WITH RECURSIVE SQL oracle — with no float-summation-
+    order caveat; the cost is a deterministic <= outdeg units of
+    truncation per contribution, irrelevant at 1e12 scale. (Float
+    PageRank cannot be oracle-hash-matched across engines: partial
+    aggregation reorders the sums.)
+
+    Spark shape: the degree-annotated edge list pins once
+    (localCheckpoint); each iteration is ONE equi-join (ranks x edges,
+    both hash-partitioned on the same key) + ONE map-side-combined
+    groupBy — the same iterated-scan discipline as the k-means trainer
+    and the identity fixpoint, with lineage cut per level. Requires
+    every node to have at least one in-edge (true for any
+    bidirected/undirected graph); overflow headroom: 85 * N * SCALE
+    must stay under 2^63 — fine to ~10^8 nodes, rescale SCALE beyond.
+    """
+    edges = directed_edges.select("src", "dst")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    annotated = edges.join(deg, "src").localCheckpoint(eager=True)
+    ranks = (
+        annotated.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(int(PAGERANK_SCALE)).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(iterations)):
+        contrib = ranks.join(
+            annotated, ranks["node"] == annotated["src"]
+        ).select(
+            F.col("dst"), F.expr("rank div outdeg").alias("c")
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(int(PAGERANK_BASE))
+                    + F.expr("(85 * s) div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage: O(1) plan per iter
+        )
+    return ranks

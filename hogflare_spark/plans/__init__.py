@@ -348,6 +348,10 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # hf_identity_components (CC) and q_recursive_ancestors (closure)
     # graded; the 3-way-join oracle pins the count bit-exact.
     "q_triangle_count",
+    # round 11: integer fixed-point PageRank (iterative link analysis,
+    # bit-exact WITH RECURSIVE oracle) — same iterated-scan shape as the
+    # graded fixpoint/trainer gates.
+    "q_pagerank_parts",
 )
 
 

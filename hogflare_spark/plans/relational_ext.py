@@ -546,3 +546,67 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+@query(
+    "q_pagerank_parts",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0
+    ), edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM nodes a JOIN nodes b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), deg AS (
+      SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+    ), pr AS (
+      SELECT src AS node, CAST(1000000000000 AS BIGINT) AS rank, 0 AS it
+      FROM deg
+      UNION ALL
+      SELECT e.dst AS node,
+             CAST(150000000000 + (85 * sum(pr.rank // d.outdeg)) // 100
+                  AS BIGINT) AS rank,
+             pr.it + 1 AS it
+      FROM pr
+      JOIN edges e ON e.src = pr.node
+      JOIN deg d ON d.src = pr.node
+      WHERE pr.it < 8
+      GROUP BY e.dst, pr.it
+    )
+    SELECT node, rank FROM pr WHERE it = 8
+    ORDER BY rank DESC, node LIMIT 20
+    """,
+)
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative link analysis (operators/graph.pagerank_fixed_point):
+    8 synchronous PageRank rounds over the bidirected co-purchase graph
+    (same vertex-sampled part graph as q_triangle_count), in pure
+    BIGINT fixed-point so the ranks are bit-identical to the DuckDB
+    WITH RECURSIVE oracle — float PageRank can never hash-match across
+    engines because partial aggregation reorders the sums. Per
+    iteration: one equi-join against the pinned degree-annotated edge
+    list + one map-side-combined groupBy, lineage cut per round (the
+    k-means / identity-fixpoint iterated-scan discipline). Output: the
+    top-20 hub parts by rank."""
+    from hogflare_spark.operators.graph import pagerank_fixed_point
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 4 == 0)
+    nodes = li.select("l_orderkey", "l_partkey")
+    a = nodes.alias("a")
+    b = nodes.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return (
+        pagerank_fixed_point(edges, iterations=8)
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )

@@ -546,6 +546,41 @@ def test_triangle_count_triangle_free(spark):
     assert row["n_edges"] == 30 and row["n_triangles"] == 0
 
 
+# ------------------------------------------------------------- pagerank
+
+
+def test_pagerank_fixed_point_matches_python_reference(spark):
+    """The distributed iteration must equal a sequential integer replay
+    exactly (bit-for-bit: that is the operator's whole contract)."""
+    from hogflare_spark.operators.graph import (
+        PAGERANK_BASE,
+        PAGERANK_SCALE,
+        pagerank_fixed_point,
+    )
+
+    # star (hub 0) + ring among 1..6, bidirected
+    und = [(0, i) for i in range(1, 7)] + [(i, i % 6 + 1) for i in range(1, 7)]
+    directed = [(u, v) for u, v in und] + [(v, u) for u, v in und]
+    df = spark.createDataFrame(sorted(set(directed)), "src long, dst long")
+
+    edges = sorted(set(directed))
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    ranks = {n: PAGERANK_SCALE for n in outdeg}
+    for _ in range(8):
+        s = {n: 0 for n in outdeg}
+        for u, v in edges:
+            s[v] += ranks[u] // outdeg[u]
+        ranks = {n: PAGERANK_BASE + (85 * s[n]) // 100 for n in outdeg}
+
+    got = {r["node"]: r["rank"] for r in pagerank_fixed_point(df, 8).collect()}
+    assert got == ranks
+    # the hub dominates every ring node
+    assert got[0] == max(got.values())
+    assert all(got[0] > got[i] for i in range(1, 7))
+
+
 # ------------------------------------------------------- bench error capping
 
 
