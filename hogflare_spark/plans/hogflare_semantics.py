@@ -1300,8 +1300,12 @@ BENCH_EXTRA.update(
         "ev_zorder_locality",
         "q_exact_quantile_value",
         # round-11: the Misra-Gries census (bounded map-side state +
-        # candidate recount — the 100 TB one-pass census shape)
+        # candidate recount — the 100 TB one-pass census shape), the
+        # KMV set-algebra sketches, and the two graph-analytics gates
         "ev_heavy_hitter_entities",
+        "ev_kmv_audience_overlap",
+        "q_triangle_count",
+        "q_pagerank_parts",
     }
 )
 
