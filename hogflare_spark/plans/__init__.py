@@ -352,6 +352,10 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     # bit-exact WITH RECURSIVE oracle) — same iterated-scan shape as the
     # graded fixpoint/trainer gates.
     "q_pagerank_parts",
+    # round 11: streaming twin of the KMV sketches — the k-smallest
+    # merge is exact, so accumulated state equals the batch sketch
+    # bit-for-bit; same oracle as ev_kmv_audience_overlap.
+    "ev_stream_kmv_overlap",
 )
 
 

@@ -838,3 +838,110 @@ def ev_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("within_tol"),
     )
     return singles.unionByName(overlap).orderBy("metric")
+
+
+@query(
+    "ev_stream_kmv_overlap",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT event_type, user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ), a AS (SELECT user_id, d FROM pairs WHERE event_type = 'signup'),
+    b AS (SELECT user_id, d FROM pairs WHERE event_type = 'purchase')
+    SELECT 'overlap' AS metric,
+           (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+             AS exact_n,
+           TRUE AS within_tol
+    UNION ALL
+    SELECT 'purchase_user_days', (SELECT count(*) FROM b), TRUE
+    UNION ALL
+    SELECT 'signup_user_days', (SELECT count(*) FROM a), TRUE
+    ORDER BY metric
+    """,
+)
+def ev_stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ev_kmv_audience_overlap (streaming/
+    incremental_model.IncrementalKmvSketches): the same segment stream
+    arrives as three event_id-range micro-batches with a mid-stream
+    compaction; the KMV merge (k smallest distinct hashes per segment)
+    is EXACT, so the accumulated sketches equal the batch sketches over
+    the same rows bit-for-bit and every estimate — and hence every
+    accuracy boolean against the exact recomputation — matches the
+    batch gate. Same oracle by construction."""
+    import shutil
+    import tempfile
+
+    from hogflare_spark.functions.caching import cached
+    from hogflare_spark.operators.theta_sketch import (
+        kmv_distinct_estimates,
+        kmv_intersection_estimate,
+    )
+    from hogflare_spark.streaming.incremental_model import (
+        IncrementalKmvSketches,
+    )
+
+    K, TOL_SINGLE, TOL_INTER = 512, 0.12, 0.20
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.where(F.col("event_type").isin(["signup", "purchase"])).select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+    )
+    n = ev.agg(F.max("event_id")).first()[0] + 1
+    b1, b2 = n // 3, 2 * n // 3
+    work = tempfile.mkdtemp(prefix="ev_stream_kmv_")
+    try:
+        job = IncrementalKmvSketches(
+            work, ["user_id", "d"], "event_type", k=K, compact_every=2
+        )
+        job.process_batch(pairs.where(F.col("event_id") < b1), 0)
+        job.process_batch(
+            pairs.where((F.col("event_id") >= b1) & (F.col("event_id") < b2)),
+            1,
+        )  # triggers a compaction (compact_every=2)
+        job.process_batch(pairs.where(F.col("event_id") >= b2), 2)
+        sk = cached(job.sketches(spark).localCheckpoint(eager=True))
+
+        ests = kmv_distinct_estimates(sk, K)
+        inter_est = kmv_intersection_estimate(sk, "signup", "purchase", K)
+        dpairs = cached(pairs.select("event_type", "user_id", "d").distinct())
+        exact_seg = dpairs.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("exact_n")
+        )
+        exact_inter = (
+            dpairs.where(F.col("event_type") == "signup")
+            .select("user_id", "d")
+            .join(
+                dpairs.where(F.col("event_type") == "purchase").select(
+                    "user_id", "d"
+                ),
+                ["user_id", "d"],
+            )
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("exact_n"))
+        )
+        singles = exact_seg.join(ests, exact_seg.event_type == ests.segment).select(
+            F.concat(F.col("event_type"), F.lit("_user_days")).alias("metric"),
+            "exact_n",
+            (
+                F.abs(F.col("est") - F.col("exact_n"))
+                <= F.col("exact_n") * F.lit(TOL_SINGLE)
+            ).alias("within_tol"),
+        )
+        overlap = exact_inter.crossJoin(F.broadcast(inter_est)).select(
+            F.lit("overlap").alias("metric"),
+            "exact_n",
+            (
+                F.abs(F.col("est") - F.col("exact_n"))
+                <= F.col("exact_n") * F.lit(TOL_INTER)
+            ).alias("within_tol"),
+        )
+        return (
+            singles.unionByName(overlap)
+            .orderBy("metric")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -546,3 +546,119 @@ class IncrementalHeavyHitters:
         return spark.read.schema(MG_STATE_SCHEMA).parquet(*paths).groupBy(
             "item"
         ).agg(F.sum("est").alias("est"))
+
+
+KMV_STATE_SCHEMA = "segment string, h bigint, u double"
+
+
+class IncrementalKmvSketches:
+    """Incremental KMV/theta sketches (operators/theta_sketch.py) on the
+    snapshot-state pattern: each micro-batch contributes its own
+    per-segment k-minimum-values rows to a `state/batch=<n>` dir;
+    compaction (and every read) merges by taking the k smallest DISTINCT
+    hashes per segment — the textbook KMV merge, which is exact: the k
+    smallest of a union are a subset of the union of each side's k
+    smallest, so the accumulated sketch EQUALS the batch sketch over the
+    same rows bit-for-bit (pinned in tests/test_round11.py). Distinct /
+    union / intersection estimates therefore carry the batch operator's
+    exact guarantees after any number of micro-batches. State is <=
+    (dirs x segments x k) rows between compactions and (segments x k)
+    after one.
+
+    Replay idempotence: per-batch sketches are deterministic (fixed-seed
+    xxhash64) and overwrite their own batch dir; the snapshot pointer
+    fences absorbed batches (IncrementalDsirModel contract verbatim).
+    """
+
+    def __init__(
+        self,
+        work_dir: str,
+        key_cols: list[str],
+        segment_col: str,
+        k: int = 512,
+        compact_every: int = 16,
+    ):
+        self.work_dir = work_dir
+        self.key_cols = list(key_cols)
+        self.segment_col = segment_col
+        self.k = int(k)
+        self.compact_every = compact_every
+        self.state_dir = os.path.join(work_dir, "state")
+        self._pointer_path = os.path.join(work_dir, "_SNAPSHOT")
+
+    _read_pointer = IncrementalDsirModel._read_pointer
+    _batch_dirs = IncrementalDsirModel._batch_dirs
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from hogflare_spark.operators.theta_sketch import kmv_sketches
+
+        kmv_sketches(
+            batch_df, self.key_cols, self.segment_col, self.k
+        ).select("segment", "h", "u").write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, f"batch={batch_id}")
+        )
+        ptr = self._read_pointer() or {"version": -1, "through_batch": -1}
+        live = self._batch_dirs(after=int(ptr["through_batch"]))
+        if len(live) >= self.compact_every:
+            self._compact(batch_df.sparkSession, ptr, live)
+
+    def _merge(self, acc: DataFrame) -> DataFrame:
+        """k smallest distinct hashes per segment — the exact KMV merge."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("segment").orderBy("h")
+        return (
+            acc.select("segment", "h", "u")
+            .distinct()
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= self.k)
+            .select("segment", "h", "u")
+        )
+
+    def _compact(self, spark: SparkSession, ptr: dict, live: list[str]) -> None:
+        version = int(ptr["version"]) + 1
+        through = max(int(p.rsplit("=", 1)[1]) for p in live)
+        acc = spark.read.schema(KMV_STATE_SCHEMA).parquet(*live)
+        if int(ptr["version"]) >= 0:
+            acc = acc.unionByName(
+                spark.read.schema(KMV_STATE_SCHEMA).parquet(
+                    os.path.join(self.state_dir, f"snapshot={ptr['version']}")
+                )
+            )
+        out = os.path.join(self.state_dir, f"snapshot={version}")
+        self._merge(acc).coalesce(1).write.mode("overwrite").parquet(out)
+        tmp = self._pointer_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "through_batch": through}, fh)
+        os.replace(tmp, self._pointer_path)
+        for p in live:
+            shutil.rmtree(p, ignore_errors=True)
+        if int(ptr["version"]) >= 0:
+            shutil.rmtree(
+                os.path.join(self.state_dir, f"snapshot={ptr['version']}"),
+                ignore_errors=True,
+            )
+
+    def sketches(self, spark: SparkSession) -> DataFrame:
+        """The accumulated per-segment sketches (segment, h, u, rk) in
+        the exact shape operators/theta_sketch's estimators consume."""
+        from pyspark.sql import Window
+
+        ptr = self._read_pointer() or {"version": -1, "through_batch": -1}
+        paths = self._batch_dirs(after=int(ptr["through_batch"]))
+        if int(ptr["version"]) >= 0:
+            paths.append(
+                os.path.join(self.state_dir, f"snapshot={ptr['version']}")
+            )
+        if not paths:
+            return spark.createDataFrame(
+                [], KMV_STATE_SCHEMA + ", rk int"
+            )
+        w = Window.partitionBy("segment").orderBy("h")
+        return (
+            spark.read.schema(KMV_STATE_SCHEMA)
+            .parquet(*paths)
+            .distinct()
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= self.k)
+        )

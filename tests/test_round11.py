@@ -581,6 +581,34 @@ def test_pagerank_fixed_point_matches_python_reference(spark):
     assert all(got[0] > got[i] for i in range(1, 7))
 
 
+# ------------------------------------------------ incremental KMV sketches
+
+
+def test_incremental_kmv_equals_batch_and_replays(spark, tmp_path):
+    """The k-smallest merge is exact: after any batch split +
+    compaction + replay, the accumulated sketch must equal the batch
+    sketch bit-for-bit."""
+    from hogflare_spark.operators.theta_sketch import kmv_sketches
+    from hogflare_spark.streaming.incremental_model import IncrementalKmvSketches
+
+    k = 32
+    df = _segments_df(spark).withColumn("part", F.abs(F.xxhash64("key")) % 3)
+
+    job = IncrementalKmvSketches(str(tmp_path / "kmv"), ["key"], "segment",
+                                 k=k, compact_every=2)
+    for b in range(3):
+        job.process_batch(df.where(F.col("part") == b), b)
+    # replay an absorbed batch and the live one: fenced / overwritten
+    job.process_batch(df.where(F.col("part") == 0), 0)
+    job.process_batch(df.where(F.col("part") == 2), 2)
+
+    want = sorted(
+        map(tuple, kmv_sketches(df, ["key"], "segment", k).collect())
+    )
+    got = sorted(map(tuple, job.sketches(spark).collect()))
+    assert got == want
+
+
 # ------------------------------------------------------- bench error capping
 
 
