@@ -224,14 +224,68 @@ def batch_flag_responses(
 # ---------------------------------------------------------------------------
 
 
+def merged_person_json(
+    properties: str = "properties", set_once: str = "properties_set_once"
+):
+    """The person store's set/set_once merge as ONE Column producing the
+    person-properties JSON text: `properties` wins, `set_once` fills only
+    keys `properties` lacks (operators/person_store.py merged-view rule;
+    reference src/person.rs fold semantics). Map values are JSON-encoded
+    value strings, so assembly is string concat, not to_json.
+
+    Each map is coalesced to {} first (ADVICE r11): map_keys/map_filter/
+    map_concat propagate NULL, so a NULL `properties` (normal for
+    parquet-read persons) would otherwise collapse the whole merged map,
+    while the kernel twin treats a None map as {} and still honors the
+    other."""
+    empty_map = F.create_map().cast("map<string,string>")
+    props = F.coalesce(F.col(properties), empty_map)
+    props_once = F.coalesce(F.col(set_once), empty_map)
+    merged = F.map_concat(
+        props,
+        F.map_filter(
+            props_once,
+            lambda k, v: ~F.array_contains(F.map_keys(props), k),
+        ),
+    )
+    return F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(
+                F.map_entries(merged),
+                lambda e: F.concat(F.lit('"'), e["key"], F.lit('":'), e["value"]),
+            ),
+            ",",
+        ),
+        F.lit("}"),
+    )
+
+
 def _escape_json_str(c):
     """Escape a string column for embedding inside a JSON string literal.
-    Backslash first, then quote. Control characters and non-ASCII are
-    assumed absent (ids and flag values in this engine are ASCII
-    identifiers; same documented-edge class as the compiler's regex
-    dialect note — the kernel twin remains the oracle for exotic input)."""
-    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
-    return F.replace(c, F.lit('"'), F.lit('\\"'))
+    Backslash first, then quote. Control characters and non-ASCII (which
+    the kernel's ensure_ascii json.dumps would \\uXXXX-escape) are outside
+    this path's envelope — ids and flag values in this engine are ASCII
+    identifiers — and per ADVICE r11 the envelope is now ENFORCED: an
+    out-of-envelope value raises instead of silently emitting
+    near-identical-but-wrong JSON (the kernel twin remains the oracle
+    for exotic input)."""
+    escaped = F.replace(
+        F.replace(c, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
+    )
+    return F.when(
+        c.isNull() | c.rlike("^[\\x20-\\x7e]*$"), escaped
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "flags/response _escape_json_str: non-ASCII or control "
+                    "character outside the native path's envelope in: "
+                ),
+                c,
+            )
+        )
+    )
 
 
 def _payload_text_map(flag, sort_keys: bool):
@@ -293,24 +347,7 @@ def batch_flag_responses_native(
 
     ordered = sorted(flags, key=lambda f: f.key)
 
-    merged = F.map_concat(
-        F.col("properties"),
-        F.map_filter(
-            F.col("properties_set_once"),
-            lambda k, v: ~F.array_contains(F.map_keys(F.col("properties")), k),
-        ),
-    )
-    person_json = F.concat(
-        F.lit("{"),
-        F.array_join(
-            F.transform(
-                F.map_entries(merged),
-                lambda e: F.concat(F.lit('"'), e["key"], F.lit('":'), e["value"]),
-            ),
-            ",",
-        ),
-        F.lit("}"),
-    )
+    person_json = merged_person_json()
     ctxed = persons.select(
         F.col("canonical_id"),
         person_json.alias("person_properties"),

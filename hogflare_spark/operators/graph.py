@@ -107,20 +107,30 @@ def pagerank_fixed_point(
     (localCheckpoint); each iteration is ONE equi-join (ranks x edges,
     both hash-partitioned on the same key) + ONE map-side-combined
     groupBy — the same iterated-scan discipline as the k-means trainer
-    and the identity fixpoint, with lineage cut per level. Requires
-    every node to have at least one in-edge (true for any
-    bidirected/undirected graph); overflow headroom: 85 * N * SCALE
-    must stay under 2^63 — fine to ~10^8 nodes, rescale SCALE beyond.
+    and the identity fixpoint, with lineage cut per level. The node
+    universe (src ∪ dst) is pinned once and unioned into every
+    iteration's aggregate as zero contributions (no extra join, same
+    single shuffle), so a node with out-edges but no in-edges keeps its
+    rank row — and keeps contributing its outflow — instead of
+    silently vanishing after iteration 1 (ADVICE r11). Overflow
+    headroom: 85 * N * SCALE must stay under 2^63 — fine to ~10^8
+    nodes, rescale SCALE beyond.
     """
     edges = directed_edges.select("src", "dst")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     annotated = edges.join(deg, "src").localCheckpoint(eager=True)
-    ranks = (
-        annotated.select(F.col("src").alias("node"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .select("node", F.lit(int(PAGERANK_SCALE)).alias("rank"))
         .localCheckpoint(eager=True)
     )
+    zeros = nodes.select(
+        F.col("node").alias("dst"), F.lit(0).cast("long").alias("c")
+    )
+    ranks = nodes.select(
+        "node", F.lit(int(PAGERANK_SCALE)).alias("rank")
+    ).localCheckpoint(eager=True)
     for _ in range(int(iterations)):
         contrib = ranks.join(
             annotated, ranks["node"] == annotated["src"]
@@ -128,7 +138,8 @@ def pagerank_fixed_point(
             F.col("dst"), F.expr("rank div outdeg").alias("c")
         )
         ranks = (
-            contrib.groupBy("dst")
+            contrib.union(zeros)
+            .groupBy("dst")
             .agg(F.sum("c").alias("s"))
             .select(
                 F.col("dst").alias("node"),

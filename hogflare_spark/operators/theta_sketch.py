@@ -110,7 +110,11 @@ def kmv_intersection_estimate(
             .otherwise(F.max("u"))
             .alias("theta")
         )
-        .agg(F.min("theta").alias("theta"))
+        # coalesce the zero-segment aggregate's NULL to 1.0 (ADVICE r11):
+        # empty sketches hold the whole — empty — key set, so theta = 1
+        # and est degrades to an exact 0.0 instead of NULL-ing the
+        # gate's tolerance booleans.
+        .agg(F.coalesce(F.min("theta"), F.lit(1.0)).alias("theta"))
     )
     a = sketches.where(F.col("segment") == seg_a).select("h", "u")
     b = sketches.where(F.col("segment") == seg_b).select("h")

@@ -326,36 +326,38 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     "q_set_ops_segments",
     "hf_flag_multivariate",
     "llm_lsh_near_dups",
-    # round 11: deterministic Misra-Gries heavy-hitter census (r10
-    # verdict #7) — registers past the window from birth; the
-    # bounded-error-sketch family keeps both promoted histogram rollup
-    # gates graded and the MG guarantee is pinned by pytest properties +
-    # the exact-recount oracle here.
-    "ev_heavy_hitter_entities",
-    # round 11: its incremental-state twin (snapshot pattern, compaction
-    # re-applies the MG reduction so state stays capacity-bounded) —
-    # streaming-state family keeps graded representatives
-    # (llm_stream_incremental_dedup, llm_stream_near_dedup,
-    # ev_stream_hist_rollup after this round's rotation).
-    "ev_stream_heavy_hitters",
-    # round 11: KMV/theta distinct sketches with set algebra (audience
-    # overlap via sketch INTERSECTION — the query HLL can't answer);
-    # the sketch-accuracy-boolean family keeps ev_hist_quantile_rollup +
-    # ev_stream_hist_rollup graded.
-    "ev_kmv_audience_overlap",
-    # round 11: exact distributed triangle counting (degree-orientation
-    # plan) over the co-purchase graph — the graph family keeps
-    # hf_identity_components (CC) and q_recursive_ancestors (closure)
-    # graded; the 3-way-join oracle pins the count bit-exact.
-    "q_triangle_count",
-    # round 11: integer fixed-point PageRank (iterative link analysis,
-    # bit-exact WITH RECURSIVE oracle) — same iterated-scan shape as the
-    # graded fixpoint/trainer gates.
-    "q_pagerank_parts",
-    # round 11: streaming twin of the KMV sketches — the k-smallest
-    # merge is exact, so accumulated state equals the batch sketch
-    # bit-for-bit; same oracle as ev_kmv_audience_overlap.
-    "ev_stream_kmv_overlap",
+    # round 12 rotation (r11 verdict #4, window rotation #6): the six
+    # round-11 operator classes — Misra-Gries heavy-hitter census + its
+    # incremental-state twin, KMV/theta sketch set algebra + its
+    # streaming twin, exact triangle counting, and integer fixed-point
+    # PageRank — move INSIDE the 50-entry window so the driver's hard
+    # signal executes each at least once, alongside the NEW
+    # hf_flag_eval_persons gate (r11 verdict #6: compiled-Column flag
+    # evaluation over the whole persons table). Seven
+    # transitively-covered gates cede their slots:
+    #  - ev_attribution_multitouch (green r11): window+agg shape; the
+    #    events family keeps asof/sessionization/funnel/daily graded.
+    #  - q_recursive_ancestors (green r11): the fixpoint-over-relations
+    #    class keeps hf_identity_components (CC) graded and GAINS
+    #    q_pagerank_parts (iterative fixpoint, WITH RECURSIVE oracle).
+    #  - ev_zorder_locality (green r11): pure JVM bit arithmetic pinned
+    #    by the DuckDB-mirrored pytest vectors + file-span test.
+    #  - hf_lake_time_travel (green r11): the lake family keeps
+    #    hf_lake_roundtrip graded; version pinning stays pytest-covered.
+    #  - llm_substring_dedup (green r7–r11): dedup keeps
+    #    exact/minhash/clusters graded.
+    #  - llm_semantic_dedup (green r11): same banded-LSH→CC physical
+    #    plan as the graded llm_dedup_clusters.
+    #  - llm_stream_incremental_dedup (green r7–r11): the streaming
+    #    snapshot-state family keeps llm_stream_near_dedup graded and
+    #    GAINS ev_stream_heavy_hitters + ev_stream_kmv_overlap.
+    "ev_attribution_multitouch",
+    "q_recursive_ancestors",
+    "ev_zorder_locality",
+    "hf_lake_time_travel",
+    "llm_substring_dedup",
+    "llm_semantic_dedup",
+    "llm_stream_incremental_dedup",
 )
 
 

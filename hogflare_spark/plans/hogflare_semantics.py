@@ -807,6 +807,152 @@ def hf_flag_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PERSON_FLAG_CONFIG = """
+{"flags": [
+  {"key": "channel-web",
+   "conditions": [{"properties": [{"key": "channel", "value": "web"}]}]},
+  {"key": "cust-odd",
+   "conditions": [{"properties": [
+     {"key": "cust", "value": "[13579]$", "operator": "regex"}]}]},
+  {"key": "not-fulfilled",
+   "conditions": [{"properties": [
+     {"key": "status", "value": "F", "operator": "is_not"}]}]},
+  {"key": "open-orders",
+   "conditions": [{"properties": [{"key": "status", "value": "O"}]}]},
+  {"key": "urgent-high-value",
+   "conditions": [
+     {"properties": [
+       {"key": "priority", "value": ["1-URGENT", "2-HIGH"], "operator": "in"},
+       {"key": "total_cents", "value": 15000000, "operator": "gte"}]},
+     {"properties": [{"key": "status", "value": "P"}]}]}
+]}
+"""
+
+
+@query(
+    "hf_flag_eval_persons",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderkey AS okey,
+             o_orderstatus AS status,
+             o_orderpriority AS priority,
+             CAST(o_custkey AS VARCHAR) AS cust,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'app'
+                  WHEN o_orderkey % 7 = 0 THEN NULL
+                  WHEN o_orderkey % 2 = 0 THEN 'web'
+                  ELSE 'email' END AS channel
+      FROM orders
+    ), r AS (
+      SELECT okey, 'channel-web' AS flag_key,
+             CASE WHEN channel = 'web' THEN 'true' ELSE 'false' END AS value,
+             CASE WHEN channel = 'web' THEN 0 END AS condition_index
+      FROM p
+      UNION ALL
+      SELECT okey, 'cust-odd',
+             CASE WHEN regexp_matches(cust, '[13579]$') THEN 'true' ELSE 'false' END,
+             CASE WHEN regexp_matches(cust, '[13579]$') THEN 0 END
+      FROM p
+      UNION ALL
+      SELECT okey, 'not-fulfilled',
+             CASE WHEN status <> 'F' THEN 'true' ELSE 'false' END,
+             CASE WHEN status <> 'F' THEN 0 END
+      FROM p
+      UNION ALL
+      SELECT okey, 'open-orders',
+             CASE WHEN status = 'O' THEN 'true' ELSE 'false' END,
+             CASE WHEN status = 'O' THEN 0 END
+      FROM p
+      UNION ALL
+      SELECT okey, 'urgent-high-value',
+             CASE WHEN priority IN ('1-URGENT', '2-HIGH')
+                       AND total_cents >= 15000000 THEN 'true'
+                  WHEN status = 'P' THEN 'true' ELSE 'false' END,
+             CASE WHEN priority IN ('1-URGENT', '2-HIGH')
+                       AND total_cents >= 15000000 THEN 0
+                  WHEN status = 'P' THEN 1 END
+      FROM p
+    )
+    SELECT flag_key, value, condition_index,
+           count(*) AS n_persons,
+           CAST(sum(okey) AS BIGINT) AS key_sum
+    FROM r GROUP BY 1, 2, 3
+    ORDER BY flag_key, value, coalesce(condition_index, -1)
+    """,
+)
+def hf_flag_eval_persons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag-eval read path at PERSON SCALE (r11 verdict #6; the
+    "evaluate every person at once" demo SURVEY §3.3 promises — the
+    reference can only answer per-request, src/lib.rs:1284-1345): the
+    whole orders table becomes a persons store — (properties,
+    properties_set_once) MAPS of JSON-encoded values, some set_once
+    maps NULL as parquet-read persons normally are — merged through
+    the store's set/set_once precedence rule
+    (flags/response.merged_person_json, the ADVICE-r11 null-map fix's
+    code path), then the full compiled flag set runs as native Columns
+    over every person in ONE whole-stage-codegen'd projection
+    (flags/compiler.evaluate_flags_df — no kernel, no Python, no
+    per-request loop; ~1.5e6 persons/flag-set at sf1). Exercises
+    exact / in-list / is_not / regex / AND conditions / ordered
+    multi-condition fallthrough, numeric coercion from a JSON-string
+    property (F5: total_cents is a quoted integer string), and
+    set_once-vs-set precedence with NULL maps. Graded columns reduce
+    to integer counts + an orderkey checksum per (flag, value,
+    condition_index) cell — every person's evaluation lands in exactly
+    one cell of the checksum, and nothing floats."""
+    from hogflare_spark.flags.compiler import evaluate_flags_df
+    from hogflare_spark.flags.model import parse_flag_config
+    from hogflare_spark.flags.response import merged_person_json
+
+    orders = load_table(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    jstr = lambda c: F.concat(F.lit('"'), c, F.lit('"'))  # noqa: E731
+    base_props = F.create_map(
+        F.lit("status"), jstr(F.col("o_orderstatus")),
+        F.lit("priority"), jstr(F.col("o_orderpriority")),
+        F.lit("cust"), jstr(F.col("o_custkey").cast("string")),
+        F.lit("total_cents"), jstr(cents.cast("string")),
+    )
+    props = F.when(
+        okey % 3 == 0,
+        F.map_concat(
+            base_props, F.create_map(F.lit("channel"), F.lit('"app"'))
+        ),
+    ).otherwise(base_props)
+    set_once = F.when(
+        okey % 7 == 0, F.lit(None).cast("map<string,string>")
+    ).otherwise(
+        F.create_map(
+            F.lit("channel"),
+            F.when(okey % 2 == 0, F.lit('"web"')).otherwise(F.lit('"email"')),
+        )
+    )
+    persons = orders.select(
+        okey.alias("okey"),
+        okey.cast("string").alias("distinct_id"),
+        props.alias("properties"),
+        set_once.alias("properties_set_once"),
+    )
+    contexts = persons.select(
+        "okey",
+        "distinct_id",
+        merged_person_json().alias("person_properties"),
+        F.create_map().cast("map<string,string>").alias("groups"),
+        F.lit(None).cast("string").alias("group_properties"),
+    )
+    flags = parse_flag_config(_PERSON_FLAG_CONFIG)
+    out = evaluate_flags_df(contexts, sorted(flags, key=lambda f: f.key))
+    return (
+        out.groupBy("flag_key", "value", "condition_index")
+        .agg(
+            F.count(F.lit(1)).alias("n_persons"),
+            F.sum("okey").alias("key_sum"),
+        )
+        .orderBy("flag_key", "value", F.coalesce("condition_index", F.lit(-1)))
+    )
+
+
 @query(
     "hf_lake_roundtrip",
     oracle="""
@@ -1306,29 +1452,25 @@ BENCH_EXTRA.update(
         "ev_kmv_audience_overlap",
         "q_triangle_count",
         "q_pagerank_parts",
+        # round-12: the person-scale compiled-Column flag read path
+        # (r11 verdict #6 asks for it graded AND benched)
+        "hf_flag_eval_persons",
     }
 )
 
 
 def _stream_hist_oracle() -> str:
     """The ev_hist_quantile_rollup estimator replica (same binning,
-    merge, interpolation, rounding) — valid for the STREAMING state too
-    because histogram counts are additive: after the three micro-batches
-    the accumulated state IS the batch fine histogram bit-for-bit."""
+    merge, and the pure-integer micro-unit interpolation from
+    operators/rollup.hist_quantiles_oracle_exprs — BIGINT graded
+    columns only, per the r11 driver-hash red) — valid for the
+    STREAMING state too because histogram counts are additive: after
+    the three micro-batches the accumulated state IS the batch fine
+    histogram bit-for-bit."""
+    from hogflare_spark.operators.rollup import hist_quantiles_oracle_exprs
+
     w, last = 8.0, 127
-    qs = []
-    for q in (0.5, 0.9, 0.99):
-        est = (
-            f"bin::DOUBLE * {w} + {w} * ({q} * n::DOUBLE - (cum - cnt)::DOUBLE)"
-            f" / cnt::DOUBLE"
-        )
-        qs.append(
-            f"max(CASE WHEN cum::DOUBLE >= {q} * n::DOUBLE "
-            f"AND (cum - cnt)::DOUBLE < {q} * n::DOUBLE "
-            f"THEN floor(({est}) * 1000000 + 0.5) / 1000000 END) "
-            f"AS p{round(q * 100)}_est"
-        )
-    qsel = ",\n             ".join(qs)
+    qsel = ",\n             ".join(hist_quantiles_oracle_exprs(w))
     return f"""
     WITH fine AS (
       SELECT date_trunc('day', ts) AS bucket, event_type AS key,
@@ -1337,16 +1479,18 @@ def _stream_hist_oracle() -> str:
              count(*) AS cnt
       FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
     ), merged AS (
-      SELECT date_trunc('week', bucket) AS bucket, key, bin, sum(cnt) AS cnt
+      SELECT date_trunc('week', bucket) AS bucket, key, bin,
+             CAST(sum(cnt) AS BIGINT) AS cnt
       FROM fine GROUP BY 1, 2, 3
     ), c AS (
       SELECT bucket, key, bin, cnt,
-             sum(cnt) OVER (PARTITION BY bucket, key ORDER BY bin) AS cum,
-             sum(cnt) OVER (PARTITION BY bucket, key) AS n
+             CAST(sum(cnt) OVER (PARTITION BY bucket, key ORDER BY bin)
+                  AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY bucket, key) AS BIGINT) AS n
       FROM merged
     )
     SELECT bucket::DATE AS bucket, key,
-           max(n) AS n_events,
+           CAST(max(n) AS BIGINT) AS n_events,
              {qsel}
     FROM c GROUP BY bucket, key
     ORDER BY bucket, key
@@ -1373,7 +1517,9 @@ def ev_stream_hist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )
-    n = ev.agg(F.max("event_id")).first()[0] + 1
+    # coalesce the empty-table None to -1 so the gate degrades to
+    # empty micro-batches instead of a TypeError (ADVICE r11)
+    n = (ev.agg(F.max("event_id")).first()[0] or -1) + 1
     b1, b2 = n // 3, 2 * n // 3
     work = tempfile.mkdtemp(prefix="ev_stream_hist_")
     try:
@@ -1389,9 +1535,9 @@ def ev_stream_hist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.to_date("bucket").alias("bucket"),
                 "key",
                 "n_events",
-                "p50_est",
-                "p90_est",
-                "p99_est",
+                "p50_est_micros",
+                "p90_est_micros",
+                "p99_est_micros",
             )
             .orderBy("bucket", "key")
             .localCheckpoint(eager=True)
