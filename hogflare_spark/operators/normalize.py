@@ -533,6 +533,19 @@ COMMAND_SCHEMA = StructType(
 )
 
 
+def alias_command_condition():
+    """Command rows that contribute identity edges (an explicit alias, or
+    an identify with an anonymous id on a non-skipped person). Shared by
+    the fold's sizing aggregate (person_state.fold_person_state) and the
+    decode lane's fused sizing metrics so the two counts can never
+    drift."""
+    from pyspark.sql import functions as F
+
+    return F.col("alias").isNotNull() | (
+        (F.col("skip_person") == "0") & F.col("anon_distinct_id").isNotNull()
+    )
+
+
 def _dumps(v) -> str | None:
     return None if v is None else json.dumps(v, separators=(",", ":"))
 
@@ -1095,18 +1108,47 @@ def decode_normalize_requests(
             keep = ["__fast", "__raw_request_seq"] + [
                 c for c in raw_cols if c != "request_seq"
             ]
-            combined = staged_wide(flagged, keep).localCheckpoint(eager=True)
+            # r12: ride the fold's sizing metrics (command count + alias
+            # command count) AND the empty-slow-branch probe on the
+            # checkpoint's own materialization job via observe() —
+            # removes one flag-scan job here and, when the slow branch
+            # is empty (the canonical all-fast case), the fold's whole
+            # sizing aggregate job (person_state reads the stashed
+            # counts instead of re-scanning the checkpoint).
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            fast = F.col("__fast")
+            combined = (
+                staged_wide(flagged, keep)
+                .observe(
+                    obs,
+                    F.count(F.when(fast, 1)).alias("n_fast"),
+                    F.count(F.when(~fast, 1)).alias("n_slow"),
+                    F.count(
+                        F.when(fast & alias_command_condition(), 1)
+                    ).alias("n_alias_fast"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            metrics = obs.get
             cmd_cols = [f.name for f in COMMAND_SCHEMA.fields if f.name != "error"]
             fast_df = combined.where(F.col("__fast")).select(*cmd_cols)
+            # canonical traffic commonly leaves the slow branch EMPTY;
+            # skipping it avoids spinning up a pool of Python workers
+            # for zero rows
+            if not metrics["n_slow"]:
+                # all commands came from the fast projection, so the
+                # observed counts ARE the fold's sizing aggregate
+                fast_df._hogflare_sizing = (
+                    int(metrics["n_fast"]),
+                    int(metrics["n_alias_fast"]),
+                )
+                return fast_df
             slow_raw = combined.where(~F.col("__fast")).select(
                 F.col("__raw_request_seq").alias("request_seq"),
                 *[c for c in raw_cols if c != "request_seq"],
             )
-            # canonical traffic commonly leaves the slow branch EMPTY;
-            # one cheap flag-scan over the checkpointed rows avoids
-            # spinning up a pool of Python workers for zero rows
-            if not slow_raw.limit(1).count():
-                return fast_df
             mapped = slow_raw.mapInPandas(_run, COMMAND_SCHEMA)
             slow_df = mapped.where(F.col("error").isNull()).drop("error")
             return fast_df.unionByName(slow_df)

@@ -343,27 +343,32 @@ def fold_person_state(
     n_commands: int | None = None
     n_alias_cmds: int | None = None
     if fast_path == "auto":
-        # ONE aggregate job sizes the whole fold: the command count (rank
-        # scheme + fold width) and the alias-op count ride the same scan
-        # of the (checkpointed/cached) command projection. The alias
-        # count lets the common no-alias batch skip the CC probe job and
-        # the component left-join below outright (r9; the probe was a
-        # separate isEmpty job per fold).
-        agg_row = commands.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count(
-                F.when(
-                    F.col("alias").isNotNull()
-                    | (
-                        (F.col("skip_person") == "0")
-                        & F.col("anon_distinct_id").isNotNull()
-                    ),
-                    1,
-                )
-            ).alias("n_alias"),
-        ).first()
-        n_commands = int(agg_row["n"])
-        n_alias_cmds = int(agg_row["n_alias"])
+        # ONE aggregate sizes the whole fold: the command count (rank
+        # scheme + fold width) and the alias-op count. The alias count
+        # lets the common no-alias batch skip the CC probe job and the
+        # component left-join below outright (r9; the probe was a
+        # separate isEmpty job per fold). r12: when the decode lane's
+        # all-fast branch produced `commands`, it stashed these two
+        # counts from observe() metrics collected DURING its checkpoint
+        # materialization (normalize.decode_normalize_requests) — the
+        # sizing then costs zero jobs; otherwise one aggregate job rides
+        # the checkpointed/cached command projection as before.
+        sizing = getattr(commands, "_hogflare_sizing", None)
+        if sizing is not None:
+            n_commands, n_alias_cmds = int(sizing[0]), int(sizing[1])
+        else:
+            from hogflare_spark.operators.normalize import (
+                alias_command_condition,
+            )
+
+            agg_row = commands.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(alias_command_condition(), 1)).alias(
+                    "n_alias"
+                ),
+            ).first()
+            n_commands = int(agg_row["n"])
+            n_alias_cmds = int(agg_row["n_alias"])
         small_batch = n_commands < RANK_TWO_PHASE_MIN_COMMANDS
         if FAST_PATH_MIN_COMMANDS is not None and n_commands >= FAST_PATH_MIN_COMMANDS:
             fast_path = True
