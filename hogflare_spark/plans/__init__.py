@@ -358,6 +358,17 @@ DEMOTED_AFTER_GRADING_WINDOW = (
     "llm_substring_dedup",
     "llm_semantic_dedup",
     "llm_stream_incremental_dedup",
+    # round 12: two new classes register past the window from birth
+    # (precedent: every new class gets its first grade at the NEXT
+    # rotation). llm_maxsim_rerank (ColBERT-style late-interaction
+    # rerank): the retrieval family keeps llm_bm25_topk /
+    # llm_hybrid_rrf / three ANN gates graded, and its score columns
+    # are integer nanos like the graded PQ-ADC path.
+    # ev_decayed_engagement (integer half-life decay over the
+    # per-day continuous aggregate): the pre-aggregation family keeps
+    # both histogram rollup gates graded.
+    "llm_maxsim_rerank",
+    "ev_decayed_engagement",
 )
 
 

@@ -945,3 +945,88 @@ def ev_stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# time-decayed engagement scoring (round 12): recency-weighted activity
+# over the SAME per-(user, day) continuous aggregate the hypertable
+# rollups persist — decay applies at READ time from integer weights, so
+# one stored day-grain row set serves any anchor date without rescanning
+# raw events (the exponential-decay recency shape behind "trending" /
+# engagement-ranked lists). The half-life weight table is precomputed
+# driver-side as INTEGER micro-units and embedded as identical literals
+# in the Spark plan and the DuckDB oracle, so the whole graded query is
+# pure integer arithmetic — no float exists on either engine (the r12
+# graded-column rule).
+# --------------------------------------------------------------------------
+
+_DECAY_HALF_LIFE_DAYS = 7
+_DECAY_HORIZON_DAYS = 56  # 8 half-lives; older days round to 0 anyway
+_DECAY_W_MICROS = [
+    round(2.0 ** (-age / _DECAY_HALF_LIFE_DAYS) * 1_000_000)
+    for age in range(_DECAY_HORIZON_DAYS + 1)
+]
+
+
+def _decayed_oracle() -> str:
+    ws = ", ".join(str(w) for w in _DECAY_W_MICROS)
+    return f"""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts)::DATE AS day, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), anchored AS (
+      SELECT user_id, cnt,
+             date_diff('day', day, (SELECT max(day) FROM daily)) AS age
+      FROM daily
+    ), scored AS (
+      SELECT user_id,
+             CAST(sum(cnt) AS BIGINT) AS n_events,
+             CAST(sum(cnt * CASE WHEN age <= {_DECAY_HORIZON_DAYS}
+                                 THEN ([{ws}])[age + 1]
+                                 ELSE 0 END) AS BIGINT) AS score_micros
+      FROM anchored GROUP BY user_id
+    )
+    SELECT user_id, n_events, score_micros,
+           CAST(row_number() OVER (ORDER BY score_micros DESC, user_id)
+                AS INT) AS rank
+    FROM scored
+    ORDER BY score_micros DESC, user_id
+    LIMIT 20
+    """
+
+
+@query("ev_decayed_engagement", oracle=_decayed_oracle())
+def ev_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by exponentially-decayed activity (half-life 7 d,
+    anchored at the newest event day). ONE raw shuffle to the per-
+    (user, day) aggregate — the persisted continuous-aggregate shape —
+    then a literal-array weight lookup and an integer weighted sum; the
+    top-20 is a TakeOrderedAndProject, never a global sort. The weight
+    array is the same 57 integers in plan and oracle, so the graded
+    columns cannot hash-diverge on any engine."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    anchor = daily.agg(F.max("day").alias("anchor"))
+    aged = daily.crossJoin(F.broadcast(anchor)).withColumn(
+        "age", F.datediff("anchor", "day")
+    )
+    w_arr = F.array(*[F.lit(w).cast("long") for w in _DECAY_W_MICROS])
+    weight = F.when(
+        F.col("age") <= _DECAY_HORIZON_DAYS,
+        F.element_at(w_arr, F.col("age") + 1),
+    ).otherwise(F.lit(0).cast("long"))
+    scored = aged.groupBy("user_id").agg(
+        F.sum("cnt").alias("n_events"),
+        F.sum(F.col("cnt") * weight).alias("score_micros"),
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # heaps, no global sort); the rank window then runs over 20 rows
+    top = scored.orderBy(F.desc("score_micros"), F.asc("user_id")).limit(20)
+    win = Window.orderBy(F.desc("score_micros"), F.asc("user_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(win).cast("int"))
+        .orderBy(F.desc("score_micros"), F.asc("user_id"))
+        .select("user_id", "n_events", "score_micros", "rank")
+    )

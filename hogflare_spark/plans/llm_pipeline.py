@@ -1882,6 +1882,38 @@ def _register_hybrid_oracle() -> None:
 _register_hybrid_oracle()
 
 
+@query("llm_maxsim_rerank", oracle=None)
+def llm_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction reranking (operators/retrieval.maxsim_rerank;
+    ColBERT, Khattab & Zaharia SIGIR 2020): stage 1 shortlists 32
+    candidates per query by full-vector dot, stage 2 reranks by MaxSim
+    over deterministic token slices — the token-alignment relaxation a
+    single-vector score cannot express. Every dot quantizes to BIGINT
+    nanos before the max/sum (order-free integer ops; the r12
+    graded-column rule: nothing floats), so the DuckDB mirror is
+    bit-exact. Stage 1 is the broadcast exact shape (production swaps
+    in the graded IVF/PQ shortlist); stage 2 touches |Q| x 32 rows —
+    no corpus shuffle, token loop in whole-stage codegen, no UDF."""
+    from hogflare_spark.operators.retrieval import maxsim_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return maxsim_rerank(
+        emb, F.col("vec_id") % 97 == 0, shortlist=32, k_top=10
+    ).orderBy("query_id", "rank")
+
+
+def _register_maxsim_oracle() -> None:
+    from hogflare_spark.operators.retrieval import maxsim_rerank_sql
+    from hogflare_spark.plans import ORACLES
+
+    ORACLES["llm_maxsim_rerank"] = maxsim_rerank_sql(
+        "embeddings", "vec_id % 97 = 0", shortlist=32, k_top=10
+    )
+
+
+_register_maxsim_oracle()
+
+
 _NEAR_STREAM_THRESHOLD = 0.8
 
 

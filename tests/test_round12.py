@@ -349,3 +349,117 @@ def test_pagerank_keeps_source_only_nodes(spark):
             s[b] += rank[a] // outdeg[a]
         rank = {n: PAGERANK_BASE + (85 * s[n]) // 100 for n in nodes}
     assert got == rank
+
+
+# ------------------------------------------------ MaxSim late interaction
+
+
+def test_maxsim_rerank_matches_python_reference(spark):
+    """Exact integer replica of the two-stage MaxSim pipeline on a tiny
+    deterministic vector set: same slice boundaries, same nano
+    quantization, same (score desc, id) ranking."""
+    import math
+
+    from hogflare_spark.operators.retrieval import maxsim_rerank
+
+    dim, n_tok, d_sub = 16, 4, 4
+    vecs = [
+        (i, [math.sin(0.7 * i + 0.3 * j) for j in range(dim)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = [
+        (r["query_id"], r["neighbor_id"], r["rank"], r["score_nanos"])
+        for r in maxsim_rerank(
+            df, F.col("vec_id") % 9 == 0, n_tokens=n_tok, dim=dim,
+            shortlist=8, k_top=5,
+        ).orderBy("query_id", "rank").collect()
+    ]
+
+    # python replica — float32 round-trip first (the stored arrays are
+    # float), then double arithmetic in index order
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    V = {i: [f32(x) for x in v] for i, v in vecs}
+
+    def nanos(dot):
+        return math.floor(dot * 1e9 + 0.5)
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    want = []
+    qs = [i for i in V if i % 9 == 0]
+    for q in sorted(qs):
+        s1 = sorted(
+            ((nanos(dot(V[q], V[d])), d) for d in V if d != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:8]
+        scored = []
+        for _, d in s1:
+            s = 0
+            for t in range(n_tok):
+                qt = V[q][t * d_sub:(t + 1) * d_sub]
+                s += max(
+                    nanos(dot(qt, V[d][u * d_sub:(u + 1) * d_sub]))
+                    for u in range(n_tok)
+                )
+            scored.append((s, d))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (s, d) in enumerate(scored[:5], 1):
+            want.append((q, d, rank, s))
+    assert got == want
+
+
+def test_maxsim_gate_graded_columns_are_float_free(spark):
+    from hogflare_spark.plans import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["llm_maxsim_rerank"](spark, SF_SMOKE)
+    kinds = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert not any(t in ("double", "float") for t in kinds.values()), kinds
+
+
+# ------------------------------------------------ decayed engagement
+
+
+def test_decayed_engagement_matches_python_reference(spark):
+    from collections import defaultdict
+
+    from hogflare_spark.plans import QUERIES, load_all
+    from hogflare_spark.plans.events_analytics import (
+        _DECAY_HORIZON_DAYS,
+        _DECAY_W_MICROS,
+    )
+    from hogflare_spark.sources.readers import load_table
+
+    load_all()
+    got = [
+        tuple(r)
+        for r in QUERIES["ev_decayed_engagement"](spark, SF_SMOKE).collect()
+    ]
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r["user_id"], r["day"])] += 1
+    anchor = max(d for _, d in daily)
+    n_ev = defaultdict(int)
+    score = defaultdict(int)
+    for (u, d), c in daily.items():
+        age = (anchor - d).days
+        w = _DECAY_W_MICROS[age] if age <= _DECAY_HORIZON_DAYS else 0
+        n_ev[u] += c
+        score[u] += c * w
+    order = sorted(score, key=lambda u: (-score[u], u))[:20]
+    want = [
+        (u, n_ev[u], score[u], rank) for rank, u in enumerate(order, 1)
+    ]
+    assert got == want
