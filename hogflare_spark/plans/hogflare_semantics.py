@@ -1453,8 +1453,11 @@ BENCH_EXTRA.update(
         "q_triangle_count",
         "q_pagerank_parts",
         # round-12: the person-scale compiled-Column flag read path
-        # (r11 verdict #6 asks for it graded AND benched)
+        # (r11 verdict #6 asks for it graded AND benched), plus the two
+        # new past-window classes
         "hf_flag_eval_persons",
+        "llm_maxsim_rerank",
+        "ev_decayed_engagement",
     }
 )
 
