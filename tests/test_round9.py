@@ -595,7 +595,7 @@ def test_volume_anomalies_flags_planted_spike(spark, monkeypatch, tmp_path):
     assert len(out) == 10
     # warm-up: days 1-4 have < 4 trailing observations -> null z, no flag
     for d in ("2025-02-01", "2025-02-04"):
-        assert out[d]["z"] is None and not out[d]["is_anomaly"]
+        assert out[d]["z_micros"] is None and not out[d]["is_anomaly"]
     # flat stretch: zero variance -> no flag
     assert not out["2025-02-08"]["is_anomaly"]
     # the spike is flagged...
