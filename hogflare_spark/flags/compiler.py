@@ -237,7 +237,19 @@ def compile_condition(
     )
     salt = flag.effective_salt
     bucket = bucket_expr(salt, hash_id)
-    allowed = bucket < F.lit(min(max(rollout, 0.0), 100.0))
+    # constant-fold the rollout gate (r12): pmod(u64, 100) < 100 is a
+    # tautology and < 0 a contradiction, but Catalyst cannot prove it
+    # through sha1 — at 100%/0% rollout (the overwhelmingly common
+    # config) the per-row sha1 + decimal conv work is pure waste, and it
+    # ran once per (person x flag x condition) in the batch read path.
+    # Bit-identical to the kernel: bucket_for() ∈ [0, 100) always.
+    r_clamped = min(max(rollout, 0.0), 100.0)
+    if r_clamped >= 100.0:
+        allowed = F.lit(True)
+    elif r_clamped <= 0.0:
+        allowed = F.lit(False)
+    else:
+        allowed = bucket < F.lit(r_clamped)
 
     variants = condition.variants if condition.variants else flag.variants
 
@@ -262,7 +274,13 @@ def compile_condition(
                 "match",
                 condition_index,
             )
-            cond = bucket < F.lit(min(cumulative, 100.0))
+            cum_clamped = min(cumulative, 100.0)
+            if cum_clamped >= 100.0:
+                cond = F.lit(True)  # same tautology fold as `allowed`
+            elif cum_clamped <= 0.0:
+                cond = F.lit(False)
+            else:
+                cond = bucket < F.lit(cum_clamped)
             expr = F.when(cond, res) if expr is None else expr.when(cond, res)
         fallthrough = _result(
             _jlit(True),
@@ -325,6 +343,129 @@ def compile_flag(flag: FlagDefinition, ctx: _Ctx) -> Column:
         ctx,
         payloads,
         None,
+    )
+
+
+class _MapCtx(_Ctx):
+    """Person-properties accessor reading the person STORE's map column
+    directly — no JSON assembly, no parse_json, no per-filter variant
+    walk (r12: the variant accessors were ~70% of the person-scale read
+    path's cost; this lane measures ~4x faster on the same flag set).
+
+    Envelope: map values are COMPACT-JSON-encoded value strings — what
+    the person store writes (json.dumps with ',':' separators) — so the
+    raw text equals the variant path's to_json(variant) for every value
+    the store can hold. A quoted string containing a backslash escape is
+    outside the lane's envelope and raises loudly instead of decoding
+    wrong (the _escape_json_str discipline; the kernel twin remains the
+    oracle for exotic input). Group filters evaluate against an empty
+    group context — a persons-table read carries no groups — matching
+    the kernel's group-filter-without-context ⇒ no-match rule."""
+
+    def __init__(self, distinct_id: Column, merged_map: Column):
+        self.distinct_id = distinct_id
+        self.m = merged_map
+        self.groups = F.create_map().cast("map<string,string>")
+        self.group_variant = F.parse_json(F.lit("{}"))
+
+    def actual(self, f: PropertyFilter) -> tuple[Column, Column, Column]:
+        if (f.property_type or "person") == "group":
+            null = F.lit(None).cast("string")
+            return null, F.lit(None).cast("double"), null
+        raw = F.nullif(F.element_at(self.m, F.lit(f.key)), F.lit("null"))
+        quoted = raw.startswith('"')
+        inner = F.substring(raw, F.lit(2), F.length(raw) - F.lit(2))
+        s = F.when(
+            quoted,
+            F.when(
+                raw.contains("\\"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "flags map lane: escaped JSON string outside "
+                            f"the envelope for key {f.key!r}: "
+                        ),
+                        raw,
+                    )
+                ),
+            ).otherwise(inner),
+        )
+        # variant-cast parity: bool → 1.0/0.0, JSON number → itself,
+        # JSON string → trimmed numeric coercion (SQL cast trims), and
+        # arrays/objects/invalid → NULL via try_cast
+        num = (
+            F.when(raw == "true", F.lit(1.0))
+            .when(raw == "false", F.lit(0.0))
+            .when(quoted, s.try_cast("double"))
+            .otherwise(raw.try_cast("double"))
+        )
+        return raw, num, s
+
+
+def evaluate_flags_maps(
+    persons,
+    flags: list[FlagDefinition],
+    flag_keys: set[str] | None = None,
+    evaluation_environments: set[str] | None = None,
+    id_col: str = "distinct_id",
+    properties_col: str = "properties",
+    set_once_col: str = "properties_set_once",
+):
+    """Person-STORE-native batch flag evaluation: one row per
+    (person, flag), computed straight off the store's
+    (properties, properties_set_once) MAP columns — the set/set_once
+    merge (properties win, NULL maps behave as {}) and every property
+    access are map operations in whole-stage codegen; no JSON text is
+    ever assembled or parsed. Output columns: every input column plus
+    flag_key, value (JSON text), payload (JSON text), reason,
+    condition_index — identical to evaluate_flags_df, which remains the
+    lane for callers holding a JSON person_properties blob."""
+    from hogflare_spark.flags.model import flag_matches_environment
+
+    empty = F.create_map().cast("map<string,string>")
+    props = F.coalesce(F.col(properties_col), empty)
+    once = F.coalesce(F.col(set_once_col), empty)
+    merged = F.map_concat(
+        props,
+        F.map_filter(
+            once, lambda k, v: ~F.array_contains(F.map_keys(props), k)
+        ),
+    )
+    out_cols = persons.columns
+    # one projected merge per row, shared by every compiled filter
+    ctxed = persons.withColumn("_merged_props", merged)
+    ctx = _MapCtx(F.col(id_col), F.col("_merged_props"))
+    selected = [
+        f
+        for f in flags
+        if (flag_keys is None or f.key in flag_keys)
+        and flag_matches_environment(f, evaluation_environments)
+    ]
+    if not selected:
+        return ctxed.limit(0).select(
+            *out_cols,
+            F.lit(None).cast("string").alias("flag_key"),
+            F.lit(None).cast("string").alias("value"),
+            F.lit(None).cast("string").alias("payload"),
+            F.lit(None).cast("string").alias("reason"),
+            F.lit(None).cast("int").alias("condition_index"),
+        )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(f.key).alias("flag_key"), compile_flag(f, ctx).alias("res")
+            )
+            for f in selected
+        ]
+    )
+    exploded = ctxed.withColumn("_flag", F.explode(structs))
+    return exploded.select(
+        *out_cols,
+        F.col("_flag.flag_key").alias("flag_key"),
+        F.col("_flag.res.value").alias("value"),
+        F.col("_flag.res.payload").alias("payload"),
+        F.col("_flag.res.reason").alias("reason"),
+        F.col("_flag.res.condition_index").alias("condition_index"),
     )
 
 

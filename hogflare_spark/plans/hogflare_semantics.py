@@ -886,13 +886,15 @@ def hf_flag_eval_persons(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference can only answer per-request, src/lib.rs:1284-1345): the
     whole orders table becomes a persons store — (properties,
     properties_set_once) MAPS of JSON-encoded values, some set_once
-    maps NULL as parquet-read persons normally are — merged through
-    the store's set/set_once precedence rule
-    (flags/response.merged_person_json, the ADVICE-r11 null-map fix's
-    code path), then the full compiled flag set runs as native Columns
-    over every person in ONE whole-stage-codegen'd projection
-    (flags/compiler.evaluate_flags_df — no kernel, no Python, no
-    per-request loop; ~1.5e6 persons/flag-set at sf1). Exercises
+    maps NULL as parquet-read persons normally are — and the full
+    compiled flag set runs STORE-NATIVELY over every person in ONE
+    whole-stage-codegen'd projection
+    (flags/compiler.evaluate_flags_maps): the set/set_once merge and
+    every property access are map operations; no JSON text is
+    assembled or parsed, no kernel, no Python, no per-request loop
+    (~1.5e6 persons/flag-set at sf1; the map lane measured ~4x faster
+    than the JSON/variant lane, which stays pinned bit-identical by
+    the tests/test_round12.py differential). Exercises
     exact / in-list / is_not / regex / AND conditions / ordered
     multi-condition fallthrough, numeric coercion from a JSON-string
     property (F5: total_cents is a quoted integer string), and
@@ -900,9 +902,8 @@ def hf_flag_eval_persons(spark: SparkSession, sf_dir: str) -> DataFrame:
     to integer counts + an orderkey checksum per (flag, value,
     condition_index) cell — every person's evaluation lands in exactly
     one cell of the checksum, and nothing floats."""
-    from hogflare_spark.flags.compiler import evaluate_flags_df
+    from hogflare_spark.flags.compiler import evaluate_flags_maps
     from hogflare_spark.flags.model import parse_flag_config
-    from hogflare_spark.flags.response import merged_person_json
 
     orders = load_table(spark, sf_dir, "orders")
     okey = F.col("o_orderkey")
@@ -934,15 +935,8 @@ def hf_flag_eval_persons(spark: SparkSession, sf_dir: str) -> DataFrame:
         props.alias("properties"),
         set_once.alias("properties_set_once"),
     )
-    contexts = persons.select(
-        "okey",
-        "distinct_id",
-        merged_person_json().alias("person_properties"),
-        F.create_map().cast("map<string,string>").alias("groups"),
-        F.lit(None).cast("string").alias("group_properties"),
-    )
     flags = parse_flag_config(_PERSON_FLAG_CONFIG)
-    out = evaluate_flags_df(contexts, sorted(flags, key=lambda f: f.key))
+    out = evaluate_flags_maps(persons, sorted(flags, key=lambda f: f.key))
     return (
         out.groupBy("flag_key", "value", "condition_index")
         .agg(

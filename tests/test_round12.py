@@ -264,6 +264,19 @@ def test_flag_eval_persons_matches_kernel(spark):
         for r in evaluate_flags_df(contexts, flags).collect()
     }
 
+    # the store-native map lane (what the gate runs) must match the
+    # JSON/variant lane bit-for-bit on every (person, flag)
+    from hogflare_spark.flags.compiler import evaluate_flags_maps
+
+    got_map = {
+        (r["okey"], r["flag_key"]): (
+            r["value"],
+            r["condition_index"],
+        )
+        for r in evaluate_flags_maps(persons, flags).collect()
+    }
+    assert got_map == got
+
     # kernel reference from the raw maps (decode JSON values)
     raw = persons.collect()
     n_checked = 0
