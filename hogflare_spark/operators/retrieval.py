@@ -484,60 +484,109 @@ def maxsim_rerank(
     graded output): every dot product quantizes to BIGINT nanos
     immediately — floor(dot*1e9+0.5), the llm_ann/pq convention — so
     the per-token max and the across-token sum are ORDER-FREE integer
-    ops, and `score_nanos` transports as int64 on any engine.
+    ops, and `score_nanos` transports as int64 on any engine. The float
+    dots themselves fold strictly left-to-right over the dimension
+    (explicit per-index accumulation, never BLAS), matching the
+    oracle's index-ordered list_sum bit-for-bit — the brute_force_topk
+    convention.
 
-    Scale shape: queries are request-sized → stage 1 is a broadcast
-    nested loop over the corpus scan (the same shape as the exact
-    ANN baseline; production swaps the IVF/PQ shortlist in — the gate
-    keeps the exact stage 1 so the oracle is closed-form). Stage 2
-    touches |Q| x shortlist rows only: broadcast joins, no shuffle of
-    the corpus, and the token loop is a per-row higher-order
-    expression in whole-stage codegen — no UDF.
+    Scale shape: both stages run as Arrow matrix kernels over map-only
+    scans (similarity.py's lesson: Catalyst higher-order functions are
+    interpreted, never codegen'd — the first draft's per-pair
+    aggregate/zip_with folds cost 46 s at sf1 where these kernels take
+    ~2 s). The query set collects EAGERLY at plan-build time (small by
+    the operator's contract — it was broadcast either way) and embeds
+    in the kernel closures; stage 1 scores the corpus scan against all
+    queries, stage 2 touches only the |Q| x shortlist candidates via a
+    broadcast semi-join on the corpus scan. Production swaps the
+    IVF/PQ shortlist in for stage 1 — the gate keeps the exact stage
+    so the oracle is closed-form.
     """
     from pyspark.sql import Window
 
     d_sub = dim // n_tokens
-    qs = vecs.where(query_pred).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    q_rows = (
+        vecs.where(query_pred)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        .collect()
     )
-    docs = vecs.select(
-        F.col("vec_id").alias("did"), F.col("embedding").alias("dv")
-    )
-
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    spark = vecs.sparkSession
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, score_nanos long"
         )
+    q_ids = [int(r["qid"]) for r in q_rows]
+    q_vecs = [[float(x) for x in r["qv"]] for r in q_rows]
 
-    def _nanos(c):
-        return F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("long")
+    def _stage1(batches):
+        import numpy as np
+        import pandas as pd
 
-    pairs = docs.crossJoin(F.broadcast(qs)).where(F.col("did") != F.col("qid"))
-    s1 = pairs.select(
-        "qid", "did", "qv", "dv", _nanos(_dot(F.col("qv"), F.col("dv"))).alias("n1")
+        qm = np.asarray(q_vecs, dtype=np.float64)
+        qid = np.asarray(q_ids, dtype=np.int64)
+        nq = qm.shape[0]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cv = np.array([np.asarray(v, dtype=np.float64) for v in pdf["dv"]])
+            nid = pdf["did"].to_numpy(dtype=np.int64)
+            n = cv.shape[0]
+            dot = np.zeros((n, nq))
+            for i in range(dim):  # strict left-to-right fold
+                dot = dot + cv[:, i : i + 1] * qm[:, i]
+            n1 = np.floor(dot * 1e9 + 0.5).astype(np.int64)
+            keep = nid[:, None] != qid[None, :]
+            rr, cc = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"qid": qid[cc], "did": nid[rr], "n1": n1[rr, cc]}
+            )
+
+    from hogflare_spark.operators.partitioning import fan_out
+
+    docs = fan_out(
+        vecs.select(F.col("vec_id").alias("did"), F.col("embedding").alias("dv"))
     )
+    s1 = docs.mapInPandas(_stage1, "qid long, did long, n1 long")
     w = Window.partitionBy("qid").orderBy(F.desc("n1"), F.asc("did"))
-    cand = s1.withColumn("r1", F.row_number().over(w)).where(
-        F.col("r1") <= shortlist
+    cand = (
+        s1.withColumn("r1", F.row_number().over(w))
+        .where(F.col("r1") <= shortlist)
+        .select("qid", "did")
     )
 
-    toks = lambda v: F.transform(  # noqa: E731
-        F.sequence(F.lit(0), F.lit(n_tokens - 1)),
-        lambda t: F.slice(v, t * d_sub + 1, d_sub),
-    )
-    # MaxSim in one expression: per query token the integer max over doc
-    # tokens, summed as integers — order-free by construction
-    score = F.aggregate(
-        toks(F.col("qv")),
-        F.lit(0).cast("long"),
-        lambda acc, qt: acc
-        + F.array_max(
-            F.transform(toks(F.col("dv")), lambda dt: _nanos(_dot(qt, dt)))
-        ),
-    )
-    rer = cand.select("qid", "did", score.alias("score_nanos"))
+    # stage 2: |Q| x shortlist rows — attach doc vectors via a broadcast
+    # hash join of the tiny candidate set against the corpus scan
+    pairs = docs.join(F.broadcast(cand), "did")
+
+    def _stage2(batches):
+        import numpy as np
+        import pandas as pd
+
+        qt = np.asarray(q_vecs, dtype=np.float64).reshape(
+            len(q_ids), n_tokens, d_sub
+        )
+        qindex = {q: j for j, q in enumerate(q_ids)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cv = np.array([np.asarray(v, dtype=np.float64) for v in pdf["dv"]])
+            n = cv.shape[0]
+            ct = cv.reshape(n, n_tokens, d_sub)
+            qsel = qt[[qindex[int(q)] for q in pdf["qid"]]]  # (n, nt, ds)
+            dots = np.zeros((n, n_tokens, n_tokens))  # (row, qtok, dtok)
+            for i in range(d_sub):  # strict left-to-right fold
+                dots = dots + qsel[:, :, None, i] * ct[:, None, :, i]
+            nanos = np.floor(dots * 1e9 + 0.5).astype(np.int64)
+            score = nanos.max(axis=2).sum(axis=1)  # order-free int ops
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy(dtype=np.int64),
+                    "did": pdf["did"].to_numpy(dtype=np.int64),
+                    "score_nanos": score,
+                }
+            )
+
+    rer = pairs.mapInPandas(_stage2, "qid long, did long, score_nanos long")
     w2 = Window.partitionBy("qid").orderBy(F.desc("score_nanos"), F.asc("did"))
     return (
         rer.withColumn("rank", F.row_number().over(w2).cast("int"))
