@@ -12,6 +12,8 @@ only shuffles left are the LSH bucket join and the final verify join.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -22,6 +24,38 @@ TOKEN_SPLIT_RE = r"\s+"
 # pre-tokenizer shape (cf. GPT-2's regex); ASCII-safe so Java and DuckDB
 # regex engines agree.
 BPE_TOKEN_RE = r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"
+
+
+def _col_cache(fn):
+    """Memoize a Column-builder on (repr(input column), scalar args).
+
+    Building the MinHash/banding expressions is pure driver-side work —
+    ~100 py4j round-trips for the 32 permutation-coefficient structs and
+    the per-band concat trees — measured at 0.35-0.55 s per call
+    (scripts/profile_query.py showed it as the per-batch driver gap in
+    the incremental dedup gates: guide §7.3, "nothing is running").
+    Column objects wrap immutable Catalyst expression trees, so the same
+    object can appear in any number of plans; two inputs with the same
+    unresolved repr (e.g. `col('hs')`) are the same expression. The
+    cache key is the repr string, which costs one py4j toString — three
+    orders of magnitude cheaper than rebuilding. Unbounded by type, but
+    in practice the registry builds a handful of distinct (col, args)
+    shapes per process."""
+    cache: dict = {}
+
+    @functools.wraps(fn)
+    def wrapper(col, *args, **kwargs):
+        try:
+            key = (repr(col), args, tuple(sorted(kwargs.items())))
+        except Exception:  # unreprable input: build uncached
+            return fn(col, *args, **kwargs)
+        out = cache.get(key)
+        if out is None:
+            out = fn(col, *args, **kwargs)
+            cache[key] = out
+        return out
+
+    return wrapper
 
 
 def tokens(col: Column) -> Column:
@@ -60,6 +94,7 @@ def shingle_hashes_sql(sh_expr: str) -> str:
     return f"list_transform({sh_expr}, s -> {h60_sql('s')} % {M31})"
 
 
+@_col_cache
 def minhash_signature(hs: Column, num_perm: int) -> Column:
     """Array of num_perm MinHash values from a shingle-hash array.
 
@@ -99,6 +134,7 @@ def minhash_signature_sql(hs_expr: str, num_perm: int) -> str:
     return "[" + ", ".join(parts) + "]"
 
 
+@_col_cache
 def band_keys(sig: Column, bands: int, rows: int) -> Column:
     """LSH banding: array of `bands` strings 'band_idx:v1,v2,...'.
 
@@ -136,6 +172,7 @@ def band_keys_sql(sig_expr: str, bands: int, rows: int) -> str:
     return "[" + ", ".join(parts) + "]"
 
 
+@_col_cache
 def simhash(hs: Column, bits: int = 32) -> Column:
     """SimHash sketch over shingle hashes: bit b set iff the +1/-1 vote of
     all hashes' bit b sums positive (Charikar 2002).

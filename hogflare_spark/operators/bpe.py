@@ -201,8 +201,20 @@ def bpe_train_merges(
             .drop("_bpe_rk")
         )
 
+    from hogflare_spark.operators.partitioning import adaptive_partitions
+
     spark = df.sparkSession
-    n_part = spark.sparkContext.defaultParallelism
+    # State partitioning is derived from the input size (guide §2), not
+    # the session constant: every per-merge job pays task-launch + cache
+    # read per partition, so a toy corpus on 32 partitions is pure
+    # machinery, while a 100 TB corpus hits the parallelism cap — the
+    # old behavior. x4: exploded (id, pos, tok) rows outgrow the parquet
+    # text bytes by about that factor. floor=8: the A/B at sf0.1 (probe
+    # in PLANS.md r12) measured the 6-merge loop at 5.8 s on 2
+    # partitions (window compute serialized), 3.2-3.5 s on 8-16, 4.0 s
+    # on 32 — per-task overhead is amortized by 8 while the five window
+    # passes per merge still spread across cores.
+    n_part = adaptive_partitions(df, expansion=4.0, floor=8)
     # cache (not localCheckpoint): InMemoryRelation PRESERVES the id
     # hash-partitioning and (id, pos) ordering, so every window in the
     # loop below runs exchange-free — a checkpointed RDD reports
@@ -216,7 +228,14 @@ def bpe_train_merges(
         .repartition(n_part, "id")
         .sortWithinPartitions("id", "pos")
     )
-    state.count()
+    # No standalone materialization action: the first job that touches
+    # `state` (the step-1 pair count) fills the cache. Each iteration
+    # releases the PREVIOUS state only after the pair-count job has
+    # materialized the current one — same lifetime discipline as the old
+    # count()-then-release, one fewer Spark job per merge (r12, guide
+    # §1.2: the per-step cost at any scale is job machinery; the counts
+    # added nothing the next action would not compute anyway).
+    prev: DataFrame | None = None
     out = []
     for step in range(1, n_merges + 1):
         top = (
@@ -225,6 +244,9 @@ def bpe_train_merges(
             .limit(1)
             .collect()
         )
+        if prev is not None:
+            release(prev)
+            prev = None
         if not top:
             break
         left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
@@ -235,8 +257,6 @@ def bpe_train_merges(
             if step % checkpoint_every == 0:
                 nxt = _recut_lineage(nxt, n_part)
             state = cached(nxt)
-            state.count()
-            release(prev)
     return spark.createDataFrame(
         out, "step INT, left STRING, right STRING, merged STRING, cnt BIGINT"
     )

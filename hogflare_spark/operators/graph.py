@@ -88,7 +88,7 @@ PAGERANK_BASE = 150_000_000_000  # 0.15 * SCALE
 
 
 def pagerank_fixed_point(
-    directed_edges: DataFrame, iterations: int = 8
+    directed_edges: DataFrame, iterations: int = 8, checkpoint_every: int = 4
 ) -> DataFrame:
     """PageRank in pure BIGINT fixed-point — (node, rank) after
     `iterations` synchronous updates of
@@ -131,7 +131,7 @@ def pagerank_fixed_point(
     ranks = nodes.select(
         "node", F.lit(int(PAGERANK_SCALE)).alias("rank")
     ).localCheckpoint(eager=True)
-    for _ in range(int(iterations)):
+    for it in range(int(iterations)):
         contrib = ranks.join(
             annotated, ranks["node"] == annotated["src"]
         ).select(
@@ -148,6 +148,15 @@ def pagerank_fixed_point(
                     + F.expr("(85 * s) div 100")
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)  # cut lineage: O(1) plan per iter
         )
+        # Lineage cut every K levels instead of every level (r12, guide
+        # §1.2): an eager localCheckpoint is a JOB, so per-iteration
+        # cutting ran `iterations` jobs where one job can execute K
+        # chained join+aggregate levels as one stage graph. K bounds the
+        # logical-plan depth exactly as before — only the cadence
+        # changed, not the arithmetic, so ranks are bit-identical.
+        if (it + 1) % max(1, int(checkpoint_every)) == 0 or it + 1 == int(
+            iterations
+        ):
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

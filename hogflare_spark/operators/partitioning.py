@@ -59,3 +59,45 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
         return df
     spark = df.sparkSession
     return df.repartition(target or spark.sparkContext.defaultParallelism)
+
+
+def input_bytes(df: DataFrame) -> int:
+    """Total on-disk bytes of the plan's input files (FileIndex metadata
+    only — no job). 0 when the source is not file-backed."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        total = 0
+        for uri in df.inputFiles():
+            path = unquote(urlparse(uri).path) or uri
+            total += os.path.getsize(path)
+        return total
+    except Exception:
+        return 0
+
+
+def adaptive_partitions(
+    df: DataFrame,
+    bytes_per_partition: int = 32 * 1024 * 1024,
+    expansion: float = 1.0,
+    floor: int = 2,
+    cap: int | None = None,
+) -> int:
+    """Partition count derived from the plan's input size (guide §2:
+    partitioning must be scale-adaptive, not a constant tuned for one
+    deployment). `expansion` scales the on-disk estimate for operators
+    that blow rows up before partitioning (e.g. a token explode).
+    Returns `floor`..`cap` (default cap: session parallelism); falls
+    back to the session parallelism when the input is not file-backed
+    (no estimate — keep the old behavior). At toy scale this collapses
+    iterated-operator state to a couple of partitions — every per-stage
+    cost at that scale is task launch + commit machinery, measured with
+    scripts/profile_query.py — while a 100 TB input saturates the cap,
+    which is exactly the old constant."""
+    spark = df.sparkSession
+    cap = cap or spark.sparkContext.defaultParallelism
+    est = int(input_bytes(df) * expansion)
+    if est <= 0:
+        return cap
+    return max(1, min(cap, max(floor, est // bytes_per_partition + 1)))

@@ -999,13 +999,21 @@ def distributed_kmeans(
     Output: (id, cell) for every corpus row under the final centroids.
     """
     _require_int_ids(corpus, id_col, "distributed_kmeans")
-    cent = distributed_kmeans_fit(corpus, k, iters, id_col, vec_col, init, seed)
-    base = corpus.select(
-        F.col(id_col).alias("id"), unit_vec_expr(F.col(vec_col)).alias("v")
+    # Keep the cached normalized+quantized projection alive through the
+    # final assignment (r12, guide §5: the frame is reused — recomputing
+    # it cost one more full normalize pass over the corpus). The fit does
+    # not release a caller-provided cache; the RETURNED frame reads it,
+    # so release happens at the host's quiescent point (unpersist_all),
+    # the same lifetime as every cache backing a returned frame here.
+    qdf = _kmeans_qdf(corpus, id_col, vec_col)
+    cent = distributed_kmeans_fit(
+        corpus, k, iters, id_col, vec_col, init, seed, _qdf=qdf
     )
     if cent is None:
-        return base.select("id", F.lit(0).alias("cell"))
-    return base.mapInPandas(_assign_cells_kernel(cent), "id long, cell int")
+        return qdf.select("id", F.lit(0).alias("cell"))
+    return qdf.select("id", "v").mapInPandas(
+        _assign_cells_kernel(cent), "id long, cell int"
+    )
 
 
 def _assign_cells_kernel(centroids: list[list[float]], out_col: str = "cell"):
@@ -1163,6 +1171,27 @@ def _kmeans_parallel_init(
     return [[float(x) for x in c] for c in cent]
 
 
+def _kmeans_qdf(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """The trainer's cached working set: (id, normalized v, fixed-point
+    q). Tracked via `cached`; materialized by the first job that touches
+    it (the init collect fills it — no standalone count)."""
+    base = corpus.select(
+        F.col(id_col).alias("id"), unit_vec_expr(F.col(vec_col)).alias("v")
+    )
+    return cached(
+        base.select(
+            "id",
+            "v",
+            F.transform(
+                F.col("v"),
+                lambda x: F.floor(
+                    x * F.lit(float(KMEANS_SCALE)) + F.lit(0.5)
+                ).cast("long"),
+            ).alias("q"),
+        )
+    )
+
+
 def distributed_kmeans_fit(
     corpus: DataFrame,
     k: int = 8,
@@ -1171,6 +1200,7 @@ def distributed_kmeans_fit(
     vec_col: str = "embedding",
     init: str = "lowest_id",
     seed: int = 0,
+    _qdf: DataFrame | None = None,
 ) -> list[list[float]] | None:
     """The training loop of distributed_kmeans, returning the final
     centroids (the model) — split out so PQ's ADC scoring can train a
@@ -1189,37 +1219,39 @@ def distributed_kmeans_fit(
     import math
 
     _require_int_ids(corpus, id_col, "distributed_kmeans_fit")
-    base = corpus.select(
-        F.col(id_col).alias("id"), unit_vec_expr(F.col(vec_col)).alias("v")
-    )
+    # One working set serves init, every iteration, and (when the caller
+    # passes it through) the final assignment: the init collect doubles
+    # as the cache-materialization job, so the old standalone count and
+    # the assignment's re-normalization scan are gone (r12 profile: both
+    # were full-corpus passes whose output the cache already held).
+    owns_qdf = _qdf is None
+    qdf = _kmeans_qdf(corpus, id_col, vec_col) if owns_qdf else _qdf
     if init == "parallel":
         # opt-in k-means‖ (r7 verdict #5: lowest-id is a quality-poor
         # init at scale); not oracle-replayable, so gates keep the default
-        cent = _kmeans_parallel_init(base, k, seed)
+        cent = _kmeans_parallel_init(qdf.select("id", "v"), k, seed)
         if not cent:
+            if owns_qdf:
+                release(qdf)
             return None
     elif init == "lowest_id":
-        init_rows = base.orderBy("id").limit(k).collect()
+        init_rows = qdf.select("id", "v").orderBy("id").limit(k).collect()
         if not init_rows:
+            if owns_qdf:
+                release(qdf)
             return None
         cent = [[float(x) for x in r["v"]] for r in init_rows]
     else:
+        if owns_qdf:
+            release(qdf)
         raise ValueError(f"unknown init {init!r} (lowest_id | parallel)")
     dim = len(cent[0])
 
-    qdf = cached(
-        base.select(
-            "id",
-            "v",
-            F.transform(
-                F.col("v"),
-                lambda x: F.floor(x * F.lit(float(KMEANS_SCALE)) + F.lit(0.5)).cast("long"),
-            ).alias("q"),
-        )
-    )
     try:
         for _ in range(iters):
-            partials = qdf.mapInPandas(
+            # project to the two columns the kernel reads (guide §4.1:
+            # mapInPandas ships every column it is handed)
+            partials = qdf.select("v", "q").mapInPandas(
                 _kmeans_stats_kernel(cent, dim),
                 "cell int, cnt long, s array<long>",
             ).collect()
@@ -1242,7 +1274,8 @@ def distributed_kmeans_fit(
                 if nrm > 0:
                     cent[j] = [x / nrm for x in m]
     finally:
-        release(qdf)
+        if owns_qdf:
+            release(qdf)
     return cent
 
 

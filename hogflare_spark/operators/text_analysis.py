@@ -826,6 +826,8 @@ def topk_ngrams(
     for head-heavy boilerplate/contamination censuses over massive
     corpora.
     """
+    from hogflare_spark.operators.partitioning import fan_out
+
     tok = T.tokens(F.col(text_col))
     idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
     grams = F.when(
@@ -837,8 +839,13 @@ def topk_ngrams(
         if approx_rsd is not None
         else F.countDistinct("id")
     )
+    # fan_out: a single-file corpus scans as ONE partition, serializing
+    # the tokenize+explode+partial-agg map work on one core (profiled at
+    # 3.3 s of a 3.6 s query at sf0.1 — guide §2.5 input skew); a no-op
+    # on multi-file inputs.
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("ngram"))
+        fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(
             F.count(F.lit(1)).alias("occurrences"),
@@ -888,8 +895,11 @@ def topk_ngrams_approx_check(
         F.size(tok) >= n,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, n))),
     ).otherwise(F.array().cast("array<string>"))
+    from hogflare_spark.operators.partitioning import fan_out
+
     exact = (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("ngram"))
+        fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", F.explode(grams).alias("ngram"))
         .join(F.broadcast(census.select("ngram")), "ngram")
         .groupBy("ngram")
         .agg(F.countDistinct("id").alias("_exact_df"))

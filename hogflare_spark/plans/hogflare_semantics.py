@@ -347,9 +347,27 @@ def hf_flags_on_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def _stream_shuffle_partitions(staged_bytes: int, parallelism: int) -> int:
+    """Scale-adaptive state-partition count for the stream gates
+    (guide §2: derive partitioning from input size, never a constant
+    tuned for one deployment). A stateful streaming query pays per
+    micro-batch a fixed cost PER state partition — a state-store commit
+    (delta file + fsync), a sink file, and a task launch — so the count
+    must track data volume: ~64 MB of input per partition, floored at 2
+    (never serialize on one core), capped at 4x the session parallelism
+    (the standard 2-4x-cores shuffle sizing; at 100 TB the cap binds and
+    gives the large count a real cluster needs, while a toy replay gets
+    2 instead of paying 32 commits x batches for kilobytes of state —
+    measured r12: 99 sink files -> ~8, and every 32-task stateful stage
+    collapses to 2)."""
+    return max(2, min((staged_bytes >> 26) + 1, 4 * parallelism))
+
+
 def _drain_chunks_long_lived(
     spark: SparkSession,
-    chunks: list[DataFrame],
+    chunked: DataFrame,
+    chunk_col: str,
+    n_chunks: int,
     in_schema: str,
     transform,
     out_schema: str,
@@ -388,6 +406,20 @@ def _drain_chunks_long_lived(
     split across micro-batches is still emitted at most once — the
     duplicate is either deduped by state or dropped as late, never
     re-emitted).
+
+    r12 staging + partitioning (guide §1/§2, profiled via
+    scripts/profile_query.py): the caller now passes ONE frame with a
+    `chunk_col` (0..n_chunks-1) instead of n filtered frames — all
+    chunks stage in a single partitionBy write (one source scan, not n;
+    `repartition(n, chunk_col)` puts each chunk value in exactly one
+    task so every chunk dir holds exactly one part file, preserving the
+    atomic-rename contract). The stream's shuffle/state partition count
+    is derived from the staged bytes (`_stream_shuffle_partitions`)
+    rather than inheriting the session constant: the event-log profile
+    showed every stateful stage at 32 tasks and a 99-file sink for
+    kilobytes of state — per-batch commit machinery, not computation.
+    The session conf is restored before returning, so batch queries are
+    untouched.
     """
     import shutil
 
@@ -395,36 +427,69 @@ def _drain_chunks_long_lived(
     stage = os.path.join(work, "stage")
     out_dir = os.path.join(work, "out")
     os.makedirs(landing, exist_ok=True)
-    stream = spark.readStream.schema(in_schema).parquet(landing)
-    q = (
-        transform(stream)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .outputMode("append")
-        .start()
+
+    # stage every chunk in ONE pass over the source
+    (
+        chunked.repartition(n_chunks, F.col(chunk_col))
+        .write.partitionBy(chunk_col)
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    chunk_files: list[str | None] = []
+    staged_bytes = 0
+    for i in range(n_chunks):
+        sdir = os.path.join(stage, f"{chunk_col}={i}")
+        part = None
+        if os.path.isdir(sdir):
+            names = [
+                f
+                for f in os.listdir(sdir)
+                if f.startswith("part-") and f.endswith(".parquet")
+            ]
+            if names:
+                (name,) = names  # one task per chunk value => one file
+                part = os.path.join(sdir, name)
+                staged_bytes += os.path.getsize(part)
+        chunk_files.append(part)
+
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev_shuffle = spark.conf.get(shuffle_key)
+    spark.conf.set(
+        shuffle_key,
+        str(
+            _stream_shuffle_partitions(
+                staged_bytes, spark.sparkContext.defaultParallelism
+            )
+        ),
     )
     try:
-        for i, chunk in enumerate(chunks):
-            sdir = os.path.join(stage, f"c{i}")
-            chunk.coalesce(1).write.mode("overwrite").parquet(sdir)
-            part = os.path.join(
-                sdir,
-                next(
-                    f for f in os.listdir(sdir)
-                    if f.startswith("part-") and f.endswith(".parquet")
-                ),
-            )
-            for d in range(1, deliveries):
-                # each re-delivery gets its own staged copy, renamed in
-                # atomically like the original
-                dup = os.path.join(sdir, f"redeliver_{d}.parquet")
-                shutil.copyfile(part, dup)
-                os.rename(dup, os.path.join(landing, f"chunk_{i}_{d}.parquet"))
-            os.rename(part, os.path.join(landing, f"chunk_{i}_0.parquet"))
-            q.processAllAvailable()
+        stream = spark.readStream.schema(in_schema).parquet(landing)
+        q = (
+            transform(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            for i, part in enumerate(chunk_files):
+                if part is None:  # empty chunk: nothing to deliver
+                    continue
+                for d in range(1, deliveries):
+                    # each re-delivery gets its own staged copy, renamed
+                    # in atomically like the original
+                    dup = part + f".redeliver_{d}"
+                    shutil.copyfile(part, dup)
+                    os.rename(
+                        dup, os.path.join(landing, f"chunk_{i}_{d}.parquet")
+                    )
+                os.rename(part, os.path.join(landing, f"chunk_{i}_0.parquet"))
+                q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set(shuffle_key, prev_shuffle)
     return spark.read.schema(out_schema).parquet(out_dir)
 
 
@@ -473,20 +538,21 @@ def ev_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiny driver-side scalars, not a data collect
     evs = ev.withColumn("created_at_s", F.col("created_at").cast("long"))
     lo, hi = evs.approxQuantile("created_at_s", [1.0 / 3, 2.0 / 3], 0.001)
-    chunks = [
-        evs.where(F.col("created_at_s") <= F.lit(int(lo))),
-        evs.where(
-            (F.col("created_at_s") > F.lit(int(lo)))
-            & (F.col("created_at_s") <= F.lit(int(hi)))
-        ),
-        evs.where(F.col("created_at_s") > F.lit(int(hi))),
-    ]
+    sec = F.col("created_at").cast("long")
+    chunked = ev.withColumn(
+        "chunk",
+        F.when(sec <= F.lit(int(lo)), 0)
+        .when(sec <= F.lit(int(hi)), 1)
+        .otherwise(2),
+    )
 
     work = tempfile.mkdtemp(prefix="ev_stream_win_")
     try:
         emitted = _drain_chunks_long_lived(
             spark,
-            [c.select("created_at", "event") for c in chunks],
+            chunked.select("created_at", "event", "chunk"),
+            "chunk",
+            3,
             "created_at timestamp, event string",
             windowed_event_counts,
             "window_start timestamp, window_end timestamp, event string, n long",
@@ -547,20 +613,21 @@ def ev_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     evs = ev.withColumn("created_at_s", F.col("created_at").cast("long"))
     lo, hi = evs.approxQuantile("created_at_s", [1.0 / 3, 2.0 / 3], 0.001)
-    chunks = [
-        evs.where(F.col("created_at_s") <= F.lit(int(lo))),
-        evs.where(
-            (F.col("created_at_s") > F.lit(int(lo)))
-            & (F.col("created_at_s") <= F.lit(int(hi)))
-        ),
-        evs.where(F.col("created_at_s") > F.lit(int(hi))),
-    ]
+    sec = F.col("created_at").cast("long")
+    chunked = ev.withColumn(
+        "chunk",
+        F.when(sec <= F.lit(int(lo)), 0)
+        .when(sec <= F.lit(int(hi)), 1)
+        .otherwise(2),
+    )
 
     work = tempfile.mkdtemp(prefix="ev_stream_sess_")
     try:
         emitted = _drain_chunks_long_lived(
             spark,
-            [c.select("created_at", "user_id") for c in chunks],
+            chunked.select("created_at", "user_id", "chunk"),
+            "chunk",
+            3,
             "created_at timestamp, user_id bigint",
             streaming_sessions,
             "user_id bigint, session_start timestamp, "
@@ -596,20 +663,21 @@ def ev_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     evs = ev.withColumn("created_at_s", F.col("created_at").cast("long"))
     lo, hi = evs.approxQuantile("created_at_s", [1.0 / 3, 2.0 / 3], 0.001)
-    chunks = [
-        evs.where(F.col("created_at_s") <= F.lit(int(lo))),
-        evs.where(
-            (F.col("created_at_s") > F.lit(int(lo)))
-            & (F.col("created_at_s") <= F.lit(int(hi)))
-        ),
-        evs.where(F.col("created_at_s") > F.lit(int(hi))),
-    ]
+    sec = F.col("created_at").cast("long")
+    chunked = ev.withColumn(
+        "chunk",
+        F.when(sec <= F.lit(int(lo)), 0)
+        .when(sec <= F.lit(int(hi)), 1)
+        .otherwise(2),
+    )
 
     work = tempfile.mkdtemp(prefix="ev_stream_dedup_")
     try:
         emitted = _drain_chunks_long_lived(
             spark,
-            [c.select("event_id", "created_at", "user_id") for c in chunks],
+            chunked.select("event_id", "created_at", "user_id", "chunk"),
+            "chunk",
+            3,
             "event_id bigint, created_at timestamp, user_id bigint",
             lambda s: streaming_exact_dedup(s, ["event_id"]).select(
                 "event_id", "user_id"
