@@ -41,6 +41,37 @@ from hogflare_spark.flags.model import FlagCondition, FlagDefinition, PropertyFi
 
 _FALSE = F.lit(False)
 
+# Compiled per-flag struct arrays, keyed by (lane, dataclass repr of the
+# selected flag list). Compiling a flag set is pure driver-side Column
+# construction — hundreds of py4j round-trips for the condition trees
+# and sha1 rollout expressions, measured 0.9-1.5 s per call at r12
+# (guide §7.3: it showed up as a "nothing is running" gap before every
+# flag gate's first job). The Column trees are immutable and reference
+# inputs only by NAME (`distinct_id`, `_merged_props`, the variant
+# helper columns), so one compiled array serves any persons/contexts
+# frame with those columns; FlagDefinition is a dataclass, so repr is a
+# content fingerprint and re-parsed configs hit the same entry.
+_COMPILED_CACHE: dict = {}
+
+
+def _compiled_structs(
+    lane: str, selected: list, ctx: "_Ctx", ctx_key: tuple = ()
+) -> Column:
+    key = (lane, ctx_key, repr(selected))
+    out = _COMPILED_CACHE.get(key)
+    if out is None:
+        out = F.array(
+            *[
+                F.struct(
+                    F.lit(f.key).alias("flag_key"),
+                    compile_flag(f, ctx).alias("res"),
+                )
+                for f in selected
+            ]
+        )
+        _COMPILED_CACHE[key] = out
+    return out
+
 
 def bucket_expr(salt: str, hash_id: Column) -> Column:
     """Bit-exact sha1 rollout bucket as a double Column."""
@@ -450,14 +481,7 @@ def evaluate_flags_maps(
             F.lit(None).cast("string").alias("reason"),
             F.lit(None).cast("int").alias("condition_index"),
         )
-    structs = F.array(
-        *[
-            F.struct(
-                F.lit(f.key).alias("flag_key"), compile_flag(f, ctx).alias("res")
-            )
-            for f in selected
-        ]
-    )
+    structs = _compiled_structs("maps", selected, ctx, (id_col,))
     exploded = ctxed.withColumn("_flag", F.explode(structs))
     return exploded.select(
         *out_cols,
@@ -524,14 +548,7 @@ def evaluate_flags_df(
             F.lit(None).cast("int").alias("condition_index"),
         )
 
-    structs = F.array(
-        *[
-            F.struct(
-                F.lit(f.key).alias("flag_key"), compile_flag(f, ctx).alias("res")
-            )
-            for f in selected
-        ]
-    )
+    structs = _compiled_structs("df", selected, ctx)
     exploded = contexts.withColumn("_flag", F.explode(structs))
     return exploded.select(
         *out_cols,

@@ -1472,20 +1472,24 @@ def pq_fit_codebooks(
     round9-argmax / fixed-point-mean sequence), so the unrolled
     per-subspace DuckDB oracles are unchanged. Returns m codebooks of k
     centroids (or None on an empty corpus)."""
-    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:
-        return None
-    dim = int(first["d"])
-    if dim % m_subspaces:
-        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
-    d_sub = dim // m_subspaces
     scale = float(KMEANS_SCALE)
     m = m_subspaces
 
-    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # One cached working set; the init collect doubles as both the
+    # dim probe and the cache materialization (r12: the standalone
+    # first() was a full-scan job whose answer the init rows carry).
+    base = cached(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    )
     init_rows = base.orderBy("id").limit(k).collect()
     if not init_rows:
+        release(base)
         return None
+    dim = len(init_rows[0]["vec"])
+    if dim % m_subspaces:
+        release(base)
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    d_sub = dim // m_subspaces
     # m codebooks, each seeded from the k lowest-id normalized subvectors
     cbs: list[list[list[float]]] = [[] for _ in range(m)]
     for r in init_rows:
@@ -1535,10 +1539,10 @@ def pq_fit_codebooks(
 
     import math
 
-    qdf = cached(base)
     try:
         for _ in range(iters):
-            partials = qdf.mapInPandas(
+            # project to the one column the kernel reads (guide §4.1)
+            partials = base.select("vec").mapInPandas(
                 _stats_kernel(cbs), "j int, cell int, cnt long, s array<long>"
             ).collect()
             stats: dict[tuple[int, int], tuple[int, list[int]]] = {}
@@ -1560,7 +1564,7 @@ def pq_fit_codebooks(
                 if nrm > 0:
                     cbs[j][cell] = [x / nrm for x in mean]
     finally:
-        release(qdf)
+        release(base)
     return cbs
 
 

@@ -972,8 +972,13 @@ def hf_flag_eval_persons(spark: SparkSession, sf_dir: str) -> DataFrame:
     one cell of the checksum, and nothing floats."""
     from hogflare_spark.flags.compiler import evaluate_flags_maps
     from hogflare_spark.flags.model import parse_flag_config
+    from hogflare_spark.operators.partitioning import fan_out
 
-    orders = load_table(spark, sf_dir, "orders")
+    # fan_out BELOW the person projection: the store-native flag eval is
+    # a wide codegen'd expression per person — profiled at 1.35 s on the
+    # ONE scan partition a single-file orders table produces (r12, guide
+    # §2.5 input skew); a no-op on real multi-file stores.
+    orders = fan_out(load_table(spark, sf_dir, "orders"))
     okey = F.col("o_orderkey")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     jstr = lambda c: F.concat(F.lit('"'), c, F.lit('"'))  # noqa: E731

@@ -429,10 +429,19 @@ class StreamingNearDupDedup:
                 os.path.join(self.kept_dir, f"batch={batch_id}")
             )
             # state rows for ALL seen docs (kept or dropped) — the
-            # "earlier-seen" rule is what makes the result batch-shape-free
-            bands.select("id", "band_key", "sig").write.mode("overwrite").parquet(
-                os.path.join(self.state_dir, f"batch={batch_id}")
-            )
+            # "earlier-seen" rule is what makes the result batch-shape-free.
+            # Write parallelism derives from the batch's input size (r12,
+            # guide §6 output sizing): `bands` is cached at the sketch
+            # fan-out width (compute parallelism — keep it), but the
+            # per-batch state dir does not need one near-empty file per
+            # sketch partition; coalesce reads the cache, so the fanned-
+            # out sketch stages are untouched.
+            from hogflare_spark.operators.partitioning import adaptive_partitions
+
+            n_out = adaptive_partitions(batch_df, expansion=8.0, floor=2)
+            bands.select("id", "band_key", "sig").coalesce(n_out).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.state_dir, f"batch={batch_id}"))
         finally:
             release(bands)
         self._maybe_compact(spark)

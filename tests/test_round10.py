@@ -144,8 +144,18 @@ def test_topk_ngrams_approx_drops_the_second_shuffle(spark):
     approx_fmt = _formatted(
         topk_ngrams(docs, "text", "doc_id", n=3, k=10, approx_rsd=0.02)
     )
-    assert _numbered_nodes(exact_fmt, "Exchange") == 2
-    assert _numbered_nodes(approx_fmt, "Exchange") == 1
+    # r12: the operator fans a single-file scan out before the explode
+    # (one round-robin Exchange of the RAW text, below the gram stream —
+    # a no-op on multi-file corpora), so both counts carry +1 here; the
+    # invariant under test is unchanged: approx plans exactly one fewer
+    # exchange (the dedup-then-count rewrite's second shuffle).
+    assert _numbered_nodes(exact_fmt, "Exchange") == 3
+    assert _numbered_nodes(approx_fmt, "Exchange") == 2
+    assert (
+        _numbered_nodes(exact_fmt, "Exchange")
+        - _numbered_nodes(approx_fmt, "Exchange")
+        == 1
+    )
     # both stay TakeOrdered (no global sort), no Expand anywhere
     for fmt in (exact_fmt, approx_fmt):
         assert _numbered_nodes(fmt, "TakeOrderedAndProject") == 1

@@ -476,3 +476,51 @@ def test_decayed_engagement_matches_python_reference(spark):
         (u, n_ev[u], score[u], rank) for rank, u in enumerate(order, 1)
     ]
     assert got == want
+
+
+# ------------------------------------------------ compiled-flag cache
+
+
+def test_compiled_flag_cache_identity_and_isolation(spark):
+    """The r12 compiled-structs cache must hit on an equal-content flag
+    list (same Column object even for a re-parsed config), miss across
+    id_cols / lanes / differing flag content, and never bleed results
+    between interleaved evaluations of different flag sets."""
+    from hogflare_spark.flags.compiler import (
+        _compiled_structs,
+        evaluate_flags_maps,
+    )
+    from hogflare_spark.flags.model import parse_flag_config
+
+    cfg_a = '{"flags": [{"key": "fa", "conditions": [{"properties": [{"key": "tier", "value": "gold"}]}]}]}'
+    cfg_b = '{"flags": [{"key": "fa", "conditions": [{"properties": [{"key": "tier", "value": "silver"}]}]}]}'
+    flags_a = parse_flag_config(cfg_a)
+    flags_b = parse_flag_config(cfg_b)
+
+    from hogflare_spark.flags.compiler import _MapCtx
+    from pyspark.sql import functions as F2
+
+    ctx = _MapCtx(F2.col("distinct_id"), F2.col("_merged_props"))
+    c1 = _compiled_structs("maps", flags_a, ctx, ("distinct_id",))
+    c2 = _compiled_structs(
+        "maps", parse_flag_config(cfg_a), ctx, ("distinct_id",)
+    )
+    assert c1 is c2  # content-equal re-parse hits
+    c3 = _compiled_structs("maps", flags_a, ctx, ("other_id",))
+    c4 = _compiled_structs("maps", flags_b, ctx, ("distinct_id",))
+    assert c3 is not c1 and c4 is not c1  # id_col / content key apart
+
+    persons = spark.createDataFrame(
+        [("u1", {"tier": '"gold"'}), ("u2", {"tier": '"silver"'})],
+        "distinct_id string, properties map<string,string>",
+    ).withColumn(
+        "properties_set_once", F2.lit(None).cast("map<string,string>")
+    )
+
+    def vals(flags):
+        rows = evaluate_flags_maps(persons, flags).orderBy("distinct_id")
+        return [(r["distinct_id"], r["value"]) for r in rows.collect()]
+
+    a_first = vals(flags_a)
+    assert vals(flags_b) == [("u1", "false"), ("u2", "true")]
+    assert a_first == vals(flags_a) == [("u1", "true"), ("u2", "false")]
