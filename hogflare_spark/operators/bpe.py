@@ -207,14 +207,27 @@ def bpe_train_merges(
     # State partitioning is derived from the input size (guide §2), not
     # the session constant: every per-merge job pays task-launch + cache
     # read per partition, so a toy corpus on 32 partitions is pure
-    # machinery, while a 100 TB corpus hits the parallelism cap — the
-    # old behavior. x4: exploded (id, pos, tok) rows outgrow the parquet
-    # text bytes by about that factor. floor=8: the A/B at sf0.1 (probe
-    # in PLANS.md r12) measured the 6-merge loop at 5.8 s on 2
-    # partitions (window compute serialized), 3.2-3.5 s on 8-16, 4.0 s
-    # on 32 — per-task overhead is amortized by 8 while the five window
-    # passes per merge still spread across cores.
-    n_part = adaptive_partitions(df, expansion=4.0, floor=8)
+    # machinery, while a large corpus hits the parallelism cap — the
+    # old behavior. The estimate uses UNCOMPRESSED bytes: the loop is
+    # CPU-bound window compute over exploded tokens, and on-disk bytes
+    # under-count that work exactly when text compresses well (the
+    # replicated sf1 probe: 10x rows, 1.5x on-disk, 11.5x uncompressed
+    # — sizing from on-disk bytes left the 10x state on the sf0.1
+    # partition count and measured 12.1 s vs 8.2 s at the cap). x4:
+    # exploded (id, pos, tok) rows outgrow the raw text by about that
+    # factor. The 2 MB/partition target is pinned by a two-point A/B:
+    # sf0.1 (1.6 MB raw) optimum 8 partitions — 2-partition runs 5.8 s
+    # (window compute serialized), 8-16 at 3.2-3.5 s, 32 at 4.0 s — and
+    # sf1 (18 MB raw) optimum at the 32-way cap (8.2 s vs 9.4 at 16,
+    # 12.1 at 8); both land where measured, and any production corpus
+    # saturates the cap.
+    n_part = adaptive_partitions(
+        df,
+        bytes_per_partition=2 * 1024 * 1024,
+        expansion=4.0,
+        floor=8,
+        uncompressed=True,
+    )
     # cache (not localCheckpoint): InMemoryRelation PRESERVES the id
     # hash-partitioning and (id, pos) ordering, so every window in the
     # loop below runs exchange-free — a checkpointed RDD reports

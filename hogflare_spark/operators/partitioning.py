@@ -61,9 +61,18 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     return df.repartition(target or spark.sparkContext.defaultParallelism)
 
 
-def input_bytes(df: DataFrame) -> int:
-    """Total on-disk bytes of the plan's input files (FileIndex metadata
-    only — no job). 0 when the source is not file-backed."""
+def input_bytes(df: DataFrame, uncompressed: bool = False) -> int:
+    """Total bytes of the plan's input files (FileIndex metadata only —
+    no job). 0 when the source is not file-backed.
+
+    With `uncompressed`, parquet files report the footer's row-group
+    total_byte_size sum instead of the on-disk size (one local footer
+    read per file, still no job). On-disk bytes under-estimate the WORK
+    a CPU-bound operator does whenever the encoding compresses repeated
+    values away — measured on the replicated-document scale probe,
+    where 10x the rows landed at 1.5x the on-disk bytes but 11.5x the
+    uncompressed bytes (r12; every other table scales ~10x on disk).
+    Non-parquet (or unreadable) files fall back to their on-disk size."""
     import os
     from urllib.parse import unquote, urlparse
 
@@ -71,6 +80,18 @@ def input_bytes(df: DataFrame) -> int:
         total = 0
         for uri in df.inputFiles():
             path = unquote(urlparse(uri).path) or uri
+            if uncompressed and path.endswith(".parquet"):
+                try:
+                    import pyarrow.parquet as pq
+
+                    md = pq.ParquetFile(path).metadata
+                    total += sum(
+                        md.row_group(i).total_byte_size
+                        for i in range(md.num_row_groups)
+                    )
+                    continue
+                except Exception:
+                    pass
             total += os.path.getsize(path)
         return total
     except Exception:
@@ -83,6 +104,7 @@ def adaptive_partitions(
     expansion: float = 1.0,
     floor: int = 2,
     cap: int | None = None,
+    uncompressed: bool = False,
 ) -> int:
     """Partition count derived from the plan's input size (guide §2:
     partitioning must be scale-adaptive, not a constant tuned for one
@@ -97,7 +119,7 @@ def adaptive_partitions(
     which is exactly the old constant."""
     spark = df.sparkSession
     cap = cap or spark.sparkContext.defaultParallelism
-    est = int(input_bytes(df) * expansion)
+    est = int(input_bytes(df, uncompressed=uncompressed) * expansion)
     if est <= 0:
         return cap
     return max(1, min(cap, max(floor, est // bytes_per_partition + 1)))

@@ -524,3 +524,59 @@ def test_compiled_flag_cache_identity_and_isolation(spark):
     a_first = vals(flags_a)
     assert vals(flags_b) == [("u1", "false"), ("u2", "true")]
     assert a_first == vals(flags_a) == [("u1", "true"), ("u2", "false")]
+
+
+# --------------------------------------- uncompressed input estimation
+
+
+def test_input_bytes_uncompressed_sees_through_compression(spark):
+    """adaptive_partitions sizing for CPU-bound operators must track
+    row volume, not encoding luck (the r12 sf1 bpe regression: the
+    replicated scale-probe corpus landed at 1.5x the on-disk bytes for
+    10x the rows, so on-disk sizing kept the 10x exploded state on the
+    toy partition count). The contract under test: the uncompressed
+    footer estimate tracks raw row volume, so a HIGHLY compressible
+    corpus that is smaller on disk than an incompressible one still
+    derives MORE state partitions — on-disk sizing orders them the
+    wrong way around."""
+    import os
+    import random
+    import tempfile
+
+    from hogflare_spark.operators.partitioning import (
+        adaptive_partitions,
+        input_bytes,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        rng = random.Random(7)
+        # redundant: long repetitive texts — big raw, tiny on disk
+        redundant = [(i, "alpha beta gamma delta " * 400) for i in range(1200)]
+        # dense: short high-entropy texts — small raw, but incompressible
+        dense = [
+            (i, "".join(chr(rng.randrange(0x21, 0x7F)) for _ in range(700)))
+            for i in range(900)
+        ]
+        rp, dp = os.path.join(td, "red"), os.path.join(td, "den")
+        w = lambda df: df.coalesce(1).write.option(  # noqa: E731
+            "parquet.enable.dictionary", "false"
+        )
+        w(spark.createDataFrame(redundant, "doc_id long, text string")).parquet(rp)
+        w(spark.createDataFrame(dense, "doc_id long, text string")).parquet(dp)
+
+        red, den = spark.read.parquet(rp), spark.read.parquet(dp)
+        assert input_bytes(red) < input_bytes(den)  # disk: red looks smaller
+        unc_red = input_bytes(red, uncompressed=True)
+        unc_den = input_bytes(den, uncompressed=True)
+        assert unc_red > 10 * unc_den  # raw: red is the big workload
+
+        kw = dict(bytes_per_partition=64 * 1024, expansion=1.0, floor=2, cap=512)
+        n_red = adaptive_partitions(red, uncompressed=True, **kw)
+        n_den = adaptive_partitions(den, uncompressed=True, **kw)
+        n_red_disk = adaptive_partitions(red, uncompressed=False, **kw)
+        assert n_red > n_den  # raw sizing ranks the workloads correctly
+        assert n_red > n_red_disk  # the on-disk estimate under-sizes red
+        # non-parquet fallback: not file-backed -> 0 (cap path)
+        assert input_bytes(
+            spark.createDataFrame([(1,)], "x int"), uncompressed=True
+        ) == 0
