@@ -1460,6 +1460,7 @@ def pq_fit_codebooks(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _base: DataFrame | None = None,
 ) -> list[list[list[float]]] | None:
     """Train all m per-subspace spherical k-means codebooks in FUSED
     corpus scans: one mapInPandas pass per Lloyd iteration computes every
@@ -1471,23 +1472,35 @@ def pq_fit_codebooks(
     `distributed_kmeans_fit` on the slice (same normalize / quantize /
     round9-argmax / fixed-point-mean sequence), so the unrolled
     per-subspace DuckDB oracles are unchanged. Returns m codebooks of k
-    centroids (or None on an empty corpus)."""
+    centroids (or None on an empty corpus).
+
+    `_base` (internal): a caller-owned cached (id, vec) projection of
+    the corpus. When given, the trainer's iterated scans read it and the
+    caller keeps the cache alive for its own downstream reads (encode,
+    rerank) — one working set per gate instead of one per stage."""
     scale = float(KMEANS_SCALE)
     m = m_subspaces
 
     # One cached working set; the init collect doubles as both the
     # dim probe and the cache materialization (r12: the standalone
     # first() was a full-scan job whose answer the init rows carry).
-    base = cached(
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    owns_base = _base is None
+    base = (
+        cached(
+            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        )
+        if owns_base
+        else _base
     )
     init_rows = base.orderBy("id").limit(k).collect()
     if not init_rows:
-        release(base)
+        if owns_base:
+            release(base)
         return None
     dim = len(init_rows[0]["vec"])
     if dim % m_subspaces:
-        release(base)
+        if owns_base:
+            release(base)
         raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
     d_sub = dim // m_subspaces
     # m codebooks, each seeded from the k lowest-id normalized subvectors
@@ -1564,7 +1577,8 @@ def pq_fit_codebooks(
                 if nrm > 0:
                     cbs[j][cell] = [x / nrm for x in mean]
     finally:
-        release(base)
+        if owns_base:
+            release(base)
     return cbs
 
 
@@ -1605,6 +1619,48 @@ def _pq_encode_kernel(codebooks, m: int, d_sub: int):
                     )
                 )
             yield pd.concat(frames, ignore_index=True)
+
+    return fn
+
+
+def _pq_encode_wide_kernel(codebooks, m: int, d_sub: int):
+    """mapInPandas kernel: (id, vec) → (id, codes array<int>[m]) — the
+    SAME per-subspace normalize + round9-argmax arithmetic as
+    `_pq_encode_kernel`, emitted as one packed row per vector instead of
+    m long-format rows. The ADC scorer reads this shape so the corpus
+    side never explodes m-fold (guide §2.3: shuffle fewer bytes — the
+    packed row is what crosses the top-k exchange)."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        from hogflare_spark.functions.arrowfold import ordered_dots, round9
+
+        ws = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            cols = []
+            for j in range(m):
+                s = x[:, j * d_sub : (j + 1) * d_sub]
+                acc = np.zeros(len(s))
+                for i in range(d_sub):
+                    acc = acc + s[:, i] * s[:, i]
+                nrm = np.sqrt(acc)
+                safe = nrm > 0
+                n = np.where(safe[:, None], s / np.where(safe, nrm, 1.0)[:, None], 0.0)
+                cols.append(
+                    np.argmax(round9(ordered_dots(n, ws[j])), axis=1).astype(
+                        np.int32
+                    )
+                )
+            packed = np.stack(cols, axis=1)
+            yield pd.DataFrame(
+                {"id": ids, "codes": [row.tolist() for row in packed]}
+            )
 
     return fn
 
@@ -1754,6 +1810,7 @@ def pq_adc_topk(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _base: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes (Jégou et al. 2011) —
     the QUERY half of the IVF+PQ stack: the corpus is represented ONLY
@@ -1780,30 +1837,48 @@ def pq_adc_topk(
     whole point is that the distance table dot(q_sub, codebook[c])
     depends only on (query, code), so the n_q×k table per subspace is
     computed ONCE driver-side with the ordered-fold numpy kernel
-    (bit-identical arithmetic, see functions/arrowfold) and
-    broadcast-JOINED to the codes on `code` — a plain JVM hash join,
-    nothing interpreted per pair. The query set was already broadcast
+    (bit-identical arithmetic, see functions/arrowfold) and applied as
+    a literal lookup. The query set was already broadcast
     (collect-sized by the operator's contract); only the m·n_q·k longs
     of the tables ship back out.
+
+    r12 (guide §2.3/§2.4): the corpus side is PACKED — one
+    (id, codes[m]) row per vector instead of m (id, subspace, code)
+    rows — and a broadcast nested-loop against the n_q (qid, tables)
+    rows computes nanos MAP-SIDE as Σ_j tables[j][codes[j]] (m static
+    element_at terms, all integer adds in fixed j order — the same m
+    int64 values the old groupBy summed, so bit-identical). That
+    removes the m-fold row explosion AND the whole (qid, id) hash
+    aggregation exchange: the only shuffle left is the per-query top-k
+    window over n·n_q packed rows.
     """
     import numpy as np
 
     from hogflare_spark.functions.arrowfold import ordered_dots
 
     spark = corpus.sparkSession
-    cbs = pq_fit_codebooks(corpus, m_subspaces, k, iters, id_col, vec_col)
+    owns_base = _base is None
+    base = (
+        cached(
+            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        )
+        if owns_base
+        else _base
+    )
+    cbs = pq_fit_codebooks(
+        corpus, m_subspaces, k, iters, id_col, vec_col, _base=base
+    )
     if cbs is None:
         return spark.createDataFrame(
             [], "query_id LONG, neighbor_id LONG, rank INT, score DOUBLE"
         )
     d_sub = len(cbs[0][0])
 
-    # corpus side: ONE fused encode scan → (id, subspace, code)
-    codes = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).mapInPandas(
-        _pq_encode_kernel(cbs, m_subspaces, d_sub),
-        "id long, subspace int, code int",
+    # corpus side: ONE fused encode scan → (id, codes[m]) packed rows,
+    # read from the gate's shared cached working set
+    codes = base.mapInPandas(
+        _pq_encode_wide_kernel(cbs, m_subspaces, d_sub),
+        "id long, codes array<int>",
     )
     # query side: collect once, build ALL m distance tables driver-side
     # (normalization via the same per-subspace ordered fold the corpus
@@ -1821,6 +1896,7 @@ def pq_adc_topk(
         nv, _ = _subspace_unit_q(
             [float(x) for x in r["vec"]], m_subspaces, d_sub, scale
         )
+        tables = []
         for j in range(m_subspaces):
             tbl = np.floor(
                 ordered_dots(
@@ -1830,17 +1906,23 @@ def pq_adc_topk(
                 * 1e9
                 + 0.5
             ).astype(np.int64)
-            for c in range(len(cbs[j])):
-                dt_rows.append((int(r["qid"]), j, c, int(tbl[c])))
-    dt = spark.createDataFrame(dt_rows, "qid long, subspace int, code int, t long")
-    # ONE broadcast join on (subspace, code) replaces m joins + a m-way
-    # union — the corpus side still moves only (id, subspace, code)
-    allt = (
-        codes.join(F.broadcast(dt), ["subspace", "code"])
+            tables.append([int(t) for t in tbl])
+        dt_rows.append((int(r["qid"]), tables))
+    dt = spark.createDataFrame(dt_rows, "qid long, tables array<array<long>>")
+    # broadcast nested-loop: n_q table rows against the packed codes;
+    # nanos folds the m lookups map-side in fixed subspace order —
+    # integer adds, so identical to the old groupBy-sum of the same m
+    # terms — and no aggregation exchange exists at all
+    nanos = F.lit(0).cast("long")
+    for j in range(m_subspaces):
+        nanos = nanos + F.get(
+            F.get(F.col("tables"), j), F.get(F.col("codes"), j)
+        )
+    scored = (
+        codes.crossJoin(F.broadcast(dt))
         .where(F.col("id") != F.col("qid"))
-        .select("qid", "id", "t")
+        .select("qid", "id", nanos.alias("nanos"))
     )
-    scored = allt.groupBy("qid", "id").agg(F.sum("t").alias("nanos"))
     w = Window.partitionBy("qid").orderBy(F.desc("nanos"), F.asc("id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1885,6 +1967,14 @@ def ivfpq_rerank_topk(
     mirrors brute_force_topk: (round9(cos) DESC, neighbor_id ASC).
     Output: (query_id, neighbor_id, rank, sim) with sim rounded to 1e-6.
     """
+    # one cached (id, vec) working set serves the codebook trainer's
+    # iterated scans, the encode pass, AND the exact-rerank's full-vector
+    # read — the parquet is scanned once per gate, not once per stage
+    # (r12, guide §5; released at the host's quiescent point like every
+    # cache backing a returned frame)
+    base = cached(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    )
     cand = pq_adc_topk(
         queries,
         corpus,
@@ -1894,9 +1984,10 @@ def ivfpq_rerank_topk(
         iters=iters,
         id_col=id_col,
         vec_col=vec_col,
+        _base=base,
     ).select("query_id", "neighbor_id")
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    cv = base.select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("cv")
     )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     exact = (
