@@ -1484,10 +1484,16 @@ def pq_fit_codebooks(
     # One cached working set; the init collect doubles as both the
     # dim probe and the cache materialization (r12: the standalone
     # first() was a full-scan job whose answer the init rows carry).
+    from hogflare_spark.operators.partitioning import fan_out
+
     owns_base = _base is None
     base = (
         cached(
-            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+            fan_out(
+                corpus.select(
+                    F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+                )
+            )
         )
         if owns_base
         else _base
@@ -1857,10 +1863,16 @@ def pq_adc_topk(
     from hogflare_spark.functions.arrowfold import ordered_dots
 
     spark = corpus.sparkSession
+    from hogflare_spark.operators.partitioning import fan_out
+
     owns_base = _base is None
     base = (
         cached(
-            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+            fan_out(
+                corpus.select(
+                    F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+                )
+            )
         )
         if owns_base
         else _base
@@ -1971,9 +1983,16 @@ def ivfpq_rerank_topk(
     # iterated scans, the encode pass, AND the exact-rerank's full-vector
     # read — the parquet is scanned once per gate, not once per stage
     # (r12, guide §5; released at the host's quiescent point like every
-    # cache backing a returned frame)
+    # cache backing a returned frame). fan_out: a single-file corpus
+    # otherwise pins the cache — and every consumer, including the
+    # nested-loop ADC scoring — at the scan's 1-2 partitions (guide
+    # §2.5 input skew; no-op on multi-file corpora at scale).
+    from hogflare_spark.operators.partitioning import fan_out
+
     base = cached(
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        fan_out(
+            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        )
     )
     cand = pq_adc_topk(
         queries,
