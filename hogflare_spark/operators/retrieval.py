@@ -66,6 +66,8 @@ def bm25_topk(
     query terms; docs with score 0 (no term present) are excluded.
     Ranking ties break on the lower doc_id. Terms are matched exactly
     against the lowercased whitespace tokenization."""
+    from hogflare_spark.operators.partitioning import fan_out
+
     terms = sorted(set(t.lower() for t in query_terms))
     tok = T.tokens(F.col(text_col))
 
@@ -76,7 +78,15 @@ def bm25_topk(
         # overwriting the default — hence the closure factory.
         return F.size(F.filter(tok, lambda x: x == F.lit(term)))
 
-    per_doc = docs.select(
+    # fan the raw (id, text) scan BEFORE the tokenize + per-term tf
+    # projection (guide §2.5 input skew): a single-file corpus otherwise
+    # evaluates the CPU-heavy scoring projection on one task. The
+    # projection sits ABOVE the exchange (the r9 rule in partitioning.py)
+    # and the shuffle moves raw text bytes, not the tf columns. No-op on
+    # multi-file corpora; results are per-row + order-free aggregates.
+    per_doc = fan_out(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col).alias("id"),
         F.size(tok).alias("dl"),
         *[_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
@@ -230,13 +240,21 @@ def bm25_batch_topk(
     term_set = sorted({t for _, t in qrows})
     tok = T.tokens(F.col(text_col))
 
-    stats = docs.select(F.size(tok).alias("dl")).agg(
-        F.count("*").alias("n"), F.sum("dl").alias("sdl")
+    # fan each corpus scan's raw (id, text) rows before tokenizing
+    # (guide §2.5, same reasoning as bm25_topk): both corpus passes are
+    # tokenize-heavy and a single-file corpus runs each on one task
+    from hogflare_spark.operators.partitioning import fan_out
+
+    stats = (
+        fan_out(docs.select(F.col(text_col)))
+        .select(F.size(tok).alias("dl"))
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
     )
     from hogflare_spark.functions.caching import cached
 
     matched = cached(
-        docs.select(
+        fan_out(docs.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col).alias("id"),
             F.size(tok).alias("dl"),
             F.explode(tok).alias("term"),
