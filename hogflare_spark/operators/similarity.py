@@ -421,11 +421,19 @@ def lsh_near_dup_pairs(
     _require_int_ids(df, id_col, "lsh_near_dup_pairs")
     planes = hyperplanes(num_planes, dim)
     sig_udf = _band_sigs_udf(planes, bands)
-    vecs = cached(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
+    # fan the raw (id, vec) scan before the signature projection (guide
+    # §2.5 input skew): a single-file corpus otherwise computes the
+    # 64-plane signature UDF — and caches both working sets — on one
+    # task. No-op on multi-file corpora; candidates are set-valued and
+    # the verify is per-row, so results are partitioning-independent.
+    from hogflare_spark.operators.partitioning import fan_out
+
+    src = fan_out(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
+    vecs = cached(src.select("id", F.col("vec").alias("v")))
     keyed = cached(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(sig_udf(F.col(vec_col))).alias("band", "bsig"),
+        src.select(
+            "id",
+            F.posexplode(sig_udf(F.col("vec"))).alias("band", "bsig"),
         )
     )
     cand = (
@@ -1175,7 +1183,14 @@ def _kmeans_qdf(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """The trainer's cached working set: (id, normalized v, fixed-point
     q). Tracked via `cached`; materialized by the first job that touches
     it (the init collect fills it — no standalone count)."""
-    base = corpus.select(
+    # fan the raw (id, vec) scan before normalize+quantize (guide §2.5):
+    # a single-file corpus otherwise builds the cache — and runs every
+    # Lloyd-iteration kernel scan over it — on one task. Results are
+    # partitioning-independent: init is orderBy(id).limit(k), iteration
+    # partials are exact order-free int64 sums, assignment is per-row.
+    from hogflare_spark.operators.partitioning import fan_out
+
+    base = fan_out(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).alias("id"), unit_vec_expr(F.col(vec_col)).alias("v")
     )
     return cached(
