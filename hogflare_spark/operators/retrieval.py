@@ -84,12 +84,26 @@ def bm25_topk(
     # projection sits ABOVE the exchange (the r9 rule in partitioning.py)
     # and the shuffle moves raw text bytes, not the tf columns. No-op on
     # multi-file corpora; results are per-row + order-free aggregates.
-    per_doc = fan_out(
-        docs.select(F.col(id_col), F.col(text_col))
-    ).select(
-        F.col(id_col).alias("id"),
-        F.size(tok).alias("dl"),
-        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
+    #
+    # per_doc is CACHED (guide §5 reuse; the bm25_batch_topk precedent):
+    # both the stats aggregate and the scoring join read it, and without
+    # the cache each leg re-runs the full tokenize projection — worse,
+    # the `score > 0` filter's inferred isnotnull conditions push down
+    # past the scoring projection and re-evaluate every interpreted
+    # size(filter(split(...))) HOF a THIRD time per surviving row (plan
+    # evidence: plans/r12/llm_bm25_topk_{before,after}.txt — the pushed
+    # Filter (2) carried five split(lower(text)) trees). The cached frame
+    # is the narrow (id, dl, tf…) ints — corpus text is scanned and
+    # tokenized exactly once per call; released at the host's quiescent
+    # point like every cache backing a returned frame.
+    from hogflare_spark.functions.caching import cached
+
+    per_doc = cached(
+        fan_out(docs.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col).alias("id"),
+            F.size(tok).alias("dl"),
+            *[_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
+        )
     )
     stats = per_doc.agg(
         F.count("*").alias("n"),

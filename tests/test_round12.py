@@ -580,3 +580,43 @@ def test_input_bytes_uncompressed_sees_through_compression(spark):
         assert input_bytes(
             spark.createDataFrame([(1,)], "x int"), uncompressed=True
         ) == 0
+
+
+def test_bm25_topk_single_corpus_scan(spark):
+    """r12 optimization: bm25_topk must tokenize the corpus exactly once.
+    Before the per_doc cache, the stats aggregate and the scoring join
+    each re-ran the tokenize projection (two parquet scans), and the
+    `score > 0` filter's inferred isnotnull conditions pushed below the
+    projection re-evaluated the interpreted split/filter HOFs a third
+    time per row. Pin: ONE parquet scan of documents (the cache build),
+    both downstream legs reading the cache."""
+    from hogflare_spark.functions.caching import unpersist_all
+    from hogflare_spark.operators.retrieval import bm25_topk
+    from hogflare_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    try:
+        df = bm25_topk(docs, ["hash", "join", "spark", "window"], k_top=10)
+        rows = df.collect()  # materialize so the final AQE plan is real
+        import contextlib
+        import io
+        import re
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        fmt = buf.getvalue()
+
+        def n_nodes(node: str) -> int:
+            return len(re.findall(rf"^\(\d+\) {node}", fmt, flags=re.M))
+
+        assert n_nodes("Scan parquet") == 1, fmt
+        assert n_nodes("InMemoryTableScan") >= 2, fmt
+        # contract sanity on the smoke corpus: dense ranks from 1,
+        # scores positive non-increasing
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["score"] for r in rows]
+        assert all(s > 0 for s in scores)
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+    finally:
+        unpersist_all()
