@@ -620,3 +620,39 @@ def test_bm25_topk_single_corpus_scan(spark):
         assert all(a >= b for a, b in zip(scores, scores[1:]))
     finally:
         unpersist_all()
+
+
+def test_quality_token_features_matches_column_form(spark):
+    """r12 optimization: quality_token_features (tokenize-once cached
+    shape) must return exactly what the per-column expressions return —
+    same rows, same schema — and scan the corpus parquet exactly once
+    (the cache build)."""
+    from hogflare_spark.functions.caching import unpersist_all
+    from hogflare_spark.operators import text_analysis as TA
+    from hogflare_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    try:
+        fast = TA.quality_token_features(docs).orderBy("doc_id")
+        ref = docs.select(
+            "doc_id",
+            TA.ws_token_count(F.col("text")).alias("ws_tokens"),
+            TA.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+            TA.quality_score(F.col("text")).alias("quality"),
+        ).orderBy("doc_id")
+        rows_fast = fast.collect()
+        assert rows_fast == ref.collect()
+        assert fast.schema == ref.schema
+
+        import contextlib
+        import io
+        import re
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            fast.explain("formatted")
+        fmt = buf.getvalue()
+        n_scans = len(re.findall(r"^\(\d+\) Scan parquet", fmt, flags=re.M))
+        assert n_scans == 1, fmt
+    finally:
+        unpersist_all()
