@@ -270,8 +270,12 @@ def bpe_train_merges(
             if step % checkpoint_every == 0:
                 nxt = _recut_lineage(nxt, n_part)
             state = cached(nxt)
-    return spark.createDataFrame(
-        out, "step INT, left STRING, right STRING, merged STRING, cnt BIGINT"
+    from hogflare_spark.operators.partitioning import one_slice_df
+
+    # n_merges driver-side rows: one slice, so the consumer's collect /
+    # broadcast pays one Python round-trip instead of one per core
+    return one_slice_df(
+        spark, out, "step INT, left STRING, right STRING, merged STRING, cnt BIGINT"
     )
 
 

@@ -110,7 +110,12 @@ def _cc_driver(rows, spark, schema) -> DataFrame:
         if m is None or node < m:
             comp_min[r] = node
     out = [(node, comp_min[find(node)]) for node in parent]
-    return spark.createDataFrame(out, schema)
+    from hogflare_spark.operators.partitioning import one_slice_df
+
+    # driver-sized by this branch's contract (the small-edge-set lane);
+    # one slice avoids a Python round-trip per core in the consumer's
+    # broadcast/left-join build (r13, guide §1.2)
+    return one_slice_df(spark, out, schema)
 
 
 def _cc_loop(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:

@@ -61,6 +61,23 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     return df.repartition(target or spark.sparkContext.defaultParallelism)
 
 
+def one_slice_df(spark, rows, schema) -> DataFrame:
+    """createDataFrame for DRIVER-SIZED row lists without the default
+    defaultParallelism Python-RDD slices.
+
+    A handful of rows parallelized into N slices costs one Python-worker
+    round-trip PER SLICE in every job that reads the frame — a broadcast
+    build's executeCollect, a final orderBy's range-sampling pass —
+    measured ~0.5 s of pure handshake per reading job at local[32]
+    (r13, guide §1.2/§4). One slice = one round-trip. Only for frames
+    that are model-sized by contract (collected query tables, distance
+    tables, trainer outputs): a single partition is then the right shape
+    at any scale factor."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def input_bytes(df: DataFrame, uncompressed: bool = False) -> int:
     """Total bytes of the plan's input files (FileIndex metadata only —
     no job). 0 when the source is not file-backed.

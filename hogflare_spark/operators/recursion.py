@@ -65,25 +65,41 @@ def ancestor_closure(
     the edge relation. Terminates when the frontier empties or at
     max_depth, whichever first.
 
-    broadcast_edges="auto" (default) counts the edge relation once and
-    broadcasts only below BROADCAST_EDGE_ROW_LIMIT — one cheap extra job
-    against levels of re-scans, and it keeps a fact-sized hierarchy off
-    the driver.
+    broadcast_edges="auto" (default) broadcasts only below
+    BROADCAST_EDGE_ROW_LIMIT, keeping a fact-sized hierarchy off the
+    driver. r13 (guide §1.2 job count): every per-level control signal
+    rides the level's own checkpoint job via `observe()` — the level-1
+    row count doubles as the auto-broadcast edge count (level 1 is a
+    projection of the edge relation, so the counts are equal by
+    construction) and each later level's count is the emptiness probe —
+    so the former 2 jobs per level (checkpoint + isEmpty) plus the
+    standalone edge count() collapse to exactly ONE job per level.
     """
     if "node" not in edges.columns or "parent" not in edges.columns:
         raise ValueError("edges must have columns (node, parent)")
+    from pyspark.sql import Observation
+
     base = edges.select("node", "parent")
     hop = base.select(F.col("node").alias("anc"), F.col("parent").alias("_next"))
+
+    obs0 = Observation()
+    level = (
+        base.select(
+            "node",
+            F.col("parent").alias("anc"),
+            F.lit(1).cast("int").alias("depth"),
+        )
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     if broadcast_edges == "auto":
-        broadcast_edges = base.count() <= BROADCAST_EDGE_ROW_LIMIT
+        broadcast_edges = int(obs0.get["n"]) <= BROADCAST_EDGE_ROW_LIMIT
     if broadcast_edges:
         hop = F.broadcast(hop)
 
-    level = base.select(
-        "node", F.col("parent").alias("anc"), F.lit(1).cast("int").alias("depth")
-    ).localCheckpoint(eager=True)
     levels = [level]
     for d in range(2, int(max_depth) + 1):
+        obs = Observation()
         nxt = (
             level.join(hop, "anc")
             .select(
@@ -91,9 +107,10 @@ def ancestor_closure(
                 F.col("_next").alias("anc"),
                 F.lit(d).cast("int").alias("depth"),
             )
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)  # cut lineage: O(1) plan per level
         )
-        if nxt.isEmpty():
+        if not int(obs.get["n"]):
             break
         levels.append(nxt)
         level = nxt

@@ -250,7 +250,11 @@ def bm25_batch_topk(
         return spark.createDataFrame(
             [], "query_id long, doc_id long, rank int, score double"
         )
-    qdf = spark.createDataFrame(qrows, "query_id long, term string")
+    from hogflare_spark.operators.partitioning import one_slice_df
+
+    # one slice: this frame only ever feeds broadcast builds — each
+    # default Python-RDD slice costs a worker round-trip per build
+    qdf = one_slice_df(spark, qrows, "query_id long, term string")
     term_set = sorted({t for _, t in qrows})
     tok = T.tokens(F.col(text_col))
 

@@ -39,6 +39,7 @@ def kth_smallest(
     buckets: int = 4096,
     max_levels: int = 4,
     direct_threshold: int = 200_000,
+    _stats: tuple | None = None,
 ) -> float:
     """The exact k-th smallest (1-based) non-null value of `value_col`.
 
@@ -46,6 +47,12 @@ def kth_smallest(
     used to build the histogram — not a reconstructed >=/< range — so
     float boundary values can never land outside the chosen bucket.
     Raises ValueError if k is out of range.
+
+    `_stats` (internal): a caller-precomputed (min, max, count) of the
+    non-null values — level 0 then skips its stats job, so a caller
+    evaluating several ranks over one cached projection (see
+    `exact_quantile_values`) pays the full-column aggregate once
+    instead of once per rank.
     """
     sub = df.select(F.col(value_col).cast("double").alias("v")).where(
         F.col(value_col).isNotNull()
@@ -53,10 +60,13 @@ def kth_smallest(
     remaining = int(k)
     if remaining < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    for _ in range(int(max_levels)):
-        mn, mx, n = sub.agg(
-            F.min("v"), F.max("v"), F.count(F.lit(1))
-        ).first()
+    for level in range(int(max_levels)):
+        if level == 0 and _stats is not None:
+            mn, mx, n = _stats
+        else:
+            mn, mx, n = sub.agg(
+                F.min("v"), F.max("v"), F.count(F.lit(1))
+            ).first()
         if n < remaining:
             raise ValueError(f"rank {remaining} exceeds {n} candidate rows")
         if mn == mx:
@@ -96,12 +106,40 @@ def exact_quantile_values(
 ) -> list[tuple[float, int, float]]:
     """(q, rank ceil(q*n), exact value) per requested quantile — the
     order-statistic convention (rank-k element), matching a
-    row_number()-based SQL oracle exactly; n counts non-null rows."""
+    row_number()-based SQL oracle exactly; n counts non-null rows.
+
+    r13 (guide §1.2 job count, §5 reuse): ONE cached narrow projection
+    of the non-null values serves every rank, and ONE
+    (min, max, count) aggregate — which doubles as the cache
+    materialization — replaces the former separate count() plus a
+    per-rank level-0 stats job. Each `kth_smallest` call then starts
+    from the shared stats (`_stats`) and reads the cache, never the
+    base scan: for Q quantiles the former 1 + 2Q full-column scans
+    collapse to one scan plus Q bounded selections. The per-rank
+    narrowing arithmetic is unchanged, so values are identical."""
     import math
 
-    n = df.where(F.col(value_col).isNotNull()).count()
-    out = []
-    for q in qs:
-        k = max(1, int(math.ceil(q * n)))
-        out.append((float(q), k, kth_smallest(df, value_col, k, **kwargs)))
+    from hogflare_spark.functions.caching import cached, release
+
+    sub = cached(
+        df.select(F.col(value_col).cast("double").alias("v")).where(
+            F.col(value_col).isNotNull()
+        )
+    )
+    try:
+        mn, mx, n = sub.agg(
+            F.min("v"), F.max("v"), F.count(F.lit(1))
+        ).first()
+        out = []
+        for q in qs:
+            k = max(1, int(math.ceil(q * n)))
+            out.append(
+                (
+                    float(q),
+                    k,
+                    kth_smallest(sub, "v", k, _stats=(mn, mx, n), **kwargs),
+                )
+            )
+    finally:
+        release(sub)
     return out

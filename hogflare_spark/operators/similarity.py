@@ -1832,6 +1832,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     _base: DataFrame | None = None,
+    _query_pred: Column | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes (Jégou et al. 2011) —
     the QUERY half of the IVF+PQ stack: the corpus is represented ONLY
@@ -1909,10 +1910,19 @@ def pq_adc_topk(
     )
     # query side: collect once, build ALL m distance tables driver-side
     # (normalization via the same per-subspace ordered fold the corpus
-    # kernel uses; floor(dot·1e9 + 0.5) exactly as the Column twin did)
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")
-    ).collect()
+    # kernel uses; floor(dot·1e9 + 0.5) exactly as the Column twin did).
+    # _query_pred (r13): when the caller declares the query set as a
+    # predicate over the corpus ids, the collect reads the gate's cached
+    # working set instead of re-scanning the source — one fewer scan job
+    # per gate (guide §1.2/§5); rows identical by construction.
+    if _query_pred is not None:
+        q_rows = base.where(_query_pred).select(
+            F.col("id").alias("qid"), F.col("vec")
+        ).collect()
+    else:
+        q_rows = queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")
+        ).collect()
     if not q_rows:
         return spark.createDataFrame(
             [], "query_id LONG, neighbor_id LONG, rank INT, score DOUBLE"
@@ -1935,7 +1945,11 @@ def pq_adc_topk(
             ).astype(np.int64)
             tables.append([int(t) for t in tbl])
         dt_rows.append((int(r["qid"]), tables))
-    dt = spark.createDataFrame(dt_rows, "qid long, tables array<array<long>>")
+    # one slice: the broadcast build's executeCollect otherwise pays one
+    # Python-worker round-trip per default slice (~0.5 s for 40 rows)
+    from hogflare_spark.operators.partitioning import one_slice_df
+
+    dt = one_slice_df(spark, dt_rows, "qid long, tables array<array<long>>")
     # broadcast nested-loop: n_q table rows against the packed codes;
     # nanos folds the m lookups map-side in fixed subspace order —
     # integer adds, so identical to the old groupBy-sum of the same m
@@ -1976,6 +1990,7 @@ def ivfpq_rerank_topk(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _query_pred: Column | None = None,
 ) -> DataFrame:
     """Two-stage ANN, the full FAISS-style IVF+PQ pipeline the ADC recall
     pin points at (tests/test_llm_round7.py: 24-bit codes give ~0.84
@@ -2019,11 +2034,22 @@ def ivfpq_rerank_topk(
         id_col=id_col,
         vec_col=vec_col,
         _base=base,
+        _query_pred=_query_pred,
     ).select("query_id", "neighbor_id")
     cv = base.select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("cv")
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # rerank's query-vector side reads the cached working set too when
+    # the query set is a corpus predicate (same rows, one fewer scan)
+    qv = (
+        base.where(_query_pred).select(
+            F.col("id").alias("query_id"), F.col("vec").alias("qv")
+        )
+        if _query_pred is not None
+        else queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
     exact = (
         cv.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(qv), "query_id")

@@ -638,9 +638,19 @@ def q_exact_quantile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     rows = exact_quantile_values(ev, "value", qs=(0.5, 0.99))
-    return spark.createDataFrame(
-        rows, "q double, k long, value double"
-    ).orderBy("q")
+    # the result is 2 driver-side rows; a bare createDataFrame
+    # parallelizes them into defaultParallelism Python-RDD slices and
+    # orderBy adds a range exchange — ~1.4 s of Python-worker
+    # round-trips + shuffle machinery for 2 rows (profiled r13, guide
+    # §1.2). One explicit slice + sortWithinPartitions is the same
+    # total order (single partition) with zero exchange and ONE
+    # Python-worker handshake. (coalesce(1) instead would still compute
+    # all 32 parent slices serially inside one task — measured 5 s.)
+    from hogflare_spark.operators.partitioning import one_slice_df
+
+    return one_slice_df(
+        spark, rows, "q double, k long, value double"
+    ).sortWithinPartitions("q")
 
 
 @query(

@@ -1713,7 +1713,15 @@ def llm_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") % 50 == 0)
     return pq_adc_topk(
-        q, emb, k_top=TOPK, m_subspaces=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
+        q,
+        emb,
+        k_top=TOPK,
+        m_subspaces=_PQ_M,
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+        # same query set, declared as a corpus-id predicate so the
+        # collect reads the gate's cached working set (r13, guide §5)
+        _query_pred=F.col("id") % 50 == 0,
     ).orderBy("query_id", "rank")
 
 
@@ -1759,6 +1767,9 @@ def llm_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_subspaces=_PQ_M,
         k=_PQ_K,
         iters=_PQ_ITERS,
+        # same query set as a corpus-id predicate: the ADC collect and
+        # the rerank's query-vector side read the cached working set
+        _query_pred=F.col("id") % 50 == 0,
     ).orderBy("query_id", "rank")
 
 
