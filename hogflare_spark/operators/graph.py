@@ -79,7 +79,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         "inner",
     )
     n_tri = closed.groupBy().agg(F.count(F.lit(1)).alias("n_triangles"))
-    n_edges = edges.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
+    # one row per input edge by construction, so the edge census reads
+    # the PINNED orientation instead of re-executing the caller's edge
+    # derivation (q_triangle_count: a lineitem self-join + distinct) a
+    # second time in the final job (r13, guide §1.2/§5)
+    n_edges = oriented.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
     return n_edges.crossJoin(n_tri)
 
 
@@ -116,29 +120,63 @@ def pagerank_fixed_point(
     headroom: 85 * N * SCALE must stay under 2^63 — fine to ~10^8
     nodes, rescale SCALE beyond.
     """
-    edges = directed_edges.select("src", "dst")
+    from pyspark.sql import Observation
+
+    from hogflare_spark.functions.caching import cached
+
+    # Pin the edge list FIRST (r13): the caller's frame is commonly an
+    # expensive derivation (q_pagerank_parts: a lineitem self-join +
+    # distinct), and it used to re-execute inside BOTH the annotated
+    # pin and the node-universe pin — separate jobs compile separate
+    # physical plans, so no exchange reuse crosses them. One eager cut
+    # runs the derivation exactly once; everything below reads pinned
+    # rows (guide §1.2 / §5). The edge count rides the same job via
+    # observe() and sizes the iteration width below.
+    obs = Observation()
+    edges = (
+        directed_edges.select("src", "dst")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    # iteration width from DATA SIZE (~24 B per (long,long,long) row,
+    # ~32 MB per partition), capped at session parallelism — the r12
+    # exchange-reuse A/B lost precisely because its exchange-free stages
+    # ran at the full shuffle-partition count of near-empty tasks; a
+    # derived width keeps every per-iteration stage data-sized at any SF
+    # (guide §2: scale-adaptive partitioning, not a constant).
+    n_edge_rows = int(obs.get["n"])
+    n_part = max(
+        2,
+        min(
+            spark.sparkContext.defaultParallelism,
+            n_edge_rows * 24 // (32 << 20) + 1,
+        ),
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # NOTE (r12): an exchange-reuse variant — caching `annotated`
-    # hash-partitioned by src so the per-iteration join is exchange-free
-    # — was A/B'd and measured 5.3 s vs 3.4 s warm at sf0.1: removing
-    # the exchanges also removes AQE's partition coalescing, leaving
-    # every per-iteration sort/join stage at the full shuffle partition
-    # count of near-empty tasks. With AQE on, two coalesced exchanges
-    # beat zero un-coalesced ones at this scale; revisit only with
-    # cluster-scale evidence.
-    annotated = edges.join(deg, "src").localCheckpoint(eager=True)
-    nodes = (
+    # r13 exchange-reuse, second attempt (r12's was rejected at width
+    # 32): annotated and the node universe CACHE hash-partitioned by
+    # their join/union keys at the derived width — InMemoryRelation
+    # preserves outputPartitioning (localCheckpoint does not), so every
+    # iteration's rank×edges join consumes both sides exchange-free and
+    # the only per-iteration exchange left is the explicit
+    # repartition(n_part, dst) feeding the contribution sum, whose
+    # output partitioning the NEXT iteration's join reuses in turn
+    # (guide §2.4: operations keyed the same way share one exchange).
+    annotated = cached(edges.join(deg, "src").repartition(n_part, "src"))
+    nodes = cached(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition(n_part, "node")
     )
     zeros = nodes.select(
         F.col("node").alias("dst"), F.lit(0).cast("long").alias("c")
     )
-    ranks = nodes.select(
-        "node", F.lit(int(PAGERANK_SCALE)).alias("rank")
-    ).localCheckpoint(eager=True)
+    # no checkpoint: rank_0 is a literal projection of the cached node
+    # universe — its plan is O(1) deep already, and the eager cut here
+    # was one whole job per call for nothing (r13, guide §1.2)
+    ranks = nodes.select("node", F.lit(int(PAGERANK_SCALE)).alias("rank"))
     for it in range(int(iterations)):
         contrib = ranks.join(
             annotated, ranks["node"] == annotated["src"]
@@ -147,6 +185,7 @@ def pagerank_fixed_point(
         )
         ranks = (
             contrib.union(zeros)
+            .repartition(n_part, "dst")
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
             .select(

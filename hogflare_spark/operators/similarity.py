@@ -443,6 +443,18 @@ def lsh_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Under-parallel inputs only (the fan_out regime): AQE coalesces the
+    # dedup exchange by PAIR-ID bytes (~16 B/row), which lands the whole
+    # verify — two vector attach-joins + the cosine kernel, each row
+    # ~2·dim doubles WIDE — on one or two tasks (profiled r13: a 2.9 s
+    # single-task stage at sf0.1). Widening the deduped id stream is a
+    # tiny shuffle here and disappears at scale exactly like fan_out.
+    from hogflare_spark.operators.partitioning import is_small_file_input
+
+    if is_small_file_input(df):
+        cand = cand.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
     va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     # verify on the Arrow tier: the interpreted cosine_expr costs 3 HOF

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hogflare_spark.plans import query
+from hogflare_spark.functions.scratch import scratch_dir
 from hogflare_spark.sources.readers import load_table
 
 
@@ -739,7 +740,7 @@ def ev_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty micro-batches instead of a TypeError (ADVICE r11)
     n = (ev.agg(F.max("event_id")).first()[0] or -1) + 1
     b1, b2 = n // 3, 2 * n // 3
-    work = tempfile.mkdtemp(prefix="ev_stream_hh_")
+    work = scratch_dir("ev_stream_hh_")
     try:
         job = IncrementalHeavyHitters(work, capacity=64, compact_every=2)
         job.process_batch(stream.where(F.col("event_id") < b1), 0)
@@ -901,7 +902,7 @@ def ev_stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty micro-batches instead of a TypeError (ADVICE r11)
     n = (ev.agg(F.max("event_id")).first()[0] or -1) + 1
     b1, b2 = n // 3, 2 * n // 3
-    work = tempfile.mkdtemp(prefix="ev_stream_kmv_")
+    work = scratch_dir("ev_stream_kmv_")
     try:
         job = IncrementalKmvSketches(
             work, ["user_id", "d"], "event_type", k=K, compact_every=2

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hogflare_spark.plans import BENCH_EXTRA, ORACLES, QUERIES, query
+from hogflare_spark.functions.scratch import scratch_dir
 from hogflare_spark.sources.readers import load_table
 
 
@@ -200,7 +201,7 @@ def hf_streaming_person_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.where(F.col("request_seq") > F.lit(int(hi))),
     ]
 
-    work = tempfile.mkdtemp(prefix="hf_stream_gate_")
+    work = scratch_dir("hf_stream_gate_")
     landing = os.path.join(work, "landing")
     ckpt = os.path.join(work, "ckpt")
     warehouse = os.path.join(work, "warehouse")
@@ -312,7 +313,7 @@ def hf_flags_on_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.where(F.col("request_seq") <= F.lit(int(mid))),
         raw.where(F.col("request_seq") > F.lit(int(mid))),
     ]
-    work = tempfile.mkdtemp(prefix="hf_stream_flags_")
+    work = scratch_dir("hf_stream_flags_")
     landing = os.path.join(work, "landing")
     ckpt = os.path.join(work, "ckpt")
     warehouse = os.path.join(work, "warehouse")
@@ -546,7 +547,7 @@ def ev_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(2),
     )
 
-    work = tempfile.mkdtemp(prefix="ev_stream_win_")
+    work = scratch_dir("ev_stream_win_")
     try:
         emitted = _drain_chunks_long_lived(
             spark,
@@ -621,7 +622,7 @@ def ev_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(2),
     )
 
-    work = tempfile.mkdtemp(prefix="ev_stream_sess_")
+    work = scratch_dir("ev_stream_sess_")
     try:
         emitted = _drain_chunks_long_lived(
             spark,
@@ -671,7 +672,7 @@ def ev_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(2),
     )
 
-    work = tempfile.mkdtemp(prefix="ev_stream_dedup_")
+    work = scratch_dir("ev_stream_dedup_")
     try:
         emitted = _drain_chunks_long_lived(
             spark,
@@ -1056,7 +1057,7 @@ def hf_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hogflare_spark.operators.ingest import ingest_raw_requests
 
     events = ingest_raw_requests(raw)["events"]
-    lake_dir = tempfile.mkdtemp(prefix="hf_lake_")
+    lake_dir = scratch_dir("hf_lake_")
     try:
         # partition by the EVENT time (client timestamp), not receipt time
         with_date = events.withColumn("created_at", F.col("timestamp"))
@@ -1472,7 +1473,7 @@ def hf_lake_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .collect()
     ]
-    lake_dir = tempfile.mkdtemp(prefix="hf_lake_del_")
+    lake_dir = scratch_dir("hf_lake_del_")
     try:
         append_events(
             events.withColumn("created_at", F.col("timestamp")), lake_dir
@@ -1591,7 +1592,7 @@ def ev_stream_hist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty micro-batches instead of a TypeError (ADVICE r11)
     n = (ev.agg(F.max("event_id")).first()[0] or -1) + 1
     b1, b2 = n // 3, 2 * n // 3
-    work = tempfile.mkdtemp(prefix="ev_stream_hist_")
+    work = scratch_dir("ev_stream_hist_")
     try:
         job = IncrementalHistQuantiles(work, compact_every=2)
         job.process_batch(ev.where(F.col("event_id") < b1), 0)
@@ -1660,7 +1661,7 @@ def hf_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = orders.where(F.col("o_orderkey") % 100 == 0).select(
         F.col("o_orderkey").alias("k"), cents.alias("cents")
     )
-    root = tempfile.mkdtemp(prefix="hf_lake_tt_")
+    root = scratch_dir("hf_lake_tt_")
     try:
         v0 = upsert_table(spark, base, root, ["k"])
         upd1 = base.where(F.col("k") % 3 == 0).select(

@@ -38,6 +38,7 @@ from hogflare_spark.operators.similarity import (
     lsh_ann_topk,
 )
 from hogflare_spark.plans import BENCH_EXTRA, query
+from hogflare_spark.functions.scratch import scratch_dir
 from hogflare_spark.sources.readers import load_table
 
 MINHASH_THRESHOLD = 0.85
@@ -1291,7 +1292,7 @@ def llm_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n = docs.count()
     b1, b2 = n // 3, 2 * n // 3
-    work = tempfile.mkdtemp(prefix="llm_stream_dedup_")
+    work = scratch_dir("llm_stream_dedup_")
     try:
         job = StreamingCorpusDedup(work)
         job.process_batch(docs.where(F.col("doc_id") < b1), 0)
@@ -1522,7 +1523,7 @@ def llm_stream_dsir_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     n = docs.count()
     b1, b2 = n // 3, 2 * n // 3
-    work = tempfile.mkdtemp(prefix="llm_stream_dsir_")
+    work = scratch_dir("llm_stream_dsir_")
     try:
         job = IncrementalDsirModel(
             work,
@@ -1944,7 +1945,7 @@ def llm_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n = docs.count()
     b1, b2 = n // 3, 2 * n // 3
-    work = tempfile.mkdtemp(prefix="llm_stream_neardedup_")
+    work = scratch_dir("llm_stream_neardedup_")
     try:
         job = StreamingNearDupDedup(work, threshold=_NEAR_STREAM_THRESHOLD)
         job.process_batch(docs.where(F.col("doc_id") < b1), 0)
@@ -2020,7 +2021,7 @@ def llm_stream_bm25_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n = docs.count()
     b1, b2 = n // 3, 2 * n // 3
-    work = tempfile.mkdtemp(prefix="llm_stream_bm25_")
+    work = scratch_dir("llm_stream_bm25_")
     try:
         job = IncrementalBm25Stats(work, compact_every=2)
         job.process_batch(docs.where(F.col("doc_id") < b1), 0)
@@ -2215,7 +2216,7 @@ def llm_stream_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     b1, b2 = n // 3, 2 * n // 3
-    work = tempfile.mkdtemp(prefix="llm_stream_ivf_")
+    work = scratch_dir("llm_stream_ivf_")
     try:
         idx = StreamingIvfIndex(os.path.join(work, "index"), n_centroids=8)
         idx.process_batch(emb.where(F.col("vec_id") < b1), 0)
