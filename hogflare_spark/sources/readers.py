@@ -27,10 +27,30 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Scan-plan memo (r13, guide §7.3): `spark.read.parquet` pays schema
+# inference (a footer read + a dozen py4j round-trips, ~0.14 s at this
+# box's ~2.5 ms/round-trip) on EVERY call, and the bench builds each
+# query 4 times over the same static tables — several seconds of pure
+# driver overhead per run. A DataFrame is an immutable lazy plan: the
+# memoized object re-reads the parquet files at every execution, so this
+# caches no data and no results — only the unresolved scan plan. Keyed
+# on applicationId so a new session never sees stale py4j handles; the
+# events normalization below is part of the memoized value (it is pure
+# plan too).
+_SCAN_MEMO: dict = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _SCAN_MEMO.get(key)
+    if hit is None:
+        hit = _SCAN_MEMO[key] = _load_table(spark, sf_dir, name)
+    return hit
+
+
+def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # The lake's events.ts encoding has shifted between driver rounds:
         # TIMESTAMP(NANOS) (r1) and timestamp[us] with no timezone (r2+),
